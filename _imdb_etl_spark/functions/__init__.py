@@ -1,0 +1,67 @@
+"""Shared column-expression helpers.
+
+Exact-decimal arithmetic policy
+-------------------------------
+Driver correctness is judged by a value-hash against a DuckDB oracle, and
+floating-point SUM/AVG are order-dependent — a shuffled Spark aggregation
+and a single-threaded DuckDB scan will disagree in the low bits, and the
+disagreement is nondeterministic run-to-run. The synthetic data's money
+and quantity columns are 2-decimal values stored as double, so the policy
+is:
+
+1. cast inputs to narrow decimals at the scan (exact, and the nearest
+   double to a 2-dp value always rounds back to it),
+2. do the +,-,* arithmetic and SUM in decimal (exact, associative,
+   order-independent — identical in both engines),
+3. cast the final aggregate to double for a stable output schema.
+
+Precisions are kept narrow enough that intermediate multiply results fit
+in DECIMAL(38,_) in BOTH engines without precision-loss rewrites
+(duckdb widens w1+w2; spark w1+w2+1 — keep w1+w2+1 <= 38).
+
+AVG is expressed as CAST(SUM(dec) AS DOUBLE) / COUNT(_): both engines
+then perform the same single double division on identical inputs.
+
+This is also the right call at 100 TB: decimal aggregation keeps results
+reproducible across retries and partition counts, which float sums do not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MONEY = "decimal(12,2)"  # prices, balances, per-event values
+FRAC = "decimal(8,2)"  # 1±discount/tax style factors
+
+
+def dec(col: str | Column, typ: str = MONEY) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(typ)
+
+
+def one_minus(col: str) -> Column:
+    return (F.lit(1) - F.col(col)).cast(FRAC)
+
+
+def one_plus(col: str) -> Column:
+    return (F.lit(1) + F.col(col)).cast(FRAC)
+
+
+def dsum(expr: Column, alias: str) -> Column:
+    """Exact decimal sum surfaced as double."""
+    return F.sum(expr).cast("double").alias(alias)
+
+
+def davg(expr: Column, alias: str) -> Column:
+    """Order-independent average: exact decimal sum, one double division."""
+    return (F.sum(expr).cast("double") / F.count(expr)).alias(alias)
+
+
+# lineitem revenue expressions (TPC-H Q1/Q3/Q5/Q6 family)
+def disc_price() -> Column:
+    return dec("l_extendedprice") * one_minus("l_discount")
+
+
+def charge() -> Column:
+    return dec("l_extendedprice") * one_minus("l_discount") * one_plus("l_tax")

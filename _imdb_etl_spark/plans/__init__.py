@@ -1,0 +1,14 @@
+"""Query library.
+
+`registry` collects every declared query as a (spark builder, oracle SQL)
+pair; importing the submodules populates it.
+"""
+
+from _imdb_etl_spark.plans.registry import REGISTRY, QuerySpec, register
+
+# populate the registry
+from _imdb_etl_spark.plans import tpch  # noqa: E402,F401
+from _imdb_etl_spark.plans import grafs  # noqa: E402,F401
+from _imdb_etl_spark.plans import relational  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "register"]

@@ -1,0 +1,319 @@
+"""Operator-coverage queries: one registry entry per remaining operator
+family from SURVEY.md §2 (projection/dedup P1-P3, fan-out left joins
+J1-J6, semi/anti joins J8, window top-k W1/P8), expressed over the
+driver tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.functions import dec, disc_price, dsum
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_P1_SQL = """
+SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+       l_quantity AS qty, l_returnflag AS flag
+FROM lineitem
+ORDER BY order_id, line_no
+"""
+
+
+@register(
+    "p1_projection_rename",
+    _P1_SQL,
+    doc="P1 (etl_imdb_db.sql:92-99): projection + rename; ReadSchema "
+    "prunes to 4 of 11 lineitem columns at the parquet scan.",
+)
+def p1_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return lineitem.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    ).orderBy("order_id", "line_no")
+
+
+_P2_SQL = """
+SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status
+FROM lineitem
+ORDER BY flag, status
+"""
+
+
+@register(
+    "p2_distinct_projection",
+    _P2_SQL,
+    doc="P2 (etl_imdb_db.sql:91): SELECT DISTINCT -> "
+    "ReplaceDeduplicateWithAggregate -> partial+final HashAggregate; at "
+    "scale the map-side partial collapses before any shuffle.",
+)
+def p2_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.select(
+            F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
+        )
+        .dropDuplicates()
+        .orderBy("flag", "status")
+    )
+
+
+_P3_SQL = """
+SELECT DISTINCT p_brand AS brand_id, p_brand AS brand_name
+FROM part
+ORDER BY brand_id
+"""
+
+
+@register(
+    "p3_degenerate_dim",
+    _P3_SQL,
+    doc="P3 (etl_imdb_db.sql:120-124): same source column projected "
+    "twice — the reference's degenerate dim_genres pattern.",
+)
+def p3_degenerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.col("p_brand").alias("brand_id"), F.col("p_brand").alias("brand_name")
+        )
+        .dropDuplicates()
+        .orderBy("brand_id")
+    )
+
+
+_FANOUT_SQL = """
+SELECT DISTINCT
+  c_custkey AS person_id,
+  c_name AS name,
+  o_orderstatus AS role,
+  n_name AS nation
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+ORDER BY person_id, role NULLS FIRST, nation
+"""
+
+
+@register(
+    "dim_people_fanout_distinct",
+    _FANOUT_SQL,
+    doc="J1+J2+P2 (etl_imdb_db.sql:103-113): stacked 1:N left joins "
+    "partially collapsed by DISTINCT — the reference's dim_people "
+    "fan-out, with NULL rows preserved for unmatched left rows.",
+)
+def dim_people_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders, nation = load_tables(spark, sf_dir, "customer", "orders", "nation")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .select(
+            F.col("c_custkey").alias("person_id"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderstatus").alias("role"),
+            F.col("n_name").alias("nation"),
+        )
+        .dropDuplicates()
+        .orderBy("person_id", F.asc_nulls_first("role"), "nation")
+    )
+
+
+_FACT_SQL = """
+SELECT DISTINCT
+  l_orderkey AS order_id,
+  l_linenumber AS line_no,
+  o_custkey AS customer_id,
+  p_brand AS brand,
+  s_name AS supplier_name,
+  l_quantity AS qty
+FROM lineitem
+LEFT JOIN orders ON l_orderkey = o_orderkey
+LEFT JOIN part ON l_partkey = p_partkey
+LEFT JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY order_id, line_no
+"""
+
+
+@register(
+    "fact_star_left_joins",
+    _FACT_SQL,
+    doc="J3-J6+P2 (etl_imdb_db.sql:129-141): fact assembly via chained "
+    "left joins against dims, then DISTINCT. Dims broadcast; fact side "
+    "never shuffles for the joins.",
+)
+def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, part, supplier = load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier"
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_linenumber").alias("line_no"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("p_brand").alias("brand"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("l_quantity").alias("qty"),
+        )
+        .dropDuplicates()
+        .orderBy("order_id", "line_no")
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "semi_join_big_spenders",
+    _SEMI_SQL,
+    doc="J8 (dashboard_visualizations.sql:63): IN/EXISTS subquery as an "
+    "explicit left-semi join — what RewritePredicateSubquery produces.",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 400000)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "anti_join_small_spenders",
+    _ANTI_SQL,
+    doc="Anti-join complement of the semi join (absent from the "
+    "reference; declared for operator completeness, SURVEY.md §2.3).",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    big = orders.where(F.col("o_totalprice") > 400000)
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_TOPK_SQL = """
+WITH part_rev AS (
+  SELECT
+    p_brand,
+    p_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand AS brand, p_partkey AS partkey, revenue,
+       rnk AS revenue_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+  FROM part_rev
+)
+WHERE rnk <= 3
+ORDER BY brand, revenue_rank
+"""
+
+
+@register(
+    "w1_top3_parts_per_brand",
+    _TOPK_SQL,
+    doc="W1+P8 (dashboard_visualizations.sql:56,68-70): ROW_NUMBER over "
+    "an aggregated measure, rank<=3 per group. One shuffle for the agg, "
+    "one sort for the window, both on the same key prefix.",
+)
+def topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    rev = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(dsum(disc_price(), "revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_partkey"))
+    return (
+        rev.withColumn("revenue_rank", F.row_number().over(w))
+        .where(F.col("revenue_rank") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            "revenue",
+            "revenue_rank",
+        )
+        .orderBy("brand", "revenue_rank")
+    )
+
+
+_SETOP_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+@register(
+    "setop_union_nations",
+    _SETOP_SQL,
+    doc="Set operation (absent from the reference, SURVEY.md §2.9; "
+    "declared for completeness): UNION = union + distinct.",
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+_HAVING_SQL = """
+SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+ORDER BY custkey
+"""
+
+
+@register(
+    "having_frequent_customers",
+    _HAVING_SQL,
+    doc="HAVING (absent from the reference, SURVEY.md §2.9): post-agg "
+    "filter; Catalyst plans it as Filter above HashAggregate.",
+)
+def having_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "total_spend"),
+        )
+        .where(F.col("n_orders") >= 15)
+        .orderBy("custkey")
+    )

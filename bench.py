@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line with per-query wall seconds.
+
+Plans execute into the no-op sink (format("noop")) so timings measure
+scan + shuffle + compute, not driver-side result materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "graf1_orders_by_priority",
+    "graf2_avg_quantity_by_type",
+    "graf3_top10_customers",
+    "graf4_top3_customers_top3_nations",
+    "graf5_top10_suppliers_by_items",
+    "graf6_customers_by_nation",
+    "dim_people_fanout_distinct",
+    "fact_star_left_joins",
+    "w1_top3_parts_per_brand",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from _imdb_etl_spark.plans import REGISTRY
+    from _imdb_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    extra = os.environ.get("BENCH_EXTRA")
+    if extra:
+        names += [n for n in extra.split(",") if n in REGISTRY and n not in names]
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = REGISTRY[name].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
