@@ -8,17 +8,28 @@ Reference behavior being reproduced (cites into /root/reference):
   (e.g. imdb_db/movie.csv:2); typed columns null them on parse.
   Spark equivalent: ``nullValue='NULL'``.
 - `ON_ERROR = 'CONTINUE'` on the names load only (etl_imdb_db.sql:82):
-  malformed rows are skipped, not fatal. Spark equivalent:
-  ``mode='DROPMALFORMED'``.
+  rows with type errors are skipped, not fatal.
 
-Schemas are always explicit StructTypes — never inferSchema (a full extra
-pass over 100 TB of text, and nondeterministic typing).
+Implementation note: Spark's own malformed-row modes are unsuitable
+here — ``DROPMALFORMED`` drops rows depending on which columns a given
+query parses (projection pruning), and the ``columnNameOfCorruptRecord``
+route forbids queries that reference only the corrupt column (e.g. a
+bare count after the filter). So typing is done explicitly: read every
+field as string, validate with ``try_cast`` (null raw value is fine;
+non-null raw value that fails its cast marks the row), optionally filter
+the marked rows, then project the casts. Everything stays in whole-stage
+codegen — one streaming pass, no cache, deterministic under any
+downstream projection, and identical semantics at any scale.
 """
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def read_staging_csv(
@@ -27,12 +38,26 @@ def read_staging_csv(
     schema: StructType,
     drop_malformed: bool = False,
 ) -> DataFrame:
-    return spark.read.csv(
+    raw_schema = StructType(
+        [StructField(f.name, StringType(), True) for f in schema.fields]
+    )
+    raw = spark.read.csv(
         path,
-        schema=schema,
+        schema=raw_schema,
         header=True,
         quote='"',
         escape='"',
         nullValue="NULL",
-        mode="DROPMALFORMED" if drop_malformed else "PERMISSIVE",
+        mode="PERMISSIVE",
+    )
+    if drop_malformed:
+        ok = [
+            F.col(f.name).isNull() | F.col(f.name).try_cast(f.dataType).isNotNull()
+            for f in schema.fields
+            if not isinstance(f.dataType, StringType)
+        ]
+        if ok:
+            raw = raw.where(functools.reduce(operator.and_, ok))
+    return raw.select(
+        *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
     )

@@ -1,0 +1,46 @@
+"""CSV source semantics (SURVEY.md §2.1 S4/S5): literal-NULL handling,
+quoted fields, malformed-row tolerance."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from _imdb_etl_spark.schemas import MOVIES_STAGING, NAME_STAGING
+from _imdb_etl_spark.sources.csv_source import read_staging_csv
+
+
+def test_null_literal_becomes_sql_null(spark, imdb_stage):
+    df = read_staging_csv(spark, os.path.join(imdb_stage, "movie.csv"), MOVIES_STAGING)
+    # fixture writes literal "NULL" strings into gross income
+    assert df.where(F.col("worlwide_gross_income").isNull()).count() > 0
+    assert df.where(F.col("worlwide_gross_income") == "NULL").count() == 0
+
+
+def test_quoted_fields_with_commas_and_quotes(spark, imdb_stage):
+    df = read_staging_csv(spark, os.path.join(imdb_stage, "movie.csv"), MOVIES_STAGING)
+    # titles contain commas and embedded double quotes; the row must not split
+    assert df.where(F.col("title").contains(',') & F.col("title").contains('"')).count() > 0
+    # and no column bleed: year is always a plausible int
+    assert df.where(~F.col("year").isin(2017, 2018, 2019)).count() == 0
+
+
+def test_drop_malformed_mirrors_on_error_continue(spark, imdb_stage):
+    path = os.path.join(imdb_stage, "names.csv")
+    permissive = read_staging_csv(spark, path, NAME_STAGING, drop_malformed=False)
+    dropped = read_staging_csv(spark, path, NAME_STAGING, drop_malformed=True)
+    # the injected bad-date rows survive PERMISSIVE (nulled) but not DROPMALFORMED
+    assert permissive.count() == dropped.count() + 2
+
+
+def test_explicit_schema_no_inference(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text('a,b\n"1","x"\nNULL,y\n')
+    schema = StructType(
+        [StructField("a", IntegerType()), StructField("b", StringType())]
+    )
+    df = read_staging_csv(spark, str(p), schema)
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(1, "x"), (None, "y")}

@@ -12,10 +12,6 @@ Usage: python tools/check.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import datetime
-import decimal
-import hashlib
-import math
 import sys
 import time
 
@@ -24,32 +20,7 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 from _imdb_etl_spark.sources.catalog import DRIVER_TABLES  # noqa: E402
-
-
-def canon_value(v) -> str:
-    if v is None:
-        return "␀"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        f = float(v)
-        return repr(f)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    return str(v)
-
-
-def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[list[str], str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted("␟".join(canon_value(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
-    return canon, h
+from _imdb_etl_spark.testing import canon_rows  # noqa: E402
 
 
 def main() -> int:
