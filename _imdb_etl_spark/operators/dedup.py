@@ -1,0 +1,346 @@
+"""Deduplication operators over ``documents`` — exact, normalized-exact,
+n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+- Exact / normalized dedup is a hash groupBy: map-side partial
+  aggregation collapses duplicates before the shuffle.
+- The all-pairs n-gram Jaccard (`dedup_ngram_jaccard`) is the exact
+  *verifier*; its shingle self-join is quadratic in the worst case and
+  exists as the small-scale oracle / final-verify stage.
+- `dedup_minhash_lsh` is the scale path: cost is O(docs x shingles x k)
+  map work + a shuffle keyed on (band, band-signature); only bucket
+  collisions are verified exactly. All hashing is md5 (the only hash
+  both engines implement identically), expressed relationally
+  (explode -> cross join seeds -> min per (doc, seed) -> band concat),
+  so the DuckDB oracle can replay it bit-for-bit.
+- `dedup_simhash` is the Arrow/pandas-UDF showcase (bit manipulation is
+  miserable as SQL); it is registered rows-only and property-tested in
+  pytest instead of oracle-hashed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves postponed hints here
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_EXACT_SQL = """
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY md5(text)
+ORDER BY text_hash
+"""
+
+
+@register(
+    "dedup_exact",
+    _EXACT_SQL,
+    doc="Exact dedup: hash-groupBy on md5(text), keep lowest doc_id. "
+    "Partial aggregation collapses dup groups map-side.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .orderBy("text_hash")
+    )
+
+
+_NORM_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS norm_hash,
+       COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+ORDER BY norm_hash
+"""
+
+
+@register(
+    "dedup_exact_normalized",
+    _NORM_SQL,
+    doc="Exact dedup after canonicalization (lowercase, collapse runs of "
+    "spaces, trim) — catches trivially-reformatted copies.",
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), " +", " "))
+    return (
+        docs.groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .orderBy("norm_hash")
+    )
+
+
+_SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),"
+    " i -> substr(text, i, 8)))"
+)
+_SHINGLE_SQL = (
+    "list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),"
+    " i -> substr(text, i, 8)))"
+)
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
+
+
+_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _JACCARD_SQL,
+    doc="Exact near-dup pairs by 8-gram Jaccard >= 0.6 via shingle "
+    "self-join. Quadratic worst case — the exact verifier; "
+    "dedup_minhash_lsh is the scale path.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("n_inter").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(jacc >= 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_N_HASHES = 12
+_BAND_SIZE = 4  # 3 bands x 4 rows
+
+_MINHASH_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+seeds AS (SELECT unnest(range(0, {_N_HASHES})) AS i),
+sig AS (
+  SELECT doc_id, i, MIN(md5(i::VARCHAR || ':' || sh)) AS mh
+  FROM sh CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {_BAND_SIZE} AS band_id,
+         string_agg(mh, '|' ORDER BY i) AS band_key
+  FROM sig
+  GROUP BY doc_id, i // {_BAND_SIZE}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_SQL,
+    doc=f"MinHash ({_N_HASHES} md5-derived permutations) + LSH banding "
+    f"({_N_HASHES // _BAND_SIZE} bands x {_BAND_SIZE}): bucket join on "
+    "(band, signature), exact-Jaccard verify of collisions only. The "
+    "linear-cost scale path for near-dedup; md5-relational formulation "
+    "keeps it engine-portable and oracle-checkable.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    seeds = spark.range(_N_HASHES).select(F.col("id").alias("i"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "i",
+            F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("sh"))).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band_id", (F.col("i") / _BAND_SIZE).cast("long"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s.mh,
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa_, sb_ = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa_, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb_,
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    jacc = F.col("n_inter").cast("double") / (
+        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+    )
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .where(jacc >= 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_BITS = 64
+_HAMMING_MAX = 6
+
+
+@register(
+    "dedup_simhash",
+    None,  # bit-twiddling UDF path; property-tested in pytest instead
+    doc="64-bit SimHash near-dup candidates (hamming <= "
+    f"{_HAMMING_MAX}) via Arrow-vectorized pandas UDF + 4x16-bit "
+    "band exact-match blocking. Rows-only driver check; recall vs the "
+    "exact Jaccard pairs is asserted in tests/test_operators.py.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+
+    @pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+        out = np.empty(len(texts), dtype=np.int64)
+        for k, t in enumerate(texts):
+            acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+            for tok in (t or "").split(" "):
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += 2 * bits - 1
+            sig = int(
+                np.bitwise_or.reduce((acc > 0).astype(np.uint64) << shifts)
+            )
+            out[k] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    sigs = docs.select("doc_id", simhash64("text").alias("sig"))
+    # band on 4x16-bit chunks: near pairs (hamming<=6) share >=1 exact chunk
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("sig", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk")
+    ca, cb = chunks.alias("ca"), chunks.alias("cb")
+    cand = (
+        ca.join(
+            cb,
+            (F.col("ca.chunk_id") == F.col("cb.chunk_id"))
+            & (F.col("ca.chunk") == F.col("cb.chunk"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+            F.col("ca.sig").alias("sig_a"),
+            F.col("cb.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,252 @@
+"""Similarity search over the ``embeddings`` table (array<float> x 64).
+
+- `sim_knn_bruteforce`: exact cosine top-k for a query set — the
+  correctness baseline. Cost O(|Q| x N); broadcast the queries, never
+  shuffle the corpus.
+- `sim_knn_lsh`: random-hyperplane (sign) LSH — the scale path: bucket
+  on an 8-bit sign signature, rank only within buckets. The hyperplane
+  sign matrix is derived from md5 in Python and embedded as literals so
+  Spark and the DuckDB oracle use the identical projection.
+- `dedup_embedding_cosine`: near-dup pairs by cosine >= threshold
+  (semantic dedup). All-pairs at test scale; at 100 TB the same query
+  runs after `sim_knn_lsh`-style bucketing.
+
+Float policy: embeddings are float32; all dot products/norms accumulate
+in float64 element-by-element in both engines, and similarities are
+rounded to 6 decimals before ranking/thresholding so accumulation-order
+ulp noise can never flip an ordering differently per engine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 5
+_DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(range(1, {dim} + 1),"
+    " j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    d = _DOT_SQL.format(a=a, b=b, dim=_DIM)
+    na = _DOT_SQL.format(a=a, b=a, dim=_DIM)
+    nb = _DOT_SQL.format(a=b, b=b, dim=_DIM)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_cos_sql('q.qe', 'e.embedding')}, 6) AS cosine_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim,
+       rnk AS neighbor_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+@register(
+    "sim_knn_bruteforce",
+    _BRUTE_SQL,
+    doc=f"Exact cosine top-{_TOP_K} for {_N_QUERIES} query vectors: "
+    "broadcast queries x corpus scan, JVM-side zip_with/aggregate dot "
+    "products, windowed rank. The ANN correctness baseline.",
+)
+def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(w))
+        .where(F.col("neighbor_rank") <= _TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )
+
+
+# deterministic random-hyperplane signs, shared verbatim by both engines
+_N_PLANES = 8
+
+
+def _plane_signs() -> list[list[int]]:
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for j in range(_DIM):
+            h = hashlib.md5(f"{p}:{j}".encode()).digest()[0]
+            row.append(1 if h < 128 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _plane_signs()
+
+
+def _bucket_sql(vec: str) -> str:
+    bits = []
+    for p in range(_N_PLANES):
+        arr = "[" + ",".join(str(s) for s in _PLANES[p]) + "]"
+        score = (
+            f"list_sum(list_transform(range(1, {_DIM} + 1),"
+            f" j -> CAST({vec}[j] AS DOUBLE) * ({arr}[j])))"
+        )
+        bits.append(f"CASE WHEN ({score}) >= 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
+      WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_cos_sql('q.qe', 'e.embedding')}, 6) AS cosine_sim
+  FROM q JOIN b e ON q.bucket = e.bucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rnk AS neighbor_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+@register(
+    "sim_knn_lsh",
+    _LSH_SQL,
+    doc=f"ANN via random-hyperplane LSH: {_N_PLANES}-bit sign signature "
+    "bucketing (md5-seeded sign matrix embedded as literals in both "
+    "engines), cosine ranking within buckets only. The shuffle is on "
+    "the bucket key — corpus-linear, never quadratic. Recall vs "
+    "sim_knn_bruteforce asserted in tests.",
+)
+def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+
+    def bucket(vec):
+        bits = []
+        for p in range(_N_PLANES):
+            signs = F.array(*[F.lit(float(s)) for s in _PLANES[p]])
+            score = F.aggregate(
+                F.zip_with(vec, signs, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(score >= 0, "1").otherwise("0"))
+        return F.concat(*bits)
+
+    b = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    q = b.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            b,
+            (F.col("qbucket") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(w))
+        .where(F.col("neighbor_rank") <= _TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )
+
+
+_COS_THRESH = 0.45
+
+_EMB_DEDUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {_COS_THRESH}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _EMB_DEDUP_SQL,
+    doc=f"Semantic near-dup pairs: cosine >= {_COS_THRESH} over all "
+    "pairs (exact form; at scale the pair space is pre-pruned by the "
+    "sim_knn_lsh bucketing, which composes as a WHERE on bucket "
+    "equality).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    a, b = emb.alias("a"), emb.alias("b")
+    sim = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= _COS_THRESH)
+        .orderBy("vec_a", "vec_b")
+    )

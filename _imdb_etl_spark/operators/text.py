@@ -1,0 +1,238 @@
+"""Text-analysis operators over the ``documents`` table — the
+LLM-data-pipeline surface (BASELINE.json north star; absent from the
+reference, which never parses its strings).
+
+All hot-path expressions are built-in column functions (whole-stage
+codegen, no Python in the loop); the per-document array lambdas
+(transform/filter/aggregate) run JVM-side too. Linear in input size, no
+shuffle except the final aggregations — the same plan is the right one
+at 100 TB.
+
+Oracle-parity notes: every derived number is either integer arithmetic
+or a single double division of identical operands, so DuckDB matches
+bitwise. regexp_replace needs the 'g' flag in DuckDB to match Spark's
+replace-all. md5 is the cross-engine-stable hash (xxhash64 etc. differ
+per engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+def _toks():
+    return F.split(F.col("text"), " ")
+
+_STATS_SQL = """
+SELECT
+  doc_id,
+  length(text) AS n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_distinct(string_split(text, ' '))) AS n_types,
+  ROUND(CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+        / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_stats",
+    _STATS_SQL,
+    doc="Per-document token statistics: whitespace tokenization, type "
+    "counts, mean token length. Pure narrow transforms, no shuffle.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(_toks()).alias("n_tokens"),
+        F.size(F.array_distinct(_toks())).alias("n_types"),
+        F.round(
+            F.aggregate(_toks(), F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            )
+            / F.size(_toks()),
+            6,
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is"]
+
+_QUALITY_SQL = f"""
+SELECT
+  doc_id,
+  ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+        / length(text), 6) AS punct_ratio,
+  ROUND(CAST(len(list_filter(string_split(text, ' '),
+                             x -> x IN ({','.join(f"'{w}'" for w in _STOPWORDS)})))
+        AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
+  CASE WHEN length(text) >= 100
+        AND len(list_filter(string_split(text, ' '),
+                x -> x IN ({','.join(f"'{w}'" for w in _STOPWORDS)}))) > 0
+       THEN 1 ELSE 0 END AS quality_flag
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_quality",
+    _QUALITY_SQL,
+    doc="Heuristic quality scoring: punctuation density, stopword ratio, "
+    "and a length+stopword gate — the classic pre-training corpus filter "
+    "shape (per-row, embarrassingly parallel).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(_toks(), lambda x: F.array_contains(sw, x)))
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", "")).cast("double")
+            / F.length("text"),
+            6,
+        ).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / F.size(_toks()), 6).alias("stopword_ratio"),
+        F.when((F.length("text") >= 100) & (n_stop > 0), 1)
+        .otherwise(0)
+        .alias("quality_flag"),
+    ).orderBy("doc_id")
+
+
+# tiny per-language function-word lexicon; the operator shape (explode ->
+# broadcast lexicon join -> per-doc argmax) is what scales, the lexicon
+# content is swappable.
+_LEXICON = {
+    "en": ["the", "a", "an", "of", "and", "is", "to"],
+    "es": ["el", "la", "los", "de", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "zh": ["的", "是", "和", "了", "在"],
+}
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in _LEXICON.items() for w in words
+)
+
+_LANG_SQL = f"""
+WITH lex(lang, word) AS (VALUES {_LEX_VALUES}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS n_hits
+  FROM tok JOIN lex ON tok = word
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, lang) AS rnk
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.lang, 'und') AS pred_lang,
+       COALESCE(b.n_hits, 0) AS n_hits
+FROM documents d
+LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1
+ORDER BY d.doc_id
+"""
+
+
+@register(
+    "text_lang_id",
+    _LANG_SQL,
+    doc="N-gram/function-word language ID: explode tokens, broadcast-join "
+    "a (lang, word) lexicon, per-doc argmax with deterministic ties. "
+    "The lexicon join stays map-side; the only shuffle is the per-doc "
+    "aggregation.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    # column named lex_lang: `documents` itself has a `lang` column
+    lex = spark.createDataFrame(
+        [(lang, w) for lang, words in _LEXICON.items() for w in words],
+        ["lex_lang", "word"],
+    )
+    hits = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .join(F.broadcast(lex), F.col("tok") == F.col("word"))
+        .groupBy("doc_id", "lex_lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lex_lang"))
+    best = hits.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
+    return (
+        docs.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS n_bpe_types
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_token_count_bpe",
+    _BPE_SQL,
+    doc="BPE-ish pre-tokenizer counting: letter runs, digit runs, and "
+    "single punctuation marks (the GPT-2 pre-tokenizer shape, minus "
+    "unicode categories). Same regex semantics in Java and RE2 for this "
+    "alternation.",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_types"),
+    ).orderBy("doc_id")
+
+
+_FP_SQL = """
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                               i -> md5(substr(text, i, 8)))) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_fingerprint",
+    _FP_SQL,
+    doc="Document fingerprint: minimum md5 over all 8-char shingles "
+    "(a 1-permutation MinHash). md5 is the cross-engine-stable hash; "
+    "per-row array work, no shuffle.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(1, greatest(length(text) - 7, 1)),"
+            " i -> md5(substr(text, i, 8))))"
+        ).alias("fingerprint"),
+    ).orderBy("doc_id")

@@ -1,0 +1,167 @@
+"""Event-stream analytics over the ``events`` table (batch forms; the
+Structured Streaming variants live in _imdb_etl_spark.streaming).
+
+Timestamp parity notes: the loader pins session timezone to UTC, bucket
+timestamps are emitted as formatted strings, and gap arithmetic uses
+exact epoch milliseconds (unix_millis / epoch_ms) — never float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.functions import dec, dsum
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_HOURLY_SQL = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_bucket, event_type
+"""
+
+
+@register(
+    "events_hourly_rollup",
+    _HOURLY_SQL,
+    doc="Tumbling-window rollup (batch form of a streaming windowed agg): "
+    "per (hour, type) counts, exact decimal value sums, distinct users. "
+    "COUNT(DISTINCT) is the one extra shuffle; at scale swap for "
+    "approx_count_distinct.",
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+_SESSION_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM gaps
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_sessionize",
+    _SESSION_SQL,
+    doc="Sessionization via lag + gap>30min cut (the batch twin of "
+    "streaming session_window): one shuffle on user_id serves both the "
+    "window sort and the final aggregate.",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.lag(F.unix_millis("ts")).over(w)
+    new_session = F.when(
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > 1_800_000), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_PROPS_SQL = """
+SELECT event_type,
+       COUNT(json_extract_string(props, '$.k')) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(json_extract_string(props, '$.k')) AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_props_json",
+    _PROPS_SQL,
+    doc="Semi-structured props: JSON-path extraction inside codegen "
+    "(get_json_object), exact integer aggregation.",
+)
+def events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(k).alias("n_with_k"),
+            (F.sum(k.cast("bigint")).cast("double") / F.count(k)).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PIVOT_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (event_type = 'view') AS views,
+       COUNT(*) FILTER (event_type = 'click') AS clicks,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchases,
+       COUNT(*) FILTER (event_type = 'signup') AS signups,
+       COUNT(*) FILTER (event_type = 'error') AS errors
+FROM events
+GROUP BY 1
+ORDER BY day
+"""
+
+
+@register(
+    "events_daily_pivot",
+    _PIVOT_SQL,
+    doc="Pivot (absent from the reference, SURVEY.md §2.9): day x "
+    "event_type counts. Explicit pivot values keep it a single-pass "
+    "aggregate (no extra distinct-values job).",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    out = (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "day",
+        F.col("view").alias("views"),
+        F.col("click").alias("clicks"),
+        F.col("purchase").alias("purchases"),
+        F.col("signup").alias("signups"),
+        F.col("error").alias("errors"),
+    ).orderBy("day")
