@@ -1,0 +1,156 @@
+"""Structured Streaming forms of the events analytics.
+
+The reference has no streaming surface (SURVEY.md §2.9); these are the
+additive north-star operators, built on the public Structured Streaming
+API: file source -> watermarked event-time windows / session windows ->
+sink. In production the source line is the only thing that changes
+(kafka instead of parquet-dir).
+
+Driver/oracle integration: the registered queries run the stream to a
+bounded completion over the parquet input (availableNow trigger, memory
+sink) and return the materialized batch result. On bounded input the
+windowed aggregates must equal their batch twins in plans/events.py, so
+the same DuckDB oracle SQL applies — the driver checks the streaming
+path end-to-end, not a stub.
+
+Watermarks: 1 hour on event time. On an unbounded stream this bounds
+state (late rows beyond the watermark are dropped and hour/session
+windows finalize); on the bounded replay nothing is late, so parity
+with batch holds exactly.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.functions import dec, dsum
+from _imdb_etl_spark.plans.events import _HOURLY_SQL, _SESSION_SQL
+from _imdb_etl_spark.plans.registry import register
+
+_counter = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from a
+    batch read; nanos handled as in sources.catalog)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the file source wants a directory; pathGlobFilter narrows it to the
+    # events file among the sibling tables
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def streaming_hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1h event-time windows with a 1h watermark — the
+    streaming twin of plans/events.events_hourly."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+    )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Session windows with a 30-minute gap — the streaming twin of the
+    lag-based batch sessionization."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def _run_to_memory(df: DataFrame, name: str) -> DataFrame:
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+_STREAM_HOURLY_SQL = """
+SELECT
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_bucket, event_type
+"""
+
+
+@register(
+    "streaming_hourly_rollup",
+    _STREAM_HOURLY_SQL,
+    doc="End-to-end Structured Streaming run (file source -> watermarked "
+    "1h windows -> availableNow -> memory sink), materialized and "
+    "compared to the batch oracle. Exact distinct users is omitted: "
+    "streams only support approx_count_distinct (see "
+    "streaming_hourly_rollup builder for the unbounded form).",
+)
+def streaming_hourly_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "total_value"),
+        )
+    )
+    name = f"stream_hourly_{next(_counter)}"
+    out = _run_to_memory(agg, name)
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:00:00").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("hour_bucket", "event_type")
+
+
+@register(
+    "streaming_sessionize",
+    _SESSION_SQL,
+    doc="End-to-end session_window streaming run, aggregated to per-user "
+    "session counts and checked against the batch lag-based oracle "
+    "(equal on bounded input).",
+)
+def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = read_events_stream(spark, sf_dir)
+    sessions = streaming_sessionize(events)
+    name = f"stream_sessions_{next(_counter)}"
+    out = _run_to_memory(sessions, name)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,87 @@
+"""Property tests for the non-oracle operators (SimHash, LSH recall,
+multimodal stubs) plus streaming-builder sanity. The oracle-checked
+operators are covered by tools/check.py and the driver gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.operators import multimodal
+from _imdb_etl_spark.plans import REGISTRY
+from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.streaming import read_events_stream, streaming_hourly_rollup
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(spark, sf_dir):
+    rows = REGISTRY["dedup_ngram_jaccard"].spark(spark, sf_dir).collect()
+    return {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+
+
+def test_minhash_lsh_recall(spark, sf_dir, exact_pairs):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir).collect()
+    }
+    high = {p for p, j in exact_pairs.items() if j >= 0.9}
+    assert high, "fixture should contain strong near-dups"
+    recall = len(high & got) / len(high)
+    assert recall >= 0.6, f"minhash recall {recall} on jaccard>=0.9 pairs"
+    # LSH+verify never invents pairs below the verify threshold
+    assert all(p in exact_pairs for p in got)
+
+
+def test_simhash_blocking_finds_strong_neardups(spark, sf_dir, exact_pairs):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_simhash"].spark(spark, sf_dir).collect()
+    }
+    high = {p for p, j in exact_pairs.items() if j >= 0.95}
+    if high:
+        recall = len(high & got) / len(high)
+        assert recall >= 0.5, f"simhash recall {recall} on jaccard>=0.95 pairs"
+    assert got, "simhash should find candidate pairs on this corpus"
+
+
+def test_knn_lsh_consistent_with_bruteforce(spark, sf_dir):
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_tables(spark, sf_dir, "embeddings")[0].collect()
+    }
+    for r in REGISTRY["sim_knn_lsh"].spark(spark, sf_dir).collect():
+        a, b = emb[r.query_id], emb[r.neighbor_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.cosine_sim) < 1e-5
+
+
+def test_multimodal_frame_fanout(spark, sf_dir):
+    frames = REGISTRY["multimodal_frame_sample"].spark(spark, sf_dir)
+    per_asset = frames.groupBy("asset_id").count().collect()
+    assert per_asset and all(r["count"] == 4 for r in per_asset)
+    assert frames.where(~F.col("frame_no").isin(0, 1, 2, 3)).count() == 0
+    # deterministic across runs
+    h1 = {(r.asset_id, r.frame_no): r.frame_hash for r in frames.collect()}
+    h2 = {
+        (r.asset_id, r.frame_no): r.frame_hash
+        for r in REGISTRY["multimodal_frame_sample"].spark(spark, sf_dir).collect()
+    }
+    assert h1 == h2
+
+
+def test_decode_image_stub_deterministic():
+    import pandas as pd
+
+    payloads = pd.Series([b"abc", b"xyz", b"abc"])
+    out = multimodal.decode_image_batch(payloads)
+    assert list(out.columns) == ["width", "height", "mode"]
+    assert out.loc[0, "width"] == out.loc[2, "width"]
+    assert (out["width"] >= 16).all() and (out["height"] >= 16).all()
+
+
+def test_streaming_builder_is_streaming(spark, sf_dir):
+    events = read_events_stream(spark, sf_dir)
+    agg = streaming_hourly_rollup(events)
+    assert events.isStreaming and agg.isStreaming
+    assert "approx_users" in agg.columns
