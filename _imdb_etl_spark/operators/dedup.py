@@ -76,13 +76,23 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Word 3-gram shingles (not char n-grams): ~10x fewer shingles per
+# document for the same near-dup signal, which is the difference between
+# a cheap and an expensive minhash at scale. concat/|| are both
+# NULL-propagating and try_element_at/list[i] both yield NULL
+# out-of-bounds, so the two engines agree on degenerate (<3-token) docs.
 _SHINGLE_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(length(text) - 7, 1)),"
-    " i -> substr(text, i, 8)))"
+    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+    " i -> concat(try_element_at(split(text, ' '), i), ' ',"
+    " try_element_at(split(text, ' '), i + 1), ' ',"
+    " try_element_at(split(text, ' '), i + 2))))"
 )
 _SHINGLE_SQL = (
-    "list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),"
-    " i -> substr(text, i, 8)))"
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),"
+    " i -> string_split(text, ' ')[i] || ' ' ||"
+    " string_split(text, ' ')[i + 1] || ' ' ||"
+    " string_split(text, ' ')[i + 2]))"
 )
 
 

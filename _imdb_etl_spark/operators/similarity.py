@@ -87,17 +87,28 @@ ORDER BY query_id, neighbor_rank
 )
 def sim_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    # norms once per vector (not per pair): corpus-linear prep, then the
+    # pair stage computes a single dot product
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    q = normed.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         F.broadcast(q)
-        .crossJoin(emb)
+        .crossJoin(normed)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cosine_sim"),
+            F.round(
+                _dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -218,12 +229,21 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _COS_THRESH = 0.45
 
+_NORM_SQL = _DOT_SQL.format(a="embedding", b="embedding", dim=_DIM)
+
 _EMB_DEDUP_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine_sim
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) >= {_COS_THRESH}
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_NORM_SQL}) AS nrm FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(({_DOT_SQL.format(a='a.embedding', b='b.embedding', dim=_DIM)})
+               / (a.nrm * b.nrm), 6) AS cosine_sim
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine_sim
+FROM scored
+WHERE cosine_sim >= {_COS_THRESH}
 ORDER BY vec_a, vec_b
 """
 
@@ -237,16 +257,52 @@ ORDER BY vec_a, vec_b
     "equality).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (emb,) = load_tables(spark, sf_dir, "embeddings")
-    a, b = emb.alias("a"), emb.alias("b")
-    sim = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            sim.alias("cosine_sim"),
-        )
-        .where(F.col("cosine_sim") >= _COS_THRESH)
-        .orderBy("vec_a", "vec_b")
+    """All-pairs scoring via numpy/BLAS in mapInPandas: the corpus matrix
+    (N x 64 float64, ~1 MB per 2k vectors) is broadcast once and each
+    Arrow batch computes a block x corpus GEMM — a few hundred MFLOPs
+    instead of interpreted per-pair array lambdas. Memory bound: the
+    broadcast side must fit an executor (~0.5 GB per 1M vectors); past
+    that, pre-block with sim_knn_lsh buckets and run this per bucket."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").toPandas()
+    ids_all = corpus["vec_id"].to_numpy()
+    m_all = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
+    m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids_all, m_all))
+
+    schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cosine_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        ids_c, m_c = bc.value
+        for pdf in batches:
+            ids_b = pdf["vec_id"].to_numpy()
+            m_b = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            m_b /= np.linalg.norm(m_b, axis=1, keepdims=True)
+            sims = np.round(m_b @ m_c.T, 6)
+            bi, ci = np.nonzero(
+                (sims >= _COS_THRESH) & (ids_b[:, None] < ids_c[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": ids_b[bi],
+                    "vec_b": ids_c[ci],
+                    "cosine_sim": sims[bi, ci],
+                }
+            )
+
+    return emb.mapInPandas(score, schema).orderBy("vec_a", "vec_b")

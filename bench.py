@@ -30,6 +30,21 @@ HEADLINE = [
     "dim_people_fanout_distinct",
     "fact_star_left_joins",
     "w1_top3_parts_per_brand",
+    # LLM-pipeline extensions (scale paths only: the quadratic exact
+    # verifiers stay at correctness scale)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_knn_bruteforce",
+    "sim_knn_lsh",
+    "dedup_embedding_cosine",
+    "text_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "events_daily_pivot",
+    "streaming_hourly_rollup",
+    "multimodal_features",
 ]
 
 
