@@ -1,0 +1,196 @@
+"""Advanced operator coverage beyond the reference surface (SURVEY.md
+§2.9 lists these as absent there): as-of join, ROLLUP grouping sets,
+approximate distinct, CASE bucketing. Each is a standard OLAP shape a
+user of this engine needs at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.functions import dec, dsum
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_ASOF_SQL = """
+WITH seq AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_view_ts
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+)
+SELECT event_id,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       strftime(prev_view_ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_view_ts,
+       epoch_ms(ts) - epoch_ms(prev_view_ts) AS gap_ms
+FROM seq
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+@register(
+    "asof_join_purchase_view",
+    _ASOF_SQL,
+    doc="As-of join (no native Spark operator): each purchase matched to "
+    "the user's most recent earlier view via a conditional running MAX "
+    "over an event-time window — one shuffle on user_id, no range "
+    "explosion. The standard Spark formulation of ASOF semantics.",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_view = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        events.where(F.col("event_type").isin("view", "purchase"))
+        .withColumn("prev_view_ts", prev_view)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("prev_view_ts", fmt).alias("asof_view_ts"),
+            (F.unix_millis("ts") - F.unix_millis("prev_view_ts")).alias("gap_ms"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, status NULLS FIRST, priority NULLS FIRST
+"""
+
+
+@register(
+    "rollup_orders_status_priority",
+    _ROLLUP_SQL,
+    doc="ROLLUP grouping sets (subtotals + grand total) with GROUPING id "
+    "to distinguish subtotal NULLs from data NULLs. Spark expands to a "
+    "single Expand + two-phase aggregate.",
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "total_price"),
+        )
+        .orderBy(
+            "gid", F.asc_nulls_first("status"), F.asc_nulls_first("priority")
+        )
+    )
+
+
+_CASE_SQL = """
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS price_band,
+       year(o_orderdate) AS order_year,
+       quarter(o_orderdate) AS order_quarter,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY price_band, order_year, order_quarter
+"""
+
+
+@register(
+    "case_date_buckets",
+    _CASE_SQL,
+    doc="CASE bucketing + date-part extraction (year/quarter) grouped "
+    "counts — scalar-function surface the reference never touches "
+    "(its only scalar is ROUND, SURVEY.md §2.8).",
+)
+def case_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy(
+            band.alias("price_band"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("price_band", "order_year", "order_quarter")
+    )
+
+
+@register(
+    "approx_distinct_users",
+    None,  # HLL sketches are engine-specific; accuracy pinned in pytest
+    doc="approx_count_distinct (HyperLogLog++) per event_type — the "
+    "sketch path that replaces exact COUNT(DISTINCT) at 100 TB "
+    "(no per-key state explosion, one pass). Error bound vs exact "
+    "asserted in tests/test_operators.py.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+_QUANTILE_SQL = """
+SELECT l_returnflag AS flag,
+       ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50_price,
+       ROUND(quantile_disc(l_extendedprice, 0.9), 2) AS p90_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@register(
+    "quantiles_price_by_flag",
+    _QUANTILE_SQL,
+    doc="Exact discrete quantiles per group via percentile_disc — "
+    "matches DuckDB's quantile_disc value-for-value (both pick an "
+    "actual data element, no interpolation drift). The streaming-scale "
+    "variant is percentile_approx.",
+)
+def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(
+                F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"),
+                2,
+            ).alias("p50_price"),
+            F.round(
+                F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)"),
+                2,
+            ).alias("p90_price"),
+        )
+        .orderBy("flag")
+    )

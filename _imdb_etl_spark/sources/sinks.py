@@ -1,0 +1,58 @@
+"""Sinks: parquet/CSV writers and catalog-managed tables.
+
+The reference's sink surface is CTAS + DROP TABLE
+(/root/reference/etl_imdb_db.sql:90-141,153-158); here that maps to
+``saveAsTable`` into the session catalog (S7) and ``DROP TABLE`` (S8),
+plus the file-level writers a Spark deployment actually uses:
+
+- parquet with ``partitionBy``: the layout decision that enables
+  partition pruning on the read side — the single highest-leverage
+  storage choice at 100 TB.
+- ``bucketBy`` on join keys: co-locates future joins/aggregations on
+  the bucket key without a shuffle (catalog tables only).
+- CSV with the reference's quoting dialect, for interchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    # reference CSV dialect: header, double-quote quoting/escaping,
+    # literal NULL for missing values (etl_imdb_db.sql:59-82)
+    (
+        df.write.mode(mode)
+        .options(header=True, quote='"', escape='"', nullValue="NULL")
+        .csv(path)
+    )
+
+
+def save_as_table(
+    df: DataFrame,
+    name: str,
+    bucket_by: tuple[int, list[str]] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """CTAS (S7): materialize into the session catalog. ``bucket_by``
+    = (n_buckets, cols) pre-shuffles once at write so every later join
+    or aggregation on those columns skips its exchange."""
+    w = df.write.mode(mode).format("parquet")
+    if bucket_by:
+        n, cols = bucket_by
+        w = w.bucketBy(n, *cols).sortBy(*cols)
+    w.saveAsTable(name)
+
+
+def drop_table(spark: SparkSession, name: str) -> None:
+    """S8: DROP TABLE IF EXISTS (etl_imdb_db.sql:153-158)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -80,6 +80,22 @@ def test_decode_image_stub_deterministic():
     assert (out["width"] >= 16).all() and (out["height"] >= 16).all()
 
 
+def test_approx_distinct_within_bound(spark, sf_dir):
+    approx = {
+        r.event_type: r.approx_users
+        for r in REGISTRY["approx_distinct_users"].spark(spark, sf_dir).collect()
+    }
+    (events,) = load_tables(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.1, (t, approx[t], n)
+
+
 def test_streaming_builder_is_streaming(spark, sf_dir):
     events = read_events_stream(spark, sf_dir)
     agg = streaming_hourly_rollup(events)

@@ -1,0 +1,57 @@
+"""Sink round-trips: partitioned parquet, reference-dialect CSV, and
+catalog-managed (CTAS/DROP) tables incl. bucketing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.sources import load_tables, sinks
+
+
+def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    sinks.write_parquet(
+        orders.withColumn("order_year", F.year("o_orderdate")),
+        out,
+        partition_by=["order_year"],
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    # partition pruning: a year filter must prune input files
+    pruned = back.where(F.col("order_year") == 1996)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == orders.where(F.year("o_orderdate") == 1996).count()
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+
+
+def test_csv_reference_dialect_roundtrip(spark, sf_dir, tmp_path):
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    out = str(tmp_path / "cust_csv")
+    with_null = customer.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_mktsegment")),
+    )
+    sinks.write_csv(with_null, out)
+    back = spark.read.csv(
+        out, header=True, quote='"', escape='"', nullValue="NULL",
+        schema=with_null.schema,
+    )
+    assert back.count() == customer.count()
+    assert (
+        back.where(F.col("c_mktsegment").isNull()).count()
+        == with_null.where(F.col("c_mktsegment").isNull()).count()
+    )
+
+
+def test_ctas_bucketed_table_and_drop(spark, sf_dir):
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    sinks.save_as_table(orders, "orders_bucketed", bucket_by=(4, ["o_custkey"]))
+    t = spark.table("orders_bucketed")
+    assert t.count() == orders.count()
+    # a groupBy on the bucket key must not need a shuffle exchange
+    agg = t.groupBy("o_custkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    sinks.drop_table(spark, "orders_bucketed")
+    assert "orders_bucketed" not in [x.name for x in spark.catalog.listTables()]
