@@ -81,11 +81,14 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a cheap and an expensive minhash at scale. concat/|| are both
 # NULL-propagating and try_element_at/list[i] both yield NULL
 # out-of-bounds, so the two engines agree on degenerate (<3-token) docs.
+# The lambda references a pre-bound `toks` column — inlining
+# split(text) into the lambda would re-split the document once per
+# shingle (O(tokens^2) per doc; measured 7s -> <1s at sf0.1).
 _SHINGLE_EXPR = (
-    "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
-    " i -> concat(try_element_at(split(text, ' '), i), ' ',"
-    " try_element_at(split(text, ' '), i + 1), ' ',"
-    " try_element_at(split(text, ' '), i + 2))))"
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    " i -> concat(try_element_at(toks, i), ' ',"
+    " try_element_at(toks, i + 1), ' ',"
+    " try_element_at(toks, i + 2))))"
 )
 _SHINGLE_SQL = (
     "list_distinct(list_transform("
@@ -97,7 +100,12 @@ _SHINGLE_SQL = (
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
+    # documents often arrive as one file -> one partition; spread the
+    # CPU-heavy shingle/hash work across cores before the narrow ops
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    return spread.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh")
+    )
 
 
 _JACCARD_SQL = f"""
@@ -312,7 +320,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[k] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
-    sigs = docs.select("doc_id", simhash64("text").alias("sig"))
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    sigs = spread.select("doc_id", simhash64("text").alias("sig"))
     # band on 4x16-bit chunks: near pairs (hamming<=6) share >=1 exact chunk
     chunks = sigs.select(
         "doc_id",

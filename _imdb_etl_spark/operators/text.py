@@ -164,7 +164,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["lex_lang", "word"],
     )
     hits = (
-        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(_toks()).alias("tok"))
         .join(F.broadcast(lex), F.col("tok") == F.col("word"))
         .groupBy("doc_id", "lex_lang")
         .agg(F.count(F.lit(1)).alias("n_hits"))
@@ -229,6 +230,9 @@ ORDER BY doc_id
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
+    # spread the per-row md5-per-shingle work across cores (documents is
+    # typically a single input split at test scale)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id",
         F.expr(

@@ -1,0 +1,135 @@
+"""Scale patterns: skew-aware salted aggregation, MERGE/SCD-1 emulation,
+and the SQL-text API surface.
+
+These register as ordinary oracle-checked queries — the point is that
+the *pattern* produces results identical to its naive formulation (which
+is what the oracle SQL runs), while changing the shuffle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.functions import dec
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_SALT_BUCKETS = 16
+
+_SALTED_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register(
+    "salted_agg_by_priority",
+    _SALTED_SQL,
+    doc=f"Skew-aware aggregation: only 5 priority keys exist, so a naive "
+    "groupBy funnels everything through 5 reducers. Salting fans the "
+    f"partial aggregation over {_SALT_BUCKETS} buckets per key, then a "
+    "tiny second combine removes the salt. Decimal sums are associative, "
+    "so the result is bitwise-equal to the naive plan the oracle runs. "
+    "(AQE skew-join handles join skew; salting is the agg-side tool.)",
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn(
+            "salt", F.pmod(F.hash("o_orderkey"), F.lit(_SALT_BUCKETS))
+        )
+        .groupBy("o_orderpriority", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum(dec("o_totalprice")).alias("ps"),
+        )
+    )
+    return (
+        partial.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.sum("pc").alias("n_orders"),
+            F.sum("ps").cast("double").alias("total_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+_MERGE_SQL = """
+WITH vip AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+)
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey IN (SELECT o_custkey FROM vip)
+            THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "merge_scd1_vip_segment",
+    _MERGE_SQL,
+    doc="MERGE INTO / SCD Type 1 emulation without a table format: "
+    "updates (customers with >=20 orders -> segment VIP) applied as "
+    "anti-join (untouched rows) UNION updated rows. The oracle states "
+    "the same result declaratively (CASE over a semi-join); the engine "
+    "exercises the mechanical upsert plan a foreachBatch sink would run.",
+)
+def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    vip_keys = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 20)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    updates = customer.join(
+        F.broadcast(vip_keys), F.col("c_custkey") == F.col("k"), "left_semi"
+    ).withColumn("c_mktsegment", F.lit("VIP"))
+    untouched = customer.join(
+        F.broadcast(vip_keys), F.col("c_custkey") == F.col("k"), "left_anti"
+    )
+    return (
+        untouched.unionByName(updates)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_SQLAPI_SQL = """
+WITH per_nation AS (
+  SELECT n_name, COUNT(o_orderkey) AS order_count
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name AS nation_name, order_count
+FROM per_nation
+WHERE order_count > 100
+ORDER BY order_count DESC, nation_name
+"""
+
+
+@register(
+    "sql_api_cte_nations",
+    _SQLAPI_SQL,
+    doc="The spark.sql() text surface (SURVEY.md §3: the reference is "
+    "100% SQL text): temp views + a WITH query, same Catalyst plan as "
+    "the DataFrame build. Proves the engine's SQL entry point end-to-end.",
+)
+def sql_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    orders.createOrReplaceTempView("sqlapi_orders")
+    customer.createOrReplaceTempView("sqlapi_customer")
+    nation.createOrReplaceTempView("sqlapi_nation")
+    return spark.sql(
+        _SQLAPI_SQL.replace("FROM orders", "FROM sqlapi_orders")
+        .replace("JOIN customer", "JOIN sqlapi_customer")
+        .replace("JOIN nation", "JOIN sqlapi_nation")
+    )

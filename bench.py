@@ -58,7 +58,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # warm-up: JVM codegen + parquet reader paths, so the first timed
+    # query isn't charged for session bring-up
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     extra = os.environ.get("BENCH_EXTRA")
