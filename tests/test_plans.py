@@ -1,0 +1,110 @@
+"""Physical-plan regression tests: the properties that make these
+queries scale (pushdown, pruning, broadcast, top-k fusion, window group
+limits) are asserted so a refactor can't silently lose them. Plus an
+A/B check that the reference's SQL text run through spark.sql equals
+our DataFrame builders (SURVEY.md §7 step 4).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from _imdb_etl_spark.etl import grafs as g
+from _imdb_etl_spark.etl.star import run_pipeline
+from _imdb_etl_spark.plans import REGISTRY
+from _imdb_etl_spark.testing import canon_rows
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain(df) -> str:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = _explain(REGISTRY["tpch_q1_pricing_summary"].spark(spark, sf_dir))
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reaches the scan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]  # pruned
+    assert "HashAggregate" in plan
+
+
+def test_graf3_broadcast_and_topk(spark, sf_dir):
+    plan = _explain(REGISTRY["graf3_top10_customers"].spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_w1_window_group_limit(spark, sf_dir):
+    plan = _explain(REGISTRY["w1_top3_parts_per_brand"].spark(spark, sf_dir))
+    assert "WindowGroupLimit" in plan  # rank<=k pushed below the window
+
+
+def test_semi_anti_join_strategy(spark, sf_dir):
+    semi = _explain(REGISTRY["semi_join_big_spenders"].spark(spark, sf_dir))
+    anti = _explain(REGISTRY["anti_join_small_spenders"].spark(spark, sf_dir))
+    assert "LeftSemi" in semi and "LeftAnti" in anti
+
+
+def test_no_cartesian_in_registry_except_intended(spark, sf_dir):
+    # cross products are only ever legitimate against a broadcast side
+    for name, spec in REGISTRY.items():
+        if name in ("dedup_simhash",):  # UDF plans checked elsewhere
+            continue
+        df = spec.spark(spark, sf_dir)
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.fixture(scope="module")
+def tables(spark, imdb_stage):
+    return run_pipeline(spark, imdb_stage)
+
+
+def test_reference_sql_text_equals_dataframe_builders(spark, tables):
+    """Run the reference's own dashboard SQL (tiebreakers added) through
+    spark.sql over the materialized views and compare with the
+    DataFrame-built Grafs — both front-ends, one semantics."""
+    cases = {
+        "graf1": (
+            """SELECT dm.country AS country, COUNT(dm.movie_id) AS number_of_movies
+               FROM dim_movies AS dm
+               WHERE dm.country IN ('USA', 'India') AND dm.year = 2019
+               GROUP BY dm.country
+               ORDER BY number_of_movies DESC, country""",
+            g.graf1_usa_india_2019(tables["dim_movies"]),
+        ),
+        "graf3": (
+            """SELECT dp.name AS director_name, COUNT(fm.movie_id) AS movie_count
+               FROM fact_movies AS fm
+               JOIN dim_people AS dp ON fm.director_id = dp.person_id
+               GROUP BY dp.name
+               ORDER BY movie_count DESC, director_name
+               LIMIT 10""",
+            g.graf3_top10_directors(tables["fact_movies"], tables["dim_people"]),
+        ),
+        "graf5": (
+            """SELECT dp.name AS actor_name, COUNT(*) AS total_roles
+               FROM role_mapping_staging AS rm
+               JOIN dim_people AS dp ON rm.name_id = dp.person_id
+               WHERE rm.category IN ('actor', 'actress')
+               GROUP BY dp.name
+               ORDER BY total_roles DESC, actor_name
+               LIMIT 10""",
+            g.graf5_top10_actors_by_roles(
+                tables["role_mapping_staging"], tables["dim_people"]
+            ),
+        ),
+    }
+    for name, (sql, df) in cases.items():
+        sql_df = spark.sql(sql)
+        _, h_sql = canon_rows(sql_df.columns, [tuple(r) for r in sql_df.collect()])
+        _, h_df = canon_rows(df.columns, [tuple(r) for r in df.collect()])
+        assert h_sql == h_df, name
