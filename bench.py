@@ -21,6 +21,11 @@ HEADLINE = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_volume",
+    "window_suite_customer_orders",
     "graf1_orders_by_priority",
     "graf2_avg_quantity_by_type",
     "graf3_top10_customers",
