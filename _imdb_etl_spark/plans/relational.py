@@ -290,6 +290,87 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SAMPLE_SQL = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "sample_deterministic_orders",
+    _SAMPLE_SQL,
+    doc="Deterministic ~1/16 systematic sample via md5-prefix filter — "
+    "reproducible across engines and runs, unlike rand()-based "
+    "df.sample; the pattern for stable dev subsets of a 100 TB table.",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return (
+        orders.where(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) == "0"
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+ORDER BY nationkey
+"""
+
+
+@register(
+    "setop_intersect_nations",
+    _INTERSECT_SQL,
+    doc="INTERSECT (set semantics) — nations having both customers and "
+    "suppliers. Catalyst plans a left-semi join over distincts.",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .orderBy("nationkey")
+    )
+
+
+_EXCEPT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
+ORDER BY nationkey
+"""
+
+
+@register(
+    "setop_except_nations",
+    _EXCEPT_SQL,
+    doc="EXCEPT (set semantics) — nations with customers but no "
+    "well-capitalized supplier. Catalyst plans a left-anti join over "
+    "distincts.",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = load_tables(spark, sf_dir, "customer", "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .subtract(
+            supplier.where(F.col("s_acctbal") > 5000).select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
+        .orderBy("nationkey")
+    )
+
+
 _HAVING_SQL = """
 SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spend
