@@ -227,6 +227,131 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_CENTROIDS = 16
+_N_PROBE = 2
+
+_CENTROID_FILTER = f"vec_id % 29 = 0 AND vec_id >= {_N_QUERIES}"
+
+_IVF_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding AS ce,
+         sqrt({_DOT_SQL.format(a='embedding', b='embedding', dim=_DIM)}) AS cnrm
+  FROM embeddings
+  WHERE {_CENTROID_FILTER}
+  ORDER BY vec_id LIMIT {_N_CENTROIDS}
+),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_SQL.format(a='embedding', b='embedding', dim=_DIM)}) AS nrm
+  FROM embeddings
+),
+assign AS (
+  SELECT vec_id, embedding, nrm, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id) AS arnk
+  FROM (
+    SELECT n.vec_id, n.embedding, n.nrm, c.centroid_id,
+           ROUND(({_DOT_SQL.format(a='n.embedding', b='c.ce', dim=_DIM)})
+                 / (n.nrm * c.cnrm), 6) AS sim
+    FROM n CROSS JOIN c
+  )
+),
+lists AS (SELECT * FROM assign WHERE arnk = 1),
+probes AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qnrm, centroid_id
+           FROM assign WHERE vec_id < {_N_QUERIES} AND arnk <= {_N_PROBE}),
+scored AS (
+  SELECT p.query_id,
+         l.vec_id AS neighbor_id,
+         ROUND(({_DOT_SQL.format(a='p.qe', b='l.embedding', dim=_DIM)})
+               / (p.qnrm * l.nrm), 6) AS cosine_sim
+  FROM probes p
+  JOIN lists l ON p.centroid_id = l.centroid_id AND l.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rnk AS neighbor_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+@register(
+    "sim_knn_ivf",
+    _IVF_SQL,
+    doc=f"IVF-style ANN: {_N_CENTROIDS} deterministic centroids, every "
+    f"vector assigned to its nearest list, queries probe their "
+    f"{_N_PROBE} nearest lists and rank by cosine inside them. The "
+    "inverted-list shuffle key is the centroid id, so pair work is "
+    "corpus/centroids per probe instead of the full corpus — the "
+    "partition-pruning analog for vector search. (Real deployments "
+    "train centroids with k-means; deterministic picks keep the "
+    "operator oracle-checkable.)",
+)
+def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    cents = (
+        normed.where(F.expr(_CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    sim_to_c = F.round(
+        _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    assign = (
+        normed.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "centroid_id", sim_to_c.alias("sim"))
+        .withColumn("arnk", F.row_number().over(assign_w))
+    )
+    lists = assign.where(F.col("arnk") == 1).select(
+        "centroid_id", "vec_id", "embedding", "nrm"
+    )
+    probes = assign.where(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("arnk") <= _N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        "centroid_id",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            lists,
+            (probes["centroid_id"] == lists["centroid_id"])
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("embedding")) / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(w))
+        .where(F.col("neighbor_rank") <= _TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )
+
+
 _COS_THRESH = 0.45
 
 _NORM_SQL = _DOT_SQL.format(a="embedding", b="embedding", dim=_DIM)

@@ -80,6 +80,19 @@ def test_decode_image_stub_deterministic():
     assert (out["width"] >= 16).all() and (out["height"] >= 16).all()
 
 
+def test_decimal_sums_partition_invariant(spark, sf_dir):
+    """The engine's decimal-sum policy must be bitwise-stable across
+    partitionings — this is what the oracle hash gate relies on."""
+    from _imdb_etl_spark.functions import disc_price, dsum
+
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+
+    def total(n: int) -> float:
+        return li.repartition(n).agg(dsum(disc_price(), "r")).collect()[0].r
+
+    assert total(2) == total(31) == total(7)
+
+
 def test_approx_distinct_within_bound(spark, sf_dir):
     approx = {
         r.event_type: r.approx_users
