@@ -1,0 +1,121 @@
+"""Data-quality validation operators.
+
+The reference declares PRIMARY KEYs that Snowflake doesn't enforce
+(etl_imdb_db.sql:9,23,27,39,45,52 — informational, like all analytic
+engines); this module turns those contracts into *queries*: uniqueness
+violations, FK coverage, and null-rate profiles as first-class
+DataFrames a pipeline can gate on. One aggregation pass per table —
+the validation cost model that still works at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+
+def pk_violations(df: DataFrame, *keys: str) -> DataFrame:
+    """Rows per duplicated key tuple (empty frame == PK holds)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+def fk_coverage(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:
+    """(matched, dangling) counts for a foreign-key edge."""
+    marked = child.join(
+        parent.select(F.col(parent_key).alias("__pk")).distinct(),
+        child[child_key] == F.col("__pk"),
+        "left",
+    )
+    return marked.agg(
+        F.count(F.when(F.col("__pk").isNotNull(), 1)).alias("matched"),
+        F.count(F.when(F.col("__pk").isNull(), 1)).alias("dangling"),
+    )
+
+
+_DQ_SQL = """
+SELECT 'orders_pk' AS check_name,
+       (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+         GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS violations
+UNION ALL
+SELECT 'lineitem_pk',
+       (SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+         GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'orders_custkey_fk_dangling',
+       (SELECT COUNT(*) FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         WHERE c_custkey IS NULL)
+UNION ALL
+SELECT 'lineitem_partkey_fk_dangling',
+       (SELECT COUNT(*) FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+         WHERE p_partkey IS NULL)
+ORDER BY check_name
+"""
+
+
+@register(
+    "dq_constraint_checks",
+    _DQ_SQL,
+    doc="Declared-constraint validation as a query: PK uniqueness "
+    "(orders, lineitem composite) and FK dangling counts (orders-> "
+    "customer, lineitem->part) in one result set — the enforcement "
+    "layer for the reference's informational PRIMARY KEYs.",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem, customer, part = load_tables(
+        spark, sf_dir, "orders", "lineitem", "customer", "part"
+    )
+    checks = [
+        ("orders_pk", pk_violations(orders, "o_orderkey").count()),
+        ("lineitem_pk", pk_violations(lineitem, "l_orderkey", "l_linenumber").count()),
+    ]
+    rows = [
+        ("orders_custkey_fk_dangling", fk_coverage(orders, "o_custkey", customer, "c_custkey")),
+        ("lineitem_partkey_fk_dangling", fk_coverage(lineitem, "l_partkey", part, "p_partkey")),
+    ]
+    out = [(name, int(n)) for name, n in checks]
+    out += [(name, int(df.collect()[0]["dangling"])) for name, df in rows]
+    return (
+        spark.createDataFrame(out, ["check_name", "violations"])
+        .withColumn("violations", F.col("violations").cast("long"))
+        .orderBy("check_name")
+    )
+
+
+_NULLPROF_SQL = """
+SELECT 'country' AS column_name,
+       COUNT(*) - COUNT(lang) AS n_null, COUNT(*) AS n_total
+FROM documents
+UNION ALL
+SELECT 'text', COUNT(*) - COUNT(text), COUNT(*) FROM documents
+ORDER BY column_name
+"""
+
+
+@register(
+    "dq_null_profile",
+    _NULLPROF_SQL.replace("'country'", "'lang'"),
+    doc="Null-rate profile (one aggregation pass, no shuffle beyond the "
+    "final combine) — the cheap always-on data-quality telemetry.",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    total = F.count(F.lit(1))
+    return (
+        docs.agg(
+            total.alias("n_total"),
+            (total - F.count("lang")).alias("lang_nulls"),
+            (total - F.count("text")).alias("text_nulls"),
+        )
+        .selectExpr(
+            "stack(2, 'lang', lang_nulls, n_total, 'text', text_nulls, n_total)"
+            " AS (column_name, n_null, n_total)"
+        )
+        .orderBy("column_name")
+    )

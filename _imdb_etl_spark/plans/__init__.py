@@ -18,6 +18,7 @@ from _imdb_etl_spark.operators import text  # noqa: E402,F401
 from _imdb_etl_spark.operators import dedup  # noqa: E402,F401
 from _imdb_etl_spark.operators import similarity  # noqa: E402,F401
 from _imdb_etl_spark.operators import multimodal  # noqa: E402,F401
+from _imdb_etl_spark.operators import quality  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

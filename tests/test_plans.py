@@ -63,6 +63,24 @@ def test_no_cartesian_in_registry_except_intended(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_join_hints_control_strategy(spark, sf_dir):
+    """Join-strategy hints: the engine exposes Catalyst's full strategy
+    surface (broadcast is the AQE default at this scale; merge and
+    shuffle_hash must be selectable for cluster-size joins)."""
+    from pyspark.sql import functions as F
+
+    from _imdb_etl_spark.sources import load_tables
+
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    cond = orders["o_custkey"] == customer["c_custkey"]
+    smj = orders.join(customer.hint("merge"), cond)
+    assert "SortMergeJoin" in _plan(smj)
+    shj = orders.join(customer.hint("shuffle_hash"), cond)
+    assert "ShuffledHashJoin" in _plan(shj)
+    bhj = orders.join(F.broadcast(customer), cond)
+    assert "BroadcastHashJoin" in _plan(bhj)
+
+
 @pytest.fixture(scope="module")
 def tables(spark, imdb_stage):
     return run_pipeline(spark, imdb_stage)

@@ -1,0 +1,31 @@
+"""foreachBatch idempotent parquet sink: completeness on first run,
+no duplication on checkpointed re-run."""
+
+from __future__ import annotations
+
+from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.streaming import read_events_stream
+from _imdb_etl_spark.streaming.sinks import idempotent_parquet_sink
+
+
+def _run(spark, sf_dir, out, ckpt):
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = idempotent_parquet_sink(stream, out, ckpt).start()
+    q.awaitTermination()
+    q.stop()
+
+
+def test_foreachbatch_sink_exactly_once_effect(spark, sf_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (events,) = load_tables(spark, sf_dir, "events")
+
+    _run(spark, sf_dir, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == events.count()
+    assert first.select("event_id").distinct().count() == events.count()
+
+    # replay with the same checkpoint: source fully consumed -> no new
+    # batches, no duplicated rows
+    _run(spark, sf_dir, out, ckpt)
+    again = spark.read.parquet(out)
+    assert again.count() == events.count()
