@@ -280,6 +280,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_EVAL_DOCS = 10
+
+_DECONTAM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+eval_sh AS (SELECT DISTINCT sh FROM sh WHERE doc_id < {_N_EVAL_DOCS}),
+contaminated AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM sh JOIN eval_sh USING (sh)
+  WHERE doc_id >= {_N_EVAL_DOCS}
+  GROUP BY doc_id
+  HAVING COUNT(*) >= 3
+)
+SELECT doc_id, n_shared FROM contaminated
+ORDER BY doc_id
+"""
+
+
+@register(
+    "decontaminate_vs_eval",
+    _DECONTAM_SQL,
+    doc=f"Benchmark decontamination: training docs sharing >=3 word "
+    f"3-gram shingles with the eval set (doc_id < {_N_EVAL_DOCS}) are "
+    "flagged. The eval shingle set broadcasts (it is tiny by "
+    "construction), so the scan over 100 TB of training text stays "
+    "map-side — the standard eval-leakage filter for pretraining "
+    "corpora.",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    eval_sh = (
+        sh.where(F.col("doc_id") < _N_EVAL_DOCS).select("sh").distinct()
+    )
+    return (
+        sh.where(F.col("doc_id") >= _N_EVAL_DOCS)
+        .join(F.broadcast(eval_sh), "sh", "inner")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .orderBy("doc_id")
+    )
+
+
+_VOCAB_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT word, COUNT(*) AS freq,
+       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) - 1 AS token_id
+FROM tok
+GROUP BY word
+ORDER BY token_id
+LIMIT 100
+"""
+
+
+@register(
+    "vocab_top_words",
+    _VOCAB_SQL,
+    doc="Tokenizer-vocabulary construction: corpus-wide word "
+    "frequencies, deterministic (freq desc, word) ranking to ids. "
+    "Explode -> two-phase count -> global top-k; the global ranking "
+    "window is the one single-partition stage and runs over the "
+    "already-aggregated vocabulary, not the corpus.",
+)
+def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    freqs = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        freqs.withColumn("token_id", F.row_number().over(w) - 1)
+        .where(F.col("token_id") < 100)
+        .orderBy("token_id")
+    )
+
+
 _SIMHASH_BITS = 64
 _HAMMING_MAX = 6
 

@@ -25,6 +25,29 @@ def test_partitioned_parquet_roundtrip(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(order_year" in plan
 
 
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact with a filtered dim must inject a
+    dynamic pruning subquery on the partition column."""
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    out = str(tmp_path / "orders_by_year")
+    sinks.write_parquet(
+        orders.withColumn("order_year", F.year("o_orderdate")),
+        out,
+        partition_by=["order_year"],
+    )
+    fact = spark.read.parquet(out)
+    # DPP requires the join key to be the partition column
+    dim = (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .select("order_year", "o_orderpriority")
+        .distinct()
+        .where(F.col("o_orderpriority") == "1-URGENT")
+    )
+    joined = fact.join(dim.hint("broadcast"), "order_year")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+
+
 def test_csv_reference_dialect_roundtrip(spark, sf_dir, tmp_path):
     (customer,) = load_tables(spark, sf_dir, "customer")
     out = str(tmp_path / "cust_csv")
