@@ -1,0 +1,24 @@
+SF_CHECK ?= /root/testdata/sf0.01
+
+.PHONY: check test bench smoke explain
+
+check:
+	SPARK_GRAFT_CPUS=16 python tools/check.py $(SF_CHECK)
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+smoke:
+	python -c "import __spark_entry__ as e; \
+	from _imdb_etl_spark.session import get_spark; \
+	s = get_spark('smoke'); df = e.entry(s); \
+	assert len(df.collect()) > 0; \
+	assert set(e.oracle_sql()) <= set(e.queries()); \
+	print('entry ok:', df.columns)"
+
+# make explain Q=tpch_q1_pricing_summary
+explain:
+	python tools/explain.py $(Q)

@@ -227,6 +227,71 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CROSS_SQL_TEMPLATE = """
+WITH txt_pairs AS ({jaccard_sql}),
+n AS (
+  SELECT vec_id, embedding, sqrt({norm}) AS nrm FROM embeddings
+)
+SELECT p.doc_a, p.doc_b, p.jaccard,
+       ROUND(({dot}) / (a.nrm * b.nrm), 6) AS cosine_sim
+FROM txt_pairs p
+JOIN n a ON p.doc_a = a.vec_id
+JOIN n b ON p.doc_b = b.vec_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def _cross_modal_sql() -> str:
+    from _imdb_etl_spark.operators.dedup import _JACCARD_SQL
+
+    return _CROSS_SQL_TEMPLATE.format(
+        jaccard_sql=_JACCARD_SQL.strip().rstrip(";"),
+        norm=_DOT_SQL.format(a="embedding", b="embedding", dim=_DIM),
+        dot=_DOT_SQL.format(a="a.embedding", b="b.embedding", dim=_DIM),
+    )
+
+
+@register(
+    "crossmodal_textdup_cosine",
+    _cross_modal_sql(),
+    doc="Operator composition: exact text near-dup pairs (word 3-gram "
+    "Jaccard >= 0.6) joined with the cosine similarity of the same "
+    "documents' embeddings — the agreement check between lexical and "
+    "semantic dedup signals.",
+)
+def crossmodal_textdup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.join(F.broadcast(a), F.col("doc_a") == F.col("va"))
+        .join(F.broadcast(b), F.col("doc_b") == F.col("vb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _N_CENTROIDS = 16
 _N_PROBE = 2
 

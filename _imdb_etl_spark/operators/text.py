@@ -212,6 +212,40 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_NORM_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+           x -> x <> '' AND x NOT IN ({','.join(f"'{w}'" for w in _STOPWORDS)})))
+         AS n_content_tokens,
+       len(list_distinct(list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+           x -> x <> '' AND x NOT IN ({','.join(f"'{w}'" for w in _STOPWORDS)}))))
+         AS n_content_types
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_normalize_tokens",
+    _NORM_SQL,
+    doc="Normalization pipeline: lowercase -> strip non-alphanumerics "
+    "-> drop empties and stopwords -> content-token counts. The "
+    "pre-embedding cleanup stage, entirely in codegen.",
+)
+def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    cleaned = F.split(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""), " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    content = F.filter(
+        cleaned, lambda x: (x != "") & ~F.array_contains(sw, x)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(content).alias("n_content_tokens"),
+        F.size(F.array_distinct(content)).alias("n_content_types"),
+    ).orderBy("doc_id")
+
+
 _FP_SQL = """
 SELECT doc_id,
        list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
