@@ -173,7 +173,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lex_lang"))
     best = hits.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
     return (
-        docs.join(best, "doc_id", "left")
+        docs.join(F.broadcast(best), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
