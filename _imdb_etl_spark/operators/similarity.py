@@ -198,6 +198,8 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits.append(F.when(score >= 0, "1").otherwise("0"))
         return F.concat(*bits)
 
+    # spread the 8 per-row projection sums across cores (single-file input)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     b = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
     q = b.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -155,23 +155,30 @@ ORDER BY d.doc_id
     "aggregation.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     (docs,) = load_tables(spark, sf_dir, "documents")
     # column named lex_lang: `documents` itself has a `lang` column
     lex = spark.createDataFrame(
         [(lang, w) for lang, words in _LEXICON.items() for w in words],
         ["lex_lang", "word"],
     )
-    hits = (
+    # per-doc argmax as a single max(struct) aggregate instead of a
+    # window: the (n_hits, rank) struct orders exactly like the window's
+    # (n_hits DESC, lang ASC) — rank encodes reverse-alphabetical lang —
+    # saving the window's extra sort pass over the hit table.
+    langs_sorted = sorted(_LEXICON)  # alphabetical
+    rank_expr = F.lit(None).cast("int")
+    for r, lang in enumerate(reversed(langs_sorted)):
+        rank_expr = F.when(F.col("lex_lang") == lang, F.lit(r)).otherwise(rank_expr)
+    best = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.explode(_toks()).alias("tok"))
         .join(F.broadcast(lex), F.col("tok") == F.col("word"))
         .groupBy("doc_id", "lex_lang")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct(F.col("n_hits"), rank_expr.alias("r"), F.col("lex_lang"))).alias("m"))
+        .select("doc_id", F.col("m.lex_lang").alias("lex_lang"), F.col("m.n_hits").alias("n_hits"))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lex_lang"))
-    best = hits.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") == 1)
     return (
         docs.join(F.broadcast(best), "doc_id", "left")
         .select(
