@@ -18,12 +18,14 @@ from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 from _imdb_etl_spark.functions import dec, dsum
 from _imdb_etl_spark.sources.csv_source import read_staging_csv
 
-# printable unicode minus newlines/carriage returns: the engine reads
-# CSV with multiLine=False (splittable files at scale; the reference
-# data has no embedded newlines)
+# unicode minus newlines/carriage returns (the engine reads CSV with
+# multiLine=False — splittable files at scale; the reference data has no
+# embedded newlines) and minus NUL: Spark's univocity parser drops
+# \x00 inside quoted fields where DuckDB preserves it — a known
+# cross-engine divergence for content no real CSV corpus contains.
 _FIELD = st.text(
     alphabet=st.characters(
-        blacklist_categories=("Cs",), blacklist_characters="\n\r"
+        blacklist_categories=("Cs",), blacklist_characters="\n\r\x00"
     ),
     max_size=40,
 )
