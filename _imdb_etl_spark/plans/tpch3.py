@@ -1,0 +1,166 @@
+"""Third TPC-H batch: scalar-subquery shapes (Q15 max-of-aggregate,
+Q17 correlated per-group average) and a grouped-map pandas operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from _imdb_etl_spark.functions import dec, disc_price, dsum
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "tpch_q15_top_supplier",
+    _Q15_SQL,
+    doc="TPC-H Q15: scalar subquery (global MAX of an aggregate) as a "
+    "filter — Catalyst plans the max as a broadcast scalar; exact "
+    "decimal revenue makes the equality comparison safe across engines.",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, lineitem = load_tables(spark, sf_dir, "supplier", "lineitem")
+    revenue = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(disc_price(), "total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(
+            F.broadcast(max_rev), F.col("total_revenue") == F.col("m"), "left_semi"
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_SQL = """
+WITH part_avg AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+  COUNT(*) AS n_small_orders
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pk = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < 0.2 * avg_qty
+"""
+
+
+@register(
+    "tpch_q17_small_quantity",
+    _Q17_SQL,
+    doc="TPC-H Q17: correlated per-group average (each row compared to "
+    "0.2x its part's mean quantity) — decorrelated into an aggregate "
+    "self-join; exact-decimal mean keeps the threshold comparison "
+    "engine-stable.",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    part_avg = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+_GAP_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_ms) AS n_gaps,
+       CAST(median(gap_ms) AS DOUBLE) AS median_gap_ms,
+       MAX(gap_ms) AS max_gap_ms
+FROM gaps
+WHERE gap_ms IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_GAP_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("median_gap_ms", DoubleType()),
+        StructField("max_gap_ms", LongType()),
+    ]
+)
+
+
+def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(["ts", "event_id"])
+    gaps = pdf["ts_ms"].diff().dropna().astype("int64")
+    if len(gaps) == 0:
+        return pd.DataFrame(columns=[f.name for f in _GAP_SCHEMA.fields])
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_gaps": [len(gaps)],
+            "median_gap_ms": [float(gaps.median())],
+            "max_gap_ms": [int(gaps.max())],
+        }
+    )
+
+
+@register(
+    "grouped_map_user_gaps",
+    _GAP_SQL,
+    doc="Grouped-map pandas operator (applyInPandas): per-user "
+    "inter-event gap statistics computed on the whole group as a pandas "
+    "frame — the UDAF escape hatch. Gaps are exact epoch-ms integers, "
+    "so the pandas median equals the oracle's; one shuffle on user_id.",
+)
+def grouped_map_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.select(
+            "user_id", "ts", "event_id", F.unix_millis("ts").alias("ts_ms")
+        )
+        .groupBy("user_id")
+        .applyInPandas(_gap_stats, _GAP_SCHEMA)
+        .orderBy("user_id")
+    )
