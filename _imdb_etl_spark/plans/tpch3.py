@@ -35,10 +35,14 @@ ORDER BY s_suppkey
     "tpch_q15_top_supplier",
     _Q15_SQL,
     doc="TPC-H Q15: scalar subquery (global MAX of an aggregate) as a "
-    "filter — Catalyst plans the max as a broadcast scalar; exact "
-    "decimal revenue makes the equality comparison safe across engines.",
+    "filter. The max is taken as a global window over the already-"
+    "aggregated per-supplier revenue frame (tiny), not by re-deriving "
+    "the aggregate — one lineitem scan total, where a naive two-branch "
+    "formulation scans and pre-aggregates the fact table twice.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     supplier, lineitem = load_tables(spark, sf_dir, "supplier", "lineitem")
     revenue = (
         lineitem.where(
@@ -48,12 +52,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(disc_price(), "total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    top = revenue.withColumn(
+        "m", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("m"))
     return (
-        supplier.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
-        .join(
-            F.broadcast(max_rev), F.col("total_revenue") == F.col("m"), "left_semi"
-        )
+        supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
