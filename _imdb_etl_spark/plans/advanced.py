@@ -160,6 +160,89 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_STATS_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))), 6) AS l2_norm,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_array_stats",
+    _EMB_STATS_SQL,
+    doc="Array-function surface over vector columns: length, L2 norm "
+    "(float64 accumulation), elementwise min/max — the per-vector "
+    "sanity profile before any similarity work, all in codegen.",
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_val"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_val"),
+    ).orderBy("vec_id")
+
+
+_FUZZY_SQL = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS edit_distance
+FROM part a
+JOIN part b
+  ON a.p_partkey < b.p_partkey
+ AND string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+ORDER BY part_a, part_b
+"""
+
+
+@register(
+    "fuzzy_part_name_match",
+    _FUZZY_SQL,
+    doc="Blocked fuzzy string matching: pairs equi-joined on the first "
+    "name token (the blocking key — an ordinary shuffle join, never "
+    "all-pairs), then filtered to edit distance <= 1 (identical "
+    "Levenshtein in both engines). The standard entity-resolution "
+    "shape at scale.",
+)
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    block = F.split(F.col("p_name"), " ").getItem(0)
+    a = part.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        block.alias("block_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        block.alias("block_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("block_a") == F.col("block_b"))
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_distance") <= 1)
+        .select("part_a", "part_b", "name_a", "name_b", "edit_distance")
+        .orderBy("part_a", "part_b")
+    )
+
+
 _QUANTILE_SQL = """
 SELECT l_returnflag AS flag,
        ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50_price,
