@@ -253,6 +253,61 @@ def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_CHUNK_SIZE = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       i AS chunk_no,
+       array_to_string(list_slice(toks, i * {_CHUNK_STRIDE} + 1,
+                       least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)), ' ') AS chunk_text,
+       least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n) - i * {_CHUNK_STRIDE} AS n_tokens
+FROM t, unnest(range(0, (greatest(n - 1, 0) // {_CHUNK_STRIDE}) + 1)) AS u(i)
+ORDER BY doc_id, chunk_no
+"""
+
+
+@register(
+    "text_chunk_documents",
+    _CHUNK_SQL,
+    doc=f"Document chunking for training pipelines: overlapping "
+    f"{_CHUNK_SIZE}-token windows with stride {_CHUNK_STRIDE}, as a "
+    "pure explode-over-sequence (1->N fan-out in codegen, no UDF). "
+    "Token array bound once per row; linear cost, no shuffle.",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    t = docs.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.split("text", " ").alias("toks"), F.size(F.split("text", " ")).alias("n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.floor((F.greatest(F.col("n") - 1, F.lit(0))) / _CHUNK_STRIDE)
+    )
+    return (
+        t.select("doc_id", "toks", "n", F.explode(starts).alias("chunk_no"))
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_no") * _CHUNK_STRIDE + 1, _CHUNK_SIZE),
+                " ",
+            ).alias("chunk_text"),
+            (
+                F.least(
+                    F.col("chunk_no") * _CHUNK_STRIDE + _CHUNK_SIZE, F.col("n")
+                )
+                - F.col("chunk_no") * _CHUNK_STRIDE
+            ).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
 _FP_SQL = """
 SELECT doc_id,
        list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
