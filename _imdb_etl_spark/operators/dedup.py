@@ -103,8 +103,14 @@ def _shingles(docs: DataFrame) -> DataFrame:
     # documents often arrive as one file -> one partition; spread the
     # CPU-heavy shingle/hash work across cores before the narrow ops
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    return spread.select("doc_id", F.split("text", " ").alias("toks")).select(
-        "doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh")
+    return (
+        spread.select("doc_id", F.split("text", " ").alias("toks"))
+        .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
+        # <3-token docs produce a NULL shingle (concat over OOB lookups);
+        # drop it: DuckDB's list_distinct discards NULLs, and keeping it
+        # would give every short doc an identical minhash signature —
+        # a quadratic candidate blow-up on short-doc corpora
+        .where(F.col("sh").isNotNull())
     )
 
 
@@ -131,7 +137,7 @@ ORDER BY doc_a, doc_b
 @register(
     "dedup_ngram_jaccard",
     _JACCARD_SQL,
-    doc="Exact near-dup pairs by 8-gram Jaccard >= 0.6 via shingle "
+    doc="Exact near-dup pairs by word-3-gram Jaccard >= 0.6 via shingle "
     "self-join. Quadratic worst case — the exact verifier; "
     "dedup_minhash_lsh is the scale path.",
 )
@@ -407,7 +413,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     sigs = spread.select("doc_id", simhash64("text").alias("sig"))
-    # band on 4x16-bit chunks: near pairs (hamming<=6) share >=1 exact chunk
+    # band on 8x8-bit chunks: by pigeonhole, any pair with hamming <= 7
+    # (so certainly <= _HAMMING_MAX=6) shares at least one exact chunk —
+    # guaranteed candidate recall, unlike 4x16 which only covers <= 3
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -416,11 +424,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned("sig", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sig", 8 * c)
+                        .bitwiseAND(F.lit(0xFF))
                         .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c in range(8)
                 ]
             )
         ).alias("ch"),

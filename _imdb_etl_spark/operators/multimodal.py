@@ -158,17 +158,21 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(make_assets(docs)).orderBy("asset_id", "frame_no")
 
 
-def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+def decode_image_batch(payloads: pd.Series, use_real_codec: bool = False) -> pd.DataFrame:
     """Decode image payloads to (width, height, mode).
 
-    Real decode requires PIL, absent from this container; without it a
-    clearly-marked deterministic fake derives dimensions from the
-    content hash so downstream plumbing stays testable.
+    Real decode requires PIL (absent from this container). The default
+    path is a clearly-marked deterministic fake deriving dimensions from
+    the content hash, so downstream plumbing stays testable regardless
+    of whether Pillow happens to be installed; opt into the real codec
+    explicitly with ``use_real_codec=True``.
     """
-    if _HAVE_PIL:
+    if use_real_codec:
+        if not _HAVE_PIL:
+            raise NotImplementedError("real decode requested but PIL is unavailable")
         raise NotImplementedError(
-            "PIL present but real decode intentionally not wired in this "
-            "environment; replace this branch with Image.open(io.BytesIO(b))."
+            "wire Image.open(io.BytesIO(b)) here when running with real "
+            "image payloads; synthetic payloads in this repo are not images"
         )
     dims = payloads.map(
         lambda b: int.from_bytes(hashlib.md5(bytes(b)).digest()[:2], "big")

@@ -65,31 +65,51 @@ ORDER BY check_name
     doc="Declared-constraint validation as a query: PK uniqueness "
     "(orders, lineitem composite) and FK dangling counts (orders-> "
     "customer, lineitem->part) in one result set — the enforcement "
-    "layer for the reference's informational PRIMARY KEYs.",
+    "layer for the reference's informational PRIMARY KEYs. Returned as "
+    "one lazy union of scalar aggregates (no driver round-trips).",
 )
 def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, lineitem, customer, part = load_tables(
         spark, sf_dir, "orders", "lineitem", "customer", "part"
     )
-    checks = [
-        ("orders_pk", pk_violations(orders, "o_orderkey").count()),
-        ("lineitem_pk", pk_violations(lineitem, "l_orderkey", "l_linenumber").count()),
+
+    def labeled(name: str, df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"), F.col(col).cast("long").alias("violations")
+        )
+
+    parts = [
+        labeled(
+            "orders_pk",
+            pk_violations(orders, "o_orderkey").agg(F.count(F.lit(1)).alias("n")),
+            "n",
+        ),
+        labeled(
+            "lineitem_pk",
+            pk_violations(lineitem, "l_orderkey", "l_linenumber").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "n",
+        ),
+        labeled(
+            "orders_custkey_fk_dangling",
+            fk_coverage(orders, "o_custkey", customer, "c_custkey"),
+            "dangling",
+        ),
+        labeled(
+            "lineitem_partkey_fk_dangling",
+            fk_coverage(lineitem, "l_partkey", part, "p_partkey"),
+            "dangling",
+        ),
     ]
-    rows = [
-        ("orders_custkey_fk_dangling", fk_coverage(orders, "o_custkey", customer, "c_custkey")),
-        ("lineitem_partkey_fk_dangling", fk_coverage(lineitem, "l_partkey", part, "p_partkey")),
-    ]
-    out = [(name, int(n)) for name, n in checks]
-    out += [(name, int(df.collect()[0]["dangling"])) for name, df in rows]
-    return (
-        spark.createDataFrame(out, ["check_name", "violations"])
-        .withColumn("violations", F.col("violations").cast("long"))
-        .orderBy("check_name")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check_name")
 
 
 _NULLPROF_SQL = """
-SELECT 'country' AS column_name,
+SELECT 'lang' AS column_name,
        COUNT(*) - COUNT(lang) AS n_null, COUNT(*) AS n_total
 FROM documents
 UNION ALL
@@ -100,7 +120,7 @@ ORDER BY column_name
 
 @register(
     "dq_null_profile",
-    _NULLPROF_SQL.replace("'country'", "'lang'"),
+    _NULLPROF_SQL,
     doc="Null-rate profile (one aggregation pass, no shuffle beyond the "
     "final combine) — the cheap always-on data-quality telemetry.",
 )

@@ -279,9 +279,12 @@ def crossmodal_textdup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    # plain shuffle joins: the pair set is small post-filter, but the
+    # embeddings side is the full corpus — broadcasting it would not
+    # survive a large corpus
     return (
-        pairs.join(F.broadcast(a), F.col("doc_a") == F.col("va"))
-        .join(F.broadcast(b), F.col("doc_b") == F.col("vb"))
+        pairs.join(a, F.col("doc_a") == F.col("va"))
+        .join(b, F.col("doc_b") == F.col("vb"))
         .select(
             "doc_a",
             "doc_b",
@@ -454,7 +457,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch computes a block x corpus GEMM — a few hundred MFLOPs
     instead of interpreted per-pair array lambdas. Memory bound: the
     broadcast side must fit an executor (~0.5 GB per 1M vectors); past
-    that, pre-block with sim_knn_lsh buckets and run this per bucket."""
+    that, pre-block with sim_knn_lsh buckets and run this per bucket.
+
+    Float-parity caveat: GEMM accumulation order (and numpy's half-even
+    rounding) differs from the oracle's sequential fold + half-away
+    ROUND, so a cosine within ~1 ulp of a 6-decimal rounding midpoint
+    could in principle round differently per engine (~1e-9 probability
+    per pair); the expression-based `_dot` formulation used by the kNN
+    queries is the bitwise-parity path."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (

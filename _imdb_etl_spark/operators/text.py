@@ -179,8 +179,10 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.struct(F.col("n_hits"), rank_expr.alias("r"), F.col("lex_lang"))).alias("m"))
         .select("doc_id", F.col("m.lex_lang").alias("lex_lang"), F.col("m.n_hits").alias("n_hits"))
     )
+    # best has one row per matched document — corpus-sized, so this is a
+    # shuffle join on doc_id (only the lexicon join above broadcasts)
     return (
-        docs.join(F.broadcast(best), "doc_id", "left")
+        docs.join(best, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import dec, dsum
-from _imdb_etl_spark.plans.events import _HOURLY_SQL, _SESSION_SQL
+from _imdb_etl_spark.plans.events import _SESSION_SQL
 from _imdb_etl_spark.plans.registry import register
 
 _counter = itertools.count()
