@@ -127,6 +127,49 @@ def events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UDTF_SQL = """
+WITH kv AS (
+  SELECT event_id, unnest(json_keys(props)) AS prop_key, props
+  FROM events
+  WHERE props IS NOT NULL
+)
+SELECT event_id, prop_key,
+       json_extract_string(props, '$.' || prop_key) AS prop_value
+FROM kv
+ORDER BY event_id, prop_key
+"""
+
+
+@register(
+    "events_props_udtf",
+    _UDTF_SQL,
+    doc="Python UDTF (table function, new in Spark 4): one event row in, "
+    "one row out per JSON property — the lateral-join escape hatch for "
+    "row-expanding logic that isn't a simple explode. Arrow-batched; "
+    "oracle via DuckDB's json_each.",
+)
+def events_props_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="event_id bigint, prop_key string, prop_value string")
+    class ExplodeProps:
+        def eval(self, event_id, props):  # noqa: ANN001
+            import json
+
+            if props:
+                for k, v in json.loads(props).items():
+                    yield event_id, str(k), str(v)
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    events.select("event_id", "props").createOrReplaceTempView("udtf_events_src")
+    spark.udtf.register("explode_props", ExplodeProps)
+    return spark.sql(
+        "SELECT t.event_id, t.prop_key, t.prop_value "
+        "FROM udtf_events_src, LATERAL explode_props(event_id, props) t "
+        "ORDER BY t.event_id, t.prop_key"
+    )
+
+
 _PIVOT_SQL = """
 SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        COUNT(*) FILTER (event_type = 'view') AS views,
