@@ -107,6 +107,92 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q13_SQL = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    _Q13_SQL,
+    doc="TPC-H Q13: two stacked aggregations — orders per customer "
+    "(left join keeps zero-order customers), then the histogram of "
+    "those counts. COUNT(col) vs COUNT(*) null semantics matter.",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q19_SQL = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    _Q19_SQL,
+    doc="TPC-H Q19: disjunctive (OR-of-conjunction) mixed-table "
+    "predicate over a join — the optimizer must keep the join keys "
+    "joinable while distributing the residual OR filter.",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            dsum(disc_price(), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 _GAP_SQL = """
 WITH gaps AS (
   SELECT user_id,

@@ -109,6 +109,40 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         assert abs(approx[t] - n) / n < 0.1, (t, approx[t], n)
 
 
+def test_rate_source_drives_streaming_topology(spark):
+    """The rate source plugs into the same windowed-agg graph as the
+    events file source — the source line is the only seam."""
+    from pyspark.sql import functions as FF
+
+    from _imdb_etl_spark.streaming.sources import StreamSource, read_stream
+
+    rate = read_stream(spark, StreamSource("rate", {"rowsPerSecond": "100"}))
+    agg = (
+        rate.withWatermark("timestamp", "1 second")
+        .groupBy(FF.window("timestamp", "1 second"))
+        .agg(FF.count(FF.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("update")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            if spark.sql("SELECT sum(n) FROM rate_smoke").collect()[0][0]:
+                break
+            time.sleep(0.5)
+        total = spark.sql("SELECT sum(n) FROM rate_smoke").collect()[0][0]
+    finally:
+        q.stop()
+    assert total and total > 0
+
+
 def test_streaming_builder_is_streaming(spark, sf_dir):
     events = read_events_stream(spark, sf_dir)
     agg = streaming_hourly_rollup(events)
