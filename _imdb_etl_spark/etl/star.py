@@ -131,7 +131,13 @@ def build_fact_movies(
 def run_pipeline(spark: SparkSession, stage_dir: str) -> dict[str, DataFrame]:
     """Topological order per etl_imdb_db.sql: staging -> {dim_movies,
     dim_genres, dim_people} -> fact_movies. Returns all tables, staging
-    included (quirk 3: dashboard queries need staging until cleanup)."""
+    included (quirk 3: dashboard queries need staging until cleanup).
+
+    Everything returned is LAZY — views over the stage CSVs, recomputed
+    per query, valid only while the stage files exist. For the
+    reference's physical CTAS semantics (tables that survive stage
+    cleanup and are scanned, not re-derived), use
+    ``materialize_pipeline``."""
     staging = load_staging(spark, stage_dir)
     dim_movies = build_dim_movies(staging["movies_staging"])
     dim_genres = build_dim_genres(staging["genres_staging"])
@@ -157,6 +163,24 @@ def run_pipeline(spark: SparkSession, stage_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def materialize_pipeline(spark: SparkSession, stage_dir: str) -> dict[str, DataFrame]:
+    """The reference's actual CTAS semantics (etl_imdb_db.sql:90-141):
+    dims/fact physically written as catalog parquet tables, so queries
+    scan stored data instead of re-deriving it, and the tables survive
+    staging cleanup (and stage-file deletion)."""
+    from _imdb_etl_spark.sources.sinks import save_as_table
+
+    tables = run_pipeline(spark, stage_dir)
+    out = dict(tables)
+    for name in ("dim_movies", "dim_genres", "dim_people", "fact_movies"):
+        save_as_table(tables[name], name)
+        # drop the lazy temp view so the name resolves to the catalog
+        # table (temp views shadow catalog tables)
+        spark.catalog.dropTempView(name)
+        out[name] = spark.table(name)
+    return out
 
 
 def drop_staging(spark: SparkSession) -> None:

@@ -181,10 +181,17 @@ ORDER BY vec_id
 )
 def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    sq = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # match DuckDB list_sum semantics on degenerate vectors: NULL
+    # elements are ignored (not NULL-propagated) and an empty/all-NULL
+    # array yields NULL, not the 0.0 fold seed
+    clean = F.filter(F.col("embedding"), lambda x: x.isNotNull())
+    sq = F.when(
+        F.size(clean) > 0,
+        F.aggregate(
+            F.transform(clean, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
     return emb.select(
         "vec_id",

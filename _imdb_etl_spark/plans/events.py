@@ -100,7 +100,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_SQL = """
 SELECT event_type,
        COUNT(json_extract_string(props, '$.k')) AS n_with_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+       SUM(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
          / COUNT(json_extract_string(props, '$.k')) AS avg_k
 FROM events
 GROUP BY event_type
@@ -117,11 +117,16 @@ ORDER BY event_type
 def events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
+    # try_cast to DOUBLE on both sides: engines agree on NULL for
+    # non-numeric and on fractional values (BIGINT casts diverge —
+    # DuckDB rounds '1.5', Spark nulls/errors); integer sums in double
+    # are exact below 2^53
+    kd = k.try_cast("double")
     return (
         events.groupBy("event_type")
         .agg(
             F.count(k).alias("n_with_k"),
-            (F.sum(k.cast("bigint")).cast("double") / F.count(k)).alias("avg_k"),
+            (F.sum(kd) / F.count(k)).alias("avg_k"),
         )
         .orderBy("event_type")
     )
@@ -158,7 +163,17 @@ def events_props_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             if props:
                 for k, v in json.loads(props).items():
-                    yield event_id, str(k), str(v)
+                    # mirror json_extract_string: strings raw, null as
+                    # SQL NULL, bools/numbers/containers as minified JSON
+                    if v is None:
+                        out = None
+                    elif isinstance(v, str):
+                        out = v
+                    elif isinstance(v, bool):
+                        out = "true" if v else "false"
+                    else:
+                        out = json.dumps(v, separators=(",", ":"))
+                    yield event_id, str(k), out
 
     (events,) = load_tables(spark, sf_dir, "events")
     events.select("event_id", "props").createOrReplaceTempView("udtf_events_src")

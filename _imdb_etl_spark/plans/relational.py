@@ -142,8 +142,9 @@ ORDER BY order_id, line_no
     "fact_star_left_joins",
     _FACT_SQL,
     doc="J3-J6+P2 (etl_imdb_db.sql:129-141): fact assembly via chained "
-    "left joins against dims, then DISTINCT. Dims broadcast; fact side "
-    "never shuffles for the joins.",
+    "left joins, then DISTINCT. part/supplier broadcast (dim-sized); "
+    "lineitem-orders is a genuine key-key shuffle join — the bucketing/"
+    "AQE case at scale.",
 )
 def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders, part, supplier = load_tables(

@@ -35,10 +35,12 @@ ORDER BY s_suppkey
     "tpch_q15_top_supplier",
     _Q15_SQL,
     doc="TPC-H Q15: scalar subquery (global MAX of an aggregate) as a "
-    "filter. The max is taken as a global window over the already-"
-    "aggregated per-supplier revenue frame (tiny), not by re-deriving "
-    "the aggregate — one lineitem scan total, where a naive two-branch "
-    "formulation scans and pre-aggregates the fact table twice.",
+    "filter. The max is a global window over the already-aggregated "
+    "per-supplier revenue frame — one lineitem scan total (a two-branch "
+    "formulation scans/pre-aggregates the fact table twice). Tradeoff: "
+    "the global window funnels the supplier-cardinality frame through "
+    "one task; at extreme supplier counts, persist(revenue) + a scalar "
+    "max agg is the parallel alternative at the cost of the cache.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -224,7 +226,16 @@ def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values(["ts", "event_id"])
     gaps = pdf["ts_ms"].diff().dropna().astype("int64")
     if len(gaps) == 0:
-        return pd.DataFrame(columns=[f.name for f in _GAP_SCHEMA.fields])
+        # typed empty frame: object-dtype empties trip pandas' deprecated
+        # all-NA concat path inside the applyInPandas serializer
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "n_gaps": pd.Series(dtype="int64"),
+                "median_gap_ms": pd.Series(dtype="float64"),
+                "max_gap_ms": pd.Series(dtype="int64"),
+            }
+        )
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],

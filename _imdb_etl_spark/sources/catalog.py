@@ -51,5 +51,5 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
-    _tune(spark)
+    # table() owns the session tuning; no need to repeat it here
     return tuple(table(spark, sf_dir, n) for n in names)

@@ -3,12 +3,15 @@
 Reference behavior being reproduced (cites into /root/reference):
 - `COPY INTO ... FILE_FORMAT=(TYPE='CSV' FIELD_OPTIONALLY_ENCLOSED_BY='"'
   SKIP_HEADER=1)` x6 (etl_imdb_db.sql:59-82): header skipped, quoted
-  fields, values loaded into explicitly typed staging columns.
+  fields, values loaded into explicitly typed staging columns. The
+  Snowflake default on type errors is ON_ERROR='ABORT_STATEMENT' — a
+  bad value fails the load loudly — and that is this reader's default
+  (`on_error="abort"`).
 - The CSVs encode missing values as the literal 4-char string ``NULL``
   (e.g. imdb_db/movie.csv:2); typed columns null them on parse.
   Spark equivalent: ``nullValue='NULL'``.
 - `ON_ERROR = 'CONTINUE'` on the names load only (etl_imdb_db.sql:82):
-  rows with type errors are skipped, not fatal.
+  rows with type errors are skipped, not fatal (`on_error="continue"`).
 
 Implementation note: Spark's own malformed-row modes are unsuitable
 here — ``DROPMALFORMED`` drops rows depending on which columns a given
@@ -16,10 +19,11 @@ query parses (projection pruning), and the ``columnNameOfCorruptRecord``
 route forbids queries that reference only the corrupt column (e.g. a
 bare count after the filter). So typing is done explicitly: read every
 field as string, validate with ``try_cast`` (null raw value is fine;
-non-null raw value that fails its cast marks the row), optionally filter
-the marked rows, then project the casts. Everything stays in whole-stage
-codegen — one streaming pass, no cache, deterministic under any
-downstream projection, and identical semantics at any scale.
+non-null raw value that fails its cast marks the row), then either
+abort (one counting pass over the marked rows at load time), filter the
+marked rows, or keep them nulled. Everything stays in whole-stage
+codegen — streaming passes, no cache, deterministic under any
+downstream projection, identical semantics at any scale.
 """
 
 from __future__ import annotations
@@ -27,9 +31,22 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
+
+
+class MalformedRowsError(ValueError):
+    """Raised by on_error='abort' when typed parsing fails for any row."""
+
+
+def _bad_row_predicate(schema: StructType) -> Column | None:
+    bad = [
+        F.col(f.name).isNotNull() & F.col(f.name).try_cast(f.dataType).isNull()
+        for f in schema.fields
+        if not isinstance(f.dataType, StringType)
+    ]
+    return functools.reduce(operator.or_, bad) if bad else None
 
 
 def read_staging_csv(
@@ -37,7 +54,20 @@ def read_staging_csv(
     path: str,
     schema: StructType,
     drop_malformed: bool = False,
+    on_error: str | None = None,
 ) -> DataFrame:
+    """Read a staging CSV with COPY INTO semantics.
+
+    on_error: 'abort' (default; type errors fail the load, like
+    Snowflake's ABORT_STATEMENT), 'continue' (skip bad rows, like
+    ON_ERROR='CONTINUE'), or 'permissive' (keep rows, null bad fields).
+    ``drop_malformed=True`` is shorthand for 'continue'.
+    """
+    if on_error is None:
+        on_error = "continue" if drop_malformed else "abort"
+    if on_error not in ("abort", "continue", "permissive"):
+        raise ValueError(f"on_error must be abort|continue|permissive: {on_error}")
+
     raw_schema = StructType(
         [StructField(f.name, StringType(), True) for f in schema.fields]
     )
@@ -50,14 +80,18 @@ def read_staging_csv(
         nullValue="NULL",
         mode="PERMISSIVE",
     )
-    if drop_malformed:
-        ok = [
-            F.col(f.name).isNull() | F.col(f.name).try_cast(f.dataType).isNotNull()
-            for f in schema.fields
-            if not isinstance(f.dataType, StringType)
-        ]
-        if ok:
-            raw = raw.where(functools.reduce(operator.and_, ok))
+    bad = _bad_row_predicate(schema)
+    if bad is not None:
+        if on_error == "abort":
+            n_bad = raw.where(bad).count()
+            if n_bad:
+                sample = [r.asDict() for r in raw.where(bad).head(3)]
+                raise MalformedRowsError(
+                    f"{n_bad} row(s) in {path} fail typed parsing "
+                    f"(on_error='abort'); sample: {sample}"
+                )
+        elif on_error == "continue":
+            raw = raw.where(~bad)
     return raw.select(
         *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
     )

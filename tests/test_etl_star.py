@@ -62,6 +62,27 @@ def test_staging_loads_match_oracle(tables, oracle, name):
 # --- FIXTURES.md invariants ---
 
 
+def test_materialize_survives_stage_deletion(spark, tmp_path):
+    """CTAS semantics (S7): materialized dims outlive the stage files,
+    exactly like the reference's physical tables outlive DROP-ped
+    staging; the lazy pipeline would FileNotFound here."""
+    import shutil
+
+    from _imdb_etl_spark.etl.star import drop_staging, materialize_pipeline
+    from tests import fixtures
+
+    stage = str(tmp_path / "stage")
+    fixtures.generate(stage, n=50, seed=3)
+    t = materialize_pipeline(spark, stage)
+    n_dims = t["dim_movies"].count()
+    drop_staging(spark)
+    shutil.rmtree(stage)
+    assert spark.table("fact_movies").count() > 0
+    assert spark.table("dim_movies").count() == n_dims == 50
+    for name in ("dim_movies", "dim_genres", "dim_people", "fact_movies"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_malformed_names_dropped(tables):
     # ON_ERROR='CONTINUE' semantics: the injected bad-date rows are gone
     assert tables["name_staging"].where(F.col("name").startswith("Broken")).count() == 0

@@ -29,10 +29,21 @@ def test_quoted_fields_with_commas_and_quotes(spark, imdb_stage):
 
 def test_drop_malformed_mirrors_on_error_continue(spark, imdb_stage):
     path = os.path.join(imdb_stage, "names.csv")
-    permissive = read_staging_csv(spark, path, NAME_STAGING, drop_malformed=False)
+    permissive = read_staging_csv(spark, path, NAME_STAGING, on_error="permissive")
     dropped = read_staging_csv(spark, path, NAME_STAGING, drop_malformed=True)
-    # the injected bad-date rows survive PERMISSIVE (nulled) but not DROPMALFORMED
+    # the injected bad-date rows survive permissive (nulled) but not continue
     assert permissive.count() == dropped.count() + 2
+
+
+def test_on_error_abort_fails_loudly(spark, imdb_stage):
+    # Snowflake COPY INTO default: a type error aborts the load
+    import pytest
+
+    from _imdb_etl_spark.sources.csv_source import MalformedRowsError
+
+    path = os.path.join(imdb_stage, "names.csv")
+    with pytest.raises(MalformedRowsError, match="fail typed parsing"):
+        read_staging_csv(spark, path, NAME_STAGING, on_error="abort").count()
 
 
 def test_explicit_schema_no_inference(spark, tmp_path):
