@@ -25,6 +25,8 @@ HEADLINE = [
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_discounted_revenue",
     "window_suite_customer_orders",
     "graf1_orders_by_priority",
     "graf2_avg_quantity_by_type",
