@@ -37,6 +37,28 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+# default JSON timestampFormat truncates to milliseconds; keep the full
+# microsecond precision parquet carries
+_JSON_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Line-delimited JSON — the interchange format for tool handoffs;
+    never the analytic storage format (no pushdown, no column pruning,
+    full-text parse per read)."""
+    df.write.mode(mode).option("timestampFormat", _JSON_TS_FMT).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Schema'd JSON scan (never inferSchema: an extra full pass and
+    nondeterministic typing at scale)."""
+    return (
+        spark.read.schema(schema)
+        .option("timestampFormat", _JSON_TS_FMT)
+        .json(path)
+    )
+
+
 def save_as_table(
     df: DataFrame,
     name: str,

@@ -67,6 +67,19 @@ def test_csv_reference_dialect_roundtrip(spark, sf_dir, tmp_path):
     )
 
 
+def test_json_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    (events,) = load_tables(spark, sf_dir, "events")
+    out = str(tmp_path / "events_json")
+    sinks.write_json(events, out)
+    back = sinks.read_json(spark, out, events.schema)
+    assert back.count() == events.count()
+    assert back.schema == events.schema
+    # values survive the round-trip (timestamps incl. microseconds)
+    a = {r.event_id: (r.ts, r.value) for r in events.collect()}
+    b = {r.event_id: (r.ts, r.value) for r in back.collect()}
+    assert a == b
+
+
 def test_ctas_bucketed_table_and_drop(spark, sf_dir):
     (orders,) = load_tables(spark, sf_dir, "orders")
     sinks.save_as_table(orders, "orders_bucketed", bucket_by=(4, ["o_custkey"]))
