@@ -321,6 +321,85 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_sampled
+FROM customer
+WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1', '2', '3')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "sample_stratified_customers",
+    _STRAT_SQL,
+    doc="Stratified deterministic sampling: the same md5-prefix rule "
+    "applied within every stratum yields a reproducible ~25% sample "
+    "per segment with no shuffle — per-stratum counts verify the "
+    "stratification held.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    return (
+        customer.where(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1).isin(
+                "0", "1", "2", "3"
+            )
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_CROSS_SQL = """
+SELECT r_name, p.prio, COALESCE(o.n, 0) AS n_orders
+FROM region
+CROSS JOIN (SELECT DISTINCT o_orderpriority AS prio FROM orders) p
+LEFT JOIN (
+  SELECT n_regionkey AS rk, o_orderpriority AS prio2, COUNT(*) AS n
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+) o ON o.rk = r_regionkey AND o.prio2 = p.prio
+ORDER BY r_name, p.prio
+"""
+
+
+@register(
+    "cross_join_dense_grid",
+    _CROSS_SQL,
+    doc="Explicit cross join (absent from the reference, SURVEY.md "
+    "§2.3): densify a region x priority reporting grid so empty cells "
+    "appear as zeros — the only legitimate cross-join shape (two tiny "
+    "dimension domains), left-joined against the aggregated facts.",
+)
+def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, orders, customer, nation = load_tables(
+        spark, sf_dir, "region", "orders", "customer", "nation"
+    )
+    prios = orders.select(F.col("o_orderpriority").alias("prio")).distinct()
+    counts = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_regionkey").alias("rk"), F.col("o_orderpriority").alias("prio2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        region.crossJoin(F.broadcast(prios))
+        .join(
+            counts,
+            (F.col("rk") == F.col("r_regionkey")) & (F.col("prio2") == F.col("prio")),
+            "left",
+        )
+        .select(
+            "r_name", "prio", F.coalesce("n", F.lit(0)).cast("long").alias("n_orders")
+        )
+        .orderBy("r_name", "prio")
+    )
+
+
 _INTERSECT_SQL = """
 SELECT c_nationkey AS nationkey FROM customer
 INTERSECT
