@@ -388,19 +388,22 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = assign.where(F.col("arnk") == 1).select(
         "centroid_id", "vec_id", "embedding", "nrm"
     )
+    # probes alias their centroid column so the join predicate references
+    # two distinct attributes (same-lineage equality on centroid_id would
+    # otherwise rely on fragile dataset-id disambiguation)
     probes = assign.where(
         (F.col("vec_id") < _N_QUERIES) & (F.col("arnk") <= _N_PROBE)
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qnrm"),
-        "centroid_id",
+        F.col("centroid_id").alias("probe_centroid_id"),
     )
     scored = (
         F.broadcast(probes)
         .join(
             lists,
-            (probes["centroid_id"] == lists["centroid_id"])
+            (F.col("probe_centroid_id") == F.col("centroid_id"))
             & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -443,21 +446,30 @@ ORDER BY vec_a, vec_b
 """
 
 
+_N_BLOCKS = 8  # block-pair decomposition width; grow ~sqrt(N) with corpus
+
+
 @register(
     "dedup_embedding_cosine",
     _EMB_DEDUP_SQL,
     doc=f"Semantic near-dup pairs: cosine >= {_COS_THRESH} over all "
-    "pairs (exact form; at scale the pair space is pre-pruned by the "
-    "sim_knn_lsh bucketing, which composes as a WHERE on bucket "
-    "equality).",
+    "pairs, computed as a distributed block-pair GEMM — every vector "
+    f"lands in one of {_N_BLOCKS} blocks, each unordered block pair is "
+    "one shuffle group, and a vectorized applyInPandas scores the "
+    "cross product inside the group. Exact all-pairs semantics with no "
+    "driver-side materialization.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs scoring via numpy/BLAS in mapInPandas: the corpus matrix
-    (N x 64 float64, ~1 MB per 2k vectors) is broadcast once and each
-    Arrow batch computes a block x corpus GEMM — a few hundred MFLOPs
-    instead of interpreted per-pair array lambdas. Memory bound: the
-    broadcast side must fit an executor (~0.5 GB per 1M vectors); past
-    that, pre-block with sim_knn_lsh buckets and run this per bucket.
+    """Exact all-pairs via block-pair decomposition: vector i belongs to
+    block ``vec_id % B``; each row is replicated to the B unordered
+    block pairs it participates in, the shuffle groups on the pair key,
+    and each group runs one numpy/BLAS GEMM (block_a x block_b, or the
+    upper triangle when a == b). Every unordered vector pair is scored
+    in exactly one group, so the result matches the quadratic oracle
+    bit-for-bit while each task holds only ~2N/B vectors. At 100 TB,
+    grow B ~ sqrt(N) (replication is B x rows, group memory is 2N/B
+    x 8*dim bytes) and/or pre-filter candidate pairs with the
+    sim_knn_lsh sign buckets before the exact pass.
 
     Float-parity caveat: GEMM accumulation order (and numpy's half-even
     rounding) differs from the oracle's sequential fold + half-away
@@ -475,11 +487,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids_all = corpus["vec_id"].to_numpy()
-    m_all = np.stack(corpus["embedding"].to_numpy()).astype(np.float64)
-    m_all /= np.linalg.norm(m_all, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids_all, m_all))
+    replicated = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") % _N_BLOCKS).alias("blk"),
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_N_BLOCKS)])
+            ).alias("other"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            "blk",
+            F.least("blk", "other").alias("bp_lo"),
+            F.greatest("blk", "other").alias("bp_hi"),
+        )
+    )
 
     schema = StructType(
         [
@@ -489,22 +513,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def score(batches):
-        ids_c, m_c = bc.value
-        for pdf in batches:
-            ids_b = pdf["vec_id"].to_numpy()
-            m_b = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            m_b /= np.linalg.norm(m_b, axis=1, keepdims=True)
-            sims = np.round(m_b @ m_c.T, 6)
-            bi, ci = np.nonzero(
-                (sims >= _COS_THRESH) & (ids_b[:, None] < ids_c[None, :])
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        lo, hi = int(pdf["bp_lo"].iat[0]), int(pdf["bp_hi"].iat[0])
+        if lo == hi:
+            sims = np.round(m @ m.T, 6)
+            ai, bi = np.nonzero(
+                (sims >= _COS_THRESH) & (ids[:, None] < ids[None, :])
             )
-            yield pd.DataFrame(
-                {
-                    "vec_a": ids_b[bi],
-                    "vec_b": ids_c[ci],
-                    "cosine_sim": sims[bi, ci],
-                }
-            )
+            va, vb = ids[ai], ids[bi]
+        else:
+            is_lo = pdf["blk"].to_numpy() == lo
+            ida, idb = ids[is_lo], ids[~is_lo]
+            sims = np.round(m[is_lo] @ m[~is_lo].T, 6)
+            ai, bi = np.nonzero(sims >= _COS_THRESH)
+            va = np.minimum(ida[ai], idb[bi])
+            vb = np.maximum(ida[ai], idb[bi])
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cosine_sim": sims[ai, bi]}
+        )
 
-    return emb.mapInPandas(score, schema).orderBy("vec_a", "vec_b")
+    return (
+        replicated.groupBy("bp_lo", "bp_hi")
+        .applyInPandas(score_group, schema)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -73,8 +73,7 @@ ORDER BY avg_quantity DESC, part_type
 def graf2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem = load_tables(spark, sf_dir, "part", "lineitem")
     return (
-        F.broadcast(part)
-        .join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        part.join(lineitem, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy(F.col("p_type").alias("part_type"))
         .agg(F.round(davg(dec("l_quantity"), "a"), 2).alias("avg_quantity"))
         .orderBy(F.desc("avg_quantity"), "part_type")
@@ -101,7 +100,7 @@ LIMIT 10
 def graf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer = load_tables(spark, sf_dir, "orders", "customer")
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("c_name").alias("customer_name"))
         .agg(F.count("o_orderkey").alias("order_count"))
         .orderBy(F.desc("order_count"), "customer_name")
@@ -158,7 +157,7 @@ def graf4(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer, nation = load_tables(spark, sf_dir, "orders", "customer", "nation")
     base = (
         orders.where(F.col("o_totalprice") > 250000)
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     top3_nation = (
@@ -208,7 +207,7 @@ def graf5(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, supplier = load_tables(spark, sf_dir, "lineitem", "supplier")
     return (
         lineitem.where(F.col("l_returnflag").isin("A", "R"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.col("s_name").alias("supplier_name"))
         .agg(F.count(F.lit(1)).alias("total_items"))
         .orderBy(F.desc("total_items"), "supplier_name")

@@ -152,8 +152,8 @@ def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"), "left")
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"), "left")
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"), "left")
         .select(
             F.col("l_orderkey").alias("order_id"),
             F.col("l_linenumber").alias("line_no"),
@@ -249,7 +249,7 @@ ORDER BY brand, revenue_rank
 def topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
     rev = (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(dsum(disc_price(), "revenue"))
     )
@@ -381,7 +381,7 @@ def cross_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prios = orders.select(F.col("o_orderpriority").alias("prio")).distinct()
     counts = (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_regionkey").alias("rk"), F.col("o_orderpriority").alias("prio2"))
         .agg(F.count(F.lit(1)).alias("n"))

@@ -89,10 +89,10 @@ def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("k"))
     )
     updates = customer.join(
-        F.broadcast(vip_keys), F.col("c_custkey") == F.col("k"), "left_semi"
+        vip_keys, F.col("c_custkey") == F.col("k"), "left_semi"
     ).withColumn("c_mktsegment", F.lit("VIP"))
     untouched = customer.join(
-        F.broadcast(vip_keys), F.col("c_custkey") == F.col("k"), "left_anti"
+        vip_keys, F.col("c_custkey") == F.col("k"), "left_anti"
     )
     return (
         untouched.unionByName(updates)

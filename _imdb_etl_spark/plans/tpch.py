@@ -151,7 +151,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )

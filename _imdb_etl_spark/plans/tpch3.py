@@ -97,7 +97,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         lineitem.join(
-            F.broadcast(part.where(F.col("p_brand") == "Brand#1")),
+            part.where(F.col("p_brand") == "Brand#1"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .join(part_avg, F.col("pk") == F.col("l_partkey"))
@@ -186,7 +186,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        lineitem.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .where(cond)
         .agg(
             dsum(disc_price(), "revenue"),
