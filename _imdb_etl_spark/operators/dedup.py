@@ -10,9 +10,10 @@ Design for 100 TB:
 - `dedup_minhash_lsh` is the scale path: cost is O(docs x shingles x k)
   map work + a shuffle keyed on (band, band-signature); only bucket
   collisions are verified exactly. All hashing is md5 (the only hash
-  both engines implement identically), expressed relationally
-  (explode -> cross join seeds -> min per (doc, seed) -> band concat),
-  so the DuckDB oracle can replay it bit-for-bit.
+  both engines implement identically). One groupBy(doc_id) computes all
+  k signature mins map-side AND collects the shingle set the verify
+  stage intersects — the exchange carries one row per doc, never an
+  exploded or seed-multiplied shingle table.
 - `dedup_simhash` is the Arrow/pandas-UDF showcase (bit manipulation is
   miserable as SQL); it is registered rows-only and property-tested in
   pytest instead of oracle-hashed.
@@ -225,30 +226,45 @@ ORDER BY i.doc_a, i.doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    seeds = spark.range(_N_HASHES).select(F.col("id").alias("i"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "i",
-            F.md5(F.concat_ws(":", F.col("i").cast("string"), F.col("sh"))).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+    # ONE exchange for the whole operator: a single groupBy(doc_id)
+    # produces both the 12 signature mins (per-seed md5 computed
+    # map-side per shingle, partial-aggregated before the shuffle — no
+    # 12x seed-crossJoin inflation) and the shingle set the exact-verify
+    # stage intersects. Banding, probe side, and build side all consume
+    # the same aggregation subtree, so the shingle shuffle is computed
+    # once and reused.
+    doc_sets = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"),
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(i)), F.col("sh")))
+            ).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ],
     )
-    bands = (
-        sig.withColumn("band_id", (F.col("i") / _BAND_SIZE).cast("long"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                    lambda s: s.mh,
-                ),
-                "|",
-            ).alias("band_key")
-        )
-    )
+
+    bands = doc_sets.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("long").alias("band_id"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"mh{i}")
+                                for i in range(
+                                    b * _BAND_SIZE, (b + 1) * _BAND_SIZE
+                                )
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(_N_HASHES // _BAND_SIZE)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
     ba, bb = bands.alias("ba"), bands.alias("bb")
     cand = (
         ba.join(
@@ -262,24 +278,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa_, sb_ = sh.alias("sa"), sh.alias("sb")
-    inter = (
-        cand.join(sa_, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb_,
-            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sb.sh") == F.col("sa.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    da = doc_sets.select(
+        F.col("doc_id").alias("ka"),
+        F.col("shs").alias("shs_a"),
+        F.size("shs").alias("na"),
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
-    jacc = F.col("n_inter").cast("double") / (
-        F.col("za.n_sh") + F.col("zb.n_sh") - F.col("n_inter")
+    db = doc_sets.select(
+        F.col("doc_id").alias("kb"),
+        F.col("shs").alias("shs_b"),
+        F.size("shs").alias("nb"),
     )
+    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    jacc = n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter)
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        cand.join(da, F.col("doc_a") == F.col("ka"))
+        .join(db, F.col("doc_b") == F.col("kb"))
         .where(jacc >= 0.6)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
