@@ -128,11 +128,11 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     video frame sampler, without a codec."""
     for pdf in batches:
         rows: dict[str, list] = {"asset_id": [], "frame_no": [], "frame_hash": []}
-        for _, r in pdf.iterrows():
-            payload = bytes(r["payload"])
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            payload = bytes(payload)
             step = max(len(payload) // _N_FRAMES, 1)
             for f in range(_N_FRAMES):
-                rows["asset_id"].append(r["asset_id"])
+                rows["asset_id"].append(asset_id)
                 rows["frame_no"].append(f)
                 rows["frame_hash"].append(
                     hashlib.md5(payload[f * step : (f + 1) * step]).hexdigest()

@@ -35,16 +35,15 @@ ORDER BY s_suppkey
     "tpch_q15_top_supplier",
     _Q15_SQL,
     doc="TPC-H Q15: scalar subquery (global MAX of an aggregate) as a "
-    "filter. The max is a global window over the already-aggregated "
-    "per-supplier revenue frame — one lineitem scan total (a two-branch "
-    "formulation scans/pre-aggregates the fact table twice). Tradeoff: "
-    "the global window funnels the supplier-cardinality frame through "
-    "one task; at extreme supplier counts, persist(revenue) + a scalar "
-    "max agg is the parallel alternative at the cost of the cache.",
+    "filter. The max is a two-phase scalar aggregate over the "
+    "per-supplier revenue frame, broadcast back as a one-row cross "
+    "join — fully parallel at any supplier cardinality (an empty "
+    "partitionBy() window would funnel the whole frame through a "
+    "single task). The two consumers share the identical revenue "
+    "aggregation subtree, so the exchange is computed once and reused, "
+    "keeping it one lineitem scan total.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     supplier, lineitem = load_tables(spark, sf_dir, "supplier", "lineitem")
     revenue = (
         lineitem.where(
@@ -54,9 +53,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(dsum(disc_price(), "total_revenue"))
     )
-    top = revenue.withColumn(
-        "m", F.max("total_revenue").over(Window.partitionBy())
-    ).where(F.col("total_revenue") == F.col("m"))
+    mx = revenue.agg(F.max("total_revenue").alias("m"))
+    top = revenue.crossJoin(F.broadcast(mx)).where(
+        F.col("total_revenue") == F.col("m")
+    )
     return (
         supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")

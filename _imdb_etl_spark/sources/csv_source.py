@@ -15,15 +15,21 @@ Reference behavior being reproduced (cites into /root/reference):
 
 Implementation note: Spark's own malformed-row modes are unsuitable
 here — ``DROPMALFORMED`` drops rows depending on which columns a given
-query parses (projection pruning), and the ``columnNameOfCorruptRecord``
-route forbids queries that reference only the corrupt column (e.g. a
-bare count after the filter). So typing is done explicitly: read every
-field as string, validate with ``try_cast`` (null raw value is fine;
-non-null raw value that fails its cast marks the row), then either
-abort (one counting pass over the marked rows at load time), filter the
-marked rows, or keep them nulled. Everything stays in whole-stage
-codegen — streaming passes, no cache, deterministic under any
-downstream projection, identical semantics at any scale.
+query parses (projection pruning). So typing is done explicitly: read
+every field as string, validate with ``try_cast`` (null raw value is
+fine; non-null raw value that fails its cast marks the row), then
+either abort (one counting pass over the marked rows at load time),
+filter the marked rows, or keep them nulled. Structural malformation
+(wrong field count) cannot be seen through the all-string schema — the
+PERMISSIVE parse silently null-pads short rows and truncates long ones
+— so the read also requests ``columnNameOfCorruptRecord`` and treats a
+populated corrupt column as a bad row. Spark refuses scans whose
+pruned schema is only the corrupt column, and Catalyst's constraint
+propagation elides naive extra references, so the predicate carries a
+non-foldable probe over the data columns to keep them in the scan.
+Everything stays in whole-stage codegen — streaming passes, no cache,
+deterministic under any downstream projection, identical semantics at
+any scale.
 """
 
 from __future__ import annotations
@@ -68,8 +74,10 @@ def read_staging_csv(
     if on_error not in ("abort", "continue", "permissive"):
         raise ValueError(f"on_error must be abort|continue|permissive: {on_error}")
 
+    corrupt_col = "_corrupt_record"
     raw_schema = StructType(
         [StructField(f.name, StringType(), True) for f in schema.fields]
+        + [StructField(corrupt_col, StringType(), True)]
     )
     raw = spark.read.csv(
         path,
@@ -79,19 +87,28 @@ def read_staging_csv(
         escape='"',
         nullValue="NULL",
         mode="PERMISSIVE",
+        columnNameOfCorruptRecord=corrupt_col,
     )
-    bad = _bad_row_predicate(schema)
-    if bad is not None:
-        if on_error == "abort":
-            n_bad = raw.where(bad).count()
-            if n_bad:
-                sample = [r.asDict() for r in raw.where(bad).head(3)]
-                raise MalformedRowsError(
-                    f"{n_bad} row(s) in {path} fail typed parsing "
-                    f"(on_error='abort'); sample: {sample}"
-                )
-        elif on_error == "continue":
-            raw = raw.where(~bad)
+    # wrong-field-count rows populate the corrupt column; the length
+    # probe is always true but forces the data columns into the pruned
+    # scan schema (corrupt-only scans are rejected, and constraint
+    # propagation would elide a plain extra isNotNull reference)
+    probe = (
+        F.length(F.concat_ws("\x01", *[f.name for f in schema.fields])) >= 0
+    )
+    structural = F.col(corrupt_col).isNotNull() & probe
+    typed = _bad_row_predicate(schema)
+    bad = structural if typed is None else structural | typed
+    if on_error == "abort":
+        n_bad = raw.where(bad).count()
+        if n_bad:
+            sample = [r.asDict() for r in raw.where(bad).head(3)]
+            raise MalformedRowsError(
+                f"{n_bad} row(s) in {path} fail typed or structural "
+                f"parsing (on_error='abort'); sample: {sample}"
+            )
+    elif on_error == "continue":
+        raw = raw.where(~bad)
     return raw.select(
         *[F.col(f.name).try_cast(f.dataType).alias(f.name) for f in schema.fields]
     )

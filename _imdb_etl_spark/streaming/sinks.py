@@ -20,13 +20,28 @@ def idempotent_parquet_sink(
     stream: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> DataStreamWriter:
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
-        )
+        # Belt and braces: the per-writer option is honored by the v1
+        # parquet writer, but if it were ever ignored a replayed batch
+        # under static overwrite would truncate every sibling batch
+        # partition. Pin the session conf for the duration of the write
+        # so replay can only ever overwrite its own batch_id partition.
+        spark = batch_df.sparkSession
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out_dir)
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
     return (
         stream.writeStream.foreachBatch(write_batch)

@@ -42,8 +42,32 @@ def test_on_error_abort_fails_loudly(spark, imdb_stage):
     from _imdb_etl_spark.sources.csv_source import MalformedRowsError
 
     path = os.path.join(imdb_stage, "names.csv")
-    with pytest.raises(MalformedRowsError, match="fail typed parsing"):
+    with pytest.raises(MalformedRowsError, match="fail typed or structural"):
         read_staging_csv(spark, path, NAME_STAGING, on_error="abort").count()
+
+
+def test_structural_malformation_detected(spark, tmp_path):
+    # Snowflake's ABORT_STATEMENT also rejects rows with the wrong field
+    # count; the PERMISSIVE string-typed read would silently null-pad or
+    # truncate them, so the corrupt-record channel must flag them even
+    # when every column is a string (no type casts to fail).
+    import pytest
+
+    from _imdb_etl_spark.sources.csv_source import MalformedRowsError
+
+    p = tmp_path / "struct.csv"
+    p.write_text('a,b,c\n1,x,2\n2,y\n3,z,4,9\n4,"q,uoted",5\n')
+    schema = StructType(
+        [StructField(c, StringType()) for c in ("a", "b", "c")]
+    )
+    with pytest.raises(MalformedRowsError, match="fail typed or structural"):
+        read_staging_csv(spark, str(p), schema, on_error="abort").count()
+
+    kept = read_staging_csv(spark, str(p), schema, on_error="continue")
+    assert {r["a"] for r in kept.collect()} == {"1", "4"}
+
+    padded = read_staging_csv(spark, str(p), schema, on_error="permissive")
+    assert padded.count() == 4
 
 
 def test_explicit_schema_no_inference(spark, tmp_path):
