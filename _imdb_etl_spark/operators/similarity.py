@@ -374,6 +374,15 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
+    return _ivf_search(normed, cents)
+
+
+def _ivf_search(normed: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared IVF probe/score stage: assign every vector to its nearest
+    centroid (inverted lists), probe each query's _N_PROBE nearest
+    lists, rank by cosine within the probed lists only. ``cents`` must
+    have (centroid_id, ce, cnrm) and is bounded by the centroid count,
+    so broadcasting it is safe at any corpus size."""
     sim_to_c = F.round(
         _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
     )
@@ -423,6 +432,45 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_rank") <= _TOP_K)
         .orderBy("query_id", "neighbor_rank")
     )
+
+
+@register(
+    "sim_knn_ivf_trained",
+    None,  # trained centroids are float-iterative; rows-only + recall pytest
+    doc=f"IVF ANN with pyspark.ml KMeans-trained centroids "
+    f"(k={_N_CENTROIDS}, fixed seed): the production shape of "
+    "sim_knn_ivf. Training is distributed; only the k centroid "
+    "vectors ever reach the driver (bounded by k, not corpus size). "
+    "Same probe/score stage as the deterministic variant; recall vs "
+    "sim_knn_bruteforce asserted in tests/test_operators.py.",
+)
+def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    feats = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    model = KMeans(
+        k=_N_CENTROIDS, seed=7, maxIter=5, featuresCol="features"
+    ).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = (
+        spark.createDataFrame(centers, "centroid_id long, ce array<double>")
+        .select(
+            "centroid_id", "ce", F.sqrt(_dot("ce", "ce")).alias("cnrm")
+        )
+    )
+    return _ivf_search(normed, cents)
 
 
 _COS_THRESH = 0.45

@@ -50,6 +50,7 @@ _GATE_ORDER = [
     "sim_knn_bruteforce",
     "sim_knn_lsh",
     "sim_knn_ivf",
+    "sim_knn_ivf_trained",
     "dedup_embedding_cosine",
     "crossmodal_textdup_cosine",
     # -- LLM-pipeline: multimodal + data quality

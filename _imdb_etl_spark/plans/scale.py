@@ -101,6 +101,106 @@ def merge_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_SQL = """
+WITH vip AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+),
+snaps AS (
+  SELECT c_custkey, c_mktsegment, 1 AS snap_ver, '2024-01-01' AS snap_date
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_custkey IN (SELECT o_custkey FROM vip)
+              THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment,
+         2 AS snap_ver, '2024-07-01' AS snap_date
+  FROM customer
+),
+changed AS (
+  SELECT * FROM (
+    SELECT c_custkey, c_mktsegment, snap_ver, snap_date,
+           LAG(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY snap_ver)
+             AS prev_seg
+    FROM snaps
+  )
+  WHERE prev_seg IS NULL OR c_mktsegment <> prev_seg
+)
+SELECT c_custkey, c_mktsegment,
+       snap_date AS valid_from,
+       LEAD(snap_date) OVER (PARTITION BY c_custkey ORDER BY snap_ver)
+         AS valid_to,
+       CAST(LEAD(snap_date) OVER (PARTITION BY c_custkey ORDER BY snap_ver)
+              IS NULL AS BOOLEAN) AS is_current
+FROM changed
+ORDER BY c_custkey, valid_from
+"""
+
+
+def scd2_history(snaps: DataFrame, key: str, attr: str) -> DataFrame:
+    """SCD Type 2 from versioned snapshots: one history row per
+    (key, run of equal attribute values), with validity range and
+    current flag. ``snaps`` needs (key, attr, snap_ver, snap_date).
+
+    All windows partition by the dimension key, so the single shuffle is
+    key-partitioned and each task sees only one key's few versions —
+    no global ordering anywhere. Reference documents SCD types 0/1
+    (README.md:96,123,145); type 2 completes the slowly-changing story.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy("snap_ver")
+    changed = snaps.withColumn("prev_attr", F.lag(attr).over(w)).where(
+        F.col("prev_attr").isNull() | (F.col(attr) != F.col("prev_attr"))
+    )
+    return changed.select(
+        key,
+        attr,
+        F.col("snap_date").alias("valid_from"),
+        F.lead("snap_date").over(w).alias("valid_to"),
+        F.lead("snap_date").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "merge_scd2_customer_history",
+    _SCD2_SQL,
+    doc="MERGE / SCD Type 2 emulation: two customer snapshots (baseline "
+    "and post-VIP-update) collapse to history rows with "
+    "valid_from/valid_to/is_current via lag/lead windows over the "
+    "dimension key — unchanged customers keep one open-ended row, "
+    "updated ones close the old row at the second snapshot date.",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    vip_keys = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 20)
+        .select(F.col("o_custkey").alias("k"))
+    )
+    s1 = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(1).alias("snap_ver"),
+        F.lit("2024-01-01").alias("snap_date"),
+    )
+    upd = customer.join(
+        vip_keys, F.col("c_custkey") == F.col("k"), "left_semi"
+    ).withColumn("c_mktsegment", F.lit("VIP"))
+    same = customer.join(vip_keys, F.col("c_custkey") == F.col("k"), "left_anti")
+    s2 = (
+        same.unionByName(upd)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.lit(2).alias("snap_ver"),
+            F.lit("2024-07-01").alias("snap_date"),
+        )
+    )
+    return scd2_history(
+        s1.unionByName(s2), "c_custkey", "c_mktsegment"
+    ).orderBy("c_custkey", "valid_from")
+
+
 _SQLAPI_SQL = """
 WITH per_nation AS (
   SELECT n_name, COUNT(o_orderkey) AS order_count

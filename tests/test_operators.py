@@ -56,6 +56,27 @@ def test_knn_lsh_consistent_with_bruteforce(spark, sf_dir):
         assert abs(cos - r.cosine_sim) < 1e-5
 
 
+def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["sim_knn_bruteforce"].spark(spark, sf_dir).collect()
+    }
+
+    def recall(name: str) -> float:
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in REGISTRY[name].spark(spark, sf_dir).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r_det = recall("sim_knn_ivf")
+    r_trained = recall("sim_knn_ivf_trained")
+    # trained centroids should partition the space at least as well as
+    # the deterministic picks the oracle-checkable variant uses
+    assert r_trained >= r_det, f"trained {r_trained} < deterministic {r_det}"
+    assert r_trained >= 0.3, f"trained IVF recall {r_trained} too low"
+
+
 def test_multimodal_frame_fanout(spark, sf_dir):
     frames = REGISTRY["multimodal_frame_sample"].spark(spark, sf_dir)
     per_asset = frames.groupBy("asset_id").count().collect()

@@ -126,3 +126,28 @@ def test_reference_sql_text_equals_dataframe_builders(spark, tables):
         _, h_sql = canon_rows(sql_df.columns, [tuple(r) for r in sql_df.collect()])
         _, h_df = canon_rows(df.columns, [tuple(r) for r in df.collect()])
         assert h_sql == h_df, name
+
+
+def test_scd2_history_two_snapshot_fixture(spark):
+    from _imdb_etl_spark.plans.scale import scd2_history
+
+    snaps = spark.createDataFrame(
+        [
+            (1, "AUTO", 1, "2024-01-01"),
+            (1, "AUTO", 2, "2024-07-01"),  # unchanged: one open row
+            (2, "AUTO", 1, "2024-01-01"),
+            (2, "VIP", 2, "2024-07-01"),  # changed: close old, open new
+            (3, "MACH", 2, "2024-07-01"),  # appears only in snapshot 2
+        ],
+        "c_custkey long, c_mktsegment string, snap_ver int, snap_date string",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in scd2_history(snaps, "c_custkey", "c_mktsegment").collect()
+    )
+    assert rows == [
+        (1, "AUTO", "2024-01-01", None, True),
+        (2, "AUTO", "2024-01-01", "2024-07-01", False),
+        (2, "VIP", "2024-07-01", None, True),
+        (3, "MACH", "2024-07-01", None, True),
+    ]
