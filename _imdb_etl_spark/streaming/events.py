@@ -75,19 +75,32 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
     )
 
 
-def _run_to_memory(df: DataFrame, name: str) -> DataFrame:
+def _run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
     spark = df.sparkSession
-    q = (
+    writer = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    # bounded replay to a memory sink: the checkpoint is throwaway, so
+    # point it at tmpfs when available instead of paying disk fsyncs
+    ckpt = None
+    shm = "/dev/shm"
+    if os.path.isdir(shm):
+        import uuid
+
+        ckpt = os.path.join(shm, f"ckpt_{name}_{uuid.uuid4().hex}")
+        writer = writer.option("checkpointLocation", ckpt)
+    q = writer.start()
     try:
         q.awaitTermination()
     finally:
         q.stop()
+        if ckpt is not None:
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -92,25 +92,18 @@ ORDER BY user_id
     "against the declarative oracle on the bounded input.",
 )
 def streaming_stateful_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from _imdb_etl_spark.streaming.events import _counter, read_events_stream
+    from _imdb_etl_spark.streaming.events import (
+        _counter,
+        _run_to_memory,
+        read_events_stream,
+    )
 
     events = read_events_stream(spark, sf_dir)
     totals = running_user_totals(events)
     name = f"stream_totals_{next(_counter)}"
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
     # update-mode memory sink appends one row per (batch, user); keep the
     # final state per user (max n_events is the latest)
-    out = spark.table(name)
+    out = _run_to_memory(totals, name, output_mode="update")
     return (
         out.groupBy("user_id")
         .agg(
