@@ -19,6 +19,7 @@ from _imdb_etl_spark.operators import text  # noqa: E402,F401
 from _imdb_etl_spark.operators import dedup  # noqa: E402,F401
 from _imdb_etl_spark.operators import similarity  # noqa: E402,F401
 from _imdb_etl_spark.operators import multimodal  # noqa: E402,F401
+from _imdb_etl_spark.operators import pipeline  # noqa: E402,F401
 from _imdb_etl_spark.operators import quality  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
 
@@ -58,6 +59,7 @@ _GATE_ORDER = [
     "multimodal_frame_sample",
     "dq_constraint_checks",
     "dq_null_profile",
+    "pipeline_docs_prep",
     # -- SQL-text twin of the CTE shape
     "sql_api_cte_nations",
     # -- streaming (slowest per-query; still inside the first-50 window)

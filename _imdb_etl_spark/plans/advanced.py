@@ -284,3 +284,108 @@ def quantiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+# non-uniform price bands; JUMBO's cap bounds the bin fan-out
+_BANDS = [
+    ("SMALL", 0, 50_000),
+    ("MEDIUM", 50_000, 200_000),
+    ("LARGE", 200_000, 350_000),
+    ("JUMBO", 350_000, 1_000_000),
+]
+_BIN_WIDTH = 50_000
+
+_RANGE_JOIN_SQL = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)}
+)
+SELECT band,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders
+JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "range_join_price_bands",
+    _RANGE_JOIN_SQL,
+    doc="Range (interval) join via bin decomposition: each band is "
+    "replicated to the fixed-width bins it overlaps, the fact side "
+    "computes its bin with integer arithmetic, and the join becomes an "
+    "equi hash join on bin plus a residual interval predicate — no "
+    "BroadcastNestedLoop theta join anywhere in the plan. The band-x-bin "
+    "table is bounded by the literal band list, so it broadcasts at any "
+    "fact size; the oracle states the naive BETWEEN join.",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    binned = [
+        (band, lo, hi, b)
+        for band, lo, hi in _BANDS
+        for b in range(lo // _BIN_WIDTH, (hi - 1) // _BIN_WIDTH + 1)
+    ]
+    bands = spark.createDataFrame(
+        binned, "band string, lo long, hi long, bin long"
+    )
+    return (
+        orders.withColumn(
+            "o_bin", F.floor(F.col("o_totalprice") / _BIN_WIDTH)
+        )
+        .join(
+            F.broadcast(bands),
+            (F.col("o_bin") == F.col("bin"))
+            & (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "total_price"),
+        )
+        .orderBy("band")
+    )
+
+
+_LADDER_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_bucket,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour_bucket,
+       GROUPING(strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (strftime(date_trunc('day', ts), '%Y-%m-%d'),
+                 strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00'))
+ORDER BY gid, day_bucket NULLS FIRST, hour_bucket NULLS FIRST
+"""
+
+
+@register(
+    "events_granularity_ladder",
+    _LADDER_SQL,
+    doc="Hypertable-style continuous-aggregate ladder: hour, day, and "
+    "grand-total rollups of the events stream in ONE pass (rollup -> "
+    "Expand -> two-phase agg) instead of one scan per granularity — the "
+    "batch shape of a multi-resolution materialized rollup.",
+)
+def events_granularity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.rollup(
+            F.date_format("ts", "yyyy-MM-dd").alias("day_bucket"),
+            F.date_format("ts", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "total_value"),
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("day_bucket"),
+            F.asc_nulls_first("hour_bucket"),
+        )
+    )
