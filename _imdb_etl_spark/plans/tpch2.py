@@ -277,3 +277,49 @@ def window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("price").over(t).cast("double").alias("next_price"),
         F.sum("price").over(run).cast("double").alias("running_spend"),
     ).orderBy("custkey", "orderkey")
+
+
+_WINDOW2_SQL = """
+WITH per_order AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       NTILE(4) OVER w AS price_quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS price_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist,
+       CAST(FIRST_VALUE(price) OVER w AS DOUBLE) AS max_price,
+       CAST(NTH_VALUE(price, 2) OVER (PARTITION BY o_custkey
+              ORDER BY price DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            AS DOUBLE) AS second_price
+FROM per_order
+WINDOW w AS (PARTITION BY o_custkey ORDER BY price DESC, o_orderkey)
+ORDER BY custkey, orderkey
+"""
+
+
+@register(
+    "window_suite2_distribution",
+    _WINDOW2_SQL,
+    doc="Distribution window functions: ntile quartiles, percent_rank, "
+    "cume_dist, first_value, and nth_value over an explicit full-frame "
+    "spec — one shuffle on the partition key shared by every function.",
+)
+def window_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    per_order = orders.select(
+        "o_custkey", "o_orderkey", dec("o_totalprice").alias("price")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("price"), F.asc("o_orderkey"))
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return per_order.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("price_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+        F.first("price").over(w).cast("double").alias("max_price"),
+        F.nth_value("price", 2).over(full).cast("double").alias("second_price"),
+    ).orderBy("custkey", "orderkey")

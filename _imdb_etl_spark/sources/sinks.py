@@ -59,6 +59,25 @@ def read_json(spark: SparkSession, path: str, schema) -> DataFrame:
     )
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC writer — the columnar alternative when the warehouse standard
+    is ORC (Hive estates): same pushdown/pruning properties as parquet
+    through Spark's native vectorized ORC reader."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def save_as_table(
     df: DataFrame,
     name: str,

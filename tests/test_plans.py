@@ -151,3 +151,11 @@ def test_scd2_history_two_snapshot_fixture(spark):
         (2, "VIP", "2024-07-01", None, True),
         (3, "MACH", "2024-07-01", None, True),
     ]
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    df = REGISTRY["range_join_price_bands"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

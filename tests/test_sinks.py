@@ -91,3 +91,25 @@ def test_ctas_bucketed_table_and_drop(spark, sf_dir):
     assert "Exchange hashpartitioning(o_custkey" not in plan
     sinks.drop_table(spark, "orders_bucketed")
     assert "orders_bucketed" not in [x.name for x in spark.catalog.listTables()]
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    from _imdb_etl_spark.sources import load_tables
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    sinks.write_orc(orders, out, partition_by=["o_orderpriority"])
+    back = sinks.read_orc(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning reaches the ORC scan
+    pruned = back.where(F.col("o_orderpriority") == "1-URGENT")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "partitionFilters" in plan.lower().replace(" ", "") or \
+        "PartitionFilters: [isnotnull(o_orderpriority" in plan
+    assert pruned.count() == orders.where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+    # predicate pushdown on a data column
+    sel = back.where(F.col("o_totalprice") > 300000.0)
+    plan2 = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan2 and "o_totalprice" in plan2
