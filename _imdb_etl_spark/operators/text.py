@@ -155,38 +155,33 @@ ORDER BY d.doc_id
     "aggregation.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zero-shuffle formulation: the lexicon is a compile-time constant,
+    # so per-language hit counts are narrow array expressions
+    # (size(filter(toks, in lang_words))) and the per-doc argmax is a
+    # greatest(struct...) over the per-language structs — no explode, no
+    # join, no aggregation; the whole operator is one codegen'd map
+    # stage. The struct orders by (n_hits, reverse-alphabetical rank) to
+    # reproduce the oracle window's (n_hits DESC, lang ASC) tiebreak.
     (docs,) = load_tables(spark, sf_dir, "documents")
-    # column named lex_lang: `documents` itself has a `lang` column
-    lex = spark.createDataFrame(
-        [(lang, w) for lang, words in _LEXICON.items() for w in words],
-        ["lex_lang", "word"],
-    )
-    # per-doc argmax as a single max(struct) aggregate instead of a
-    # window: the (n_hits, rank) struct orders exactly like the window's
-    # (n_hits DESC, lang ASC) — rank encodes reverse-alphabetical lang —
-    # saving the window's extra sort pass over the hit table.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     langs_sorted = sorted(_LEXICON)  # alphabetical
-    rank_expr = F.lit(None).cast("int")
+    per_lang = []
     for r, lang in enumerate(reversed(langs_sorted)):
-        rank_expr = F.when(F.col("lex_lang") == lang, F.lit(r)).otherwise(rank_expr)
-    best = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.explode(_toks()).alias("tok"))
-        .join(F.broadcast(lex), F.col("tok") == F.col("word"))
-        .groupBy("doc_id", "lex_lang")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-        .groupBy("doc_id")
-        .agg(F.max(F.struct(F.col("n_hits"), rank_expr.alias("r"), F.col("lex_lang"))).alias("m"))
-        .select("doc_id", F.col("m.lex_lang").alias("lex_lang"), F.col("m.n_hits").alias("n_hits"))
-    )
-    # best has one row per matched document — corpus-sized, so this is a
-    # shuffle join on doc_id (only the lexicon join above broadcasts)
+        words = F.array(*[F.lit(w) for w in _LEXICON[lang]])
+        n = F.size(F.filter(_toks(), lambda x: F.array_contains(words, x)))  # noqa: B023
+        per_lang.append(F.struct(n.alias("n_hits"), F.lit(r).alias("r"), F.lit(lang).alias("lex_lang")))
+    best = F.greatest(*per_lang)
     return (
-        docs.join(best, "doc_id", "left")
+        docs.withColumn("m", best)
         .select(
             "doc_id",
-            F.coalesce("lex_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.when(F.col("m.n_hits") > 0, F.col("m.lex_lang"))
+            .otherwise("und")
+            .alias("pred_lang"),
+            F.when(F.col("m.n_hits") > 0, F.col("m.n_hits"))
+            .otherwise(0)
+            .cast("long")
+            .alias("n_hits"),
         )
         .orderBy("doc_id")
     )

@@ -15,6 +15,7 @@ from _imdb_etl_spark.plans import relational  # noqa: E402,F401
 from _imdb_etl_spark.plans import events  # noqa: E402,F401
 from _imdb_etl_spark.plans import advanced  # noqa: E402,F401
 from _imdb_etl_spark.plans import scale  # noqa: E402,F401
+from _imdb_etl_spark.plans import scalar  # noqa: E402,F401
 from _imdb_etl_spark.operators import text  # noqa: E402,F401
 from _imdb_etl_spark.operators import dedup  # noqa: E402,F401
 from _imdb_etl_spark.operators import similarity  # noqa: E402,F401

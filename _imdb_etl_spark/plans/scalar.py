@@ -1,0 +1,145 @@
+"""Scalar-surface parity suites (SURVEY.md §2.8): null semantics,
+string functions, and date/time functions, each pinned against the
+DuckDB oracle so engine-specific edge behavior (null propagation,
+1-based indexing, week-day numbering) is proven, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_NULL_SQL = """
+WITH t AS (
+  SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+  FROM customer
+),
+d AS (SELECT DISTINCT seg FROM t)
+SELECT d.seg,
+       COUNT(*) AS n_rows,
+       COUNT(t.seg) AS n_nonnull,
+       COALESCE(d.seg, 'SUPPRESSED') AS seg_label,
+       ROUND(SUM(t.c_acctbal), 2) AS sum_bal
+FROM t JOIN d ON t.seg IS NOT DISTINCT FROM d.seg
+GROUP BY d.seg
+ORDER BY d.seg NULLS FIRST
+"""
+
+
+@register(
+    "scalar_null_suite",
+    _NULL_SQL,
+    doc="Null-semantics suite: NULLIF-manufactured nulls, a NULL-safe "
+    "equality join key (eqNullSafe <-> IS NOT DISTINCT FROM — still an "
+    "equi predicate, so it hash-joins, never nested-loops), COUNT(*) vs "
+    "COUNT(col) null skipping, COALESCE labeling, and NULLS FIRST "
+    "ordering.",
+)
+def scalar_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = load_tables(spark, sf_dir, "customer")
+    t = customer.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        "c_acctbal",
+    )
+    d = t.select(F.col("seg").alias("dseg")).distinct()
+    return (
+        t.join(d, F.col("seg").eqNullSafe(F.col("dseg")))
+        .groupBy("dseg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("seg").alias("n_nonnull"),
+            F.sum("c_acctbal").alias("raw_bal"),
+        )
+        .select(
+            F.col("dseg").alias("seg"),
+            "n_rows",
+            "n_nonnull",
+            F.coalesce("dseg", F.lit("SUPPRESSED")).alias("seg_label"),
+            F.round("raw_bal", 2).alias("sum_bal"),
+        )
+        .orderBy(F.asc_nulls_first("seg"))
+    )
+
+
+_STRING_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       replace(p_type, ' ', '_') AS type_snake,
+       reverse(p_brand) AS brand_rev,
+       levenshtein(p_brand, 'Brand#1') AS brand_dist,
+       strpos(p_type, ' ') AS first_space,
+       length(p_name) AS name_len
+FROM part
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "scalar_string_suite",
+    _STRING_SQL,
+    doc="String-function parity: case mapping, 1-based substr/instr, "
+    "lpad, replace, reverse, Levenshtein distance, length — all "
+    "codegen'd narrow expressions.",
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).alias("brand_dist"),
+        F.instr("p_type", " ").alias("first_space"),
+        F.length("p_name").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+_DATE_SQL = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS order_year,
+       EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+       EXTRACT(month FROM o_orderdate) AS order_month,
+       EXTRACT(day FROM o_orderdate) AS order_day,
+       dayofweek(o_orderdate) + 1 AS order_dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')
+         AS due_date,
+       datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "scalar_date_suite",
+    _DATE_SQL,
+    doc="Date/time parity: EXTRACT fields, day-of-week (Spark's 1=Sunday "
+    "vs DuckDB's 0=Sunday reconciled explicitly), month truncation, "
+    "last_day, interval arithmetic, and day difference from an epoch.",
+)
+def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.quarter(d).alias("order_quarter"),
+        F.month(d).alias("order_month"),
+        F.dayofmonth(d).alias("order_day"),
+        F.dayofweek(d).alias("order_dow"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    ).orderBy("o_orderkey")
