@@ -469,3 +469,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip().rstrip()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT l.doc_id, l.cluster_id, c.cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY cluster_id) c USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTER_SQL,
+    doc="Duplicate-cluster assignment (the step after pair generation a "
+    "real dedup pipeline needs): connected components of the "
+    "minhash-LSH near-dup graph via iterative min-label propagation — "
+    "each round joins labels to the symmetrized edge list and keeps the "
+    "per-node minimum, converging in O(log diameter) rounds with a "
+    "scalar convergence check per round (the Pregel shape; at 100 TB "
+    "each round is one shuffle keyed on node id). The oracle states the "
+    "same fixpoint as a recursive CTE over the identical pair set.",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    # init: every node labels itself with the smallest neighbor (or self)
+    labels = edges.groupBy("a").agg(
+        F.least(F.col("a"), F.min("b")).alias("lbl")
+    ).select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    # min-label propagation to fixpoint: pull each neighbor's current
+    # label, keep the minimum. Persist each round and drop the previous
+    # one so lineage stays flat; the convergence probe is a scalar agg.
+    for _ in range(32):  # >= log2(diameter) for any plausible graph
+        nbr = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .where(F.col("cluster_id") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    out = (
+        labels.join(sizes, "cluster_id")
+        .select("doc_id", "cluster_id", "cluster_size")
+        .orderBy("doc_id")
+    )
+    edges.unpersist()
+    return out

@@ -46,6 +46,7 @@ _GATE_ORDER = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_clusters",
     "decontaminate_vs_eval",
     "vocab_top_words",
     # -- LLM-pipeline: similarity search
@@ -90,7 +91,6 @@ _GATE_ORDER = [
     "merge_scd1_vip_segment",
     "merge_scd2_customer_history",
     "salted_agg_by_priority",
-    "sample_stratified_customers",
     "approx_distinct_users",
     "events_hourly_rollup",
 ]
