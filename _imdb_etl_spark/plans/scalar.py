@@ -143,3 +143,86 @@ def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_since_95"
         ),
     ).orderBy("o_orderkey")
+
+
+_GSETS_SQL = """
+SELECT o_orderpriority AS priority,
+       EXTRACT(year FROM o_orderdate) AS order_year,
+       GROUPING(o_orderpriority, EXTRACT(year FROM o_orderdate)) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (EXTRACT(year FROM o_orderdate)))
+ORDER BY gid, priority NULLS FIRST, order_year NULLS FIRST
+"""
+
+
+@register(
+    "grouping_sets_mixed",
+    _GSETS_SQL,
+    doc="Arbitrary (non-hierarchical) GROUPING SETS: per-priority and "
+    "per-year marginals in one Expand pass — what rollup/cube cannot "
+    "express, one scan instead of a UNION of two aggregations.",
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    projected = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+    prio, yr = F.col("priority"), F.col("order_year")
+    return (
+        projected.groupingSets([[prio], [yr]], prio, yr)
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("priority"),
+            F.asc_nulls_first("order_year"),
+        )
+    )
+
+
+_ARRAY_SQL = """
+SELECT vec_id,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_dim,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_dim,
+       list_position(embedding, list_max(embedding)) AS argmax_1based,
+       round(CAST(list_sum(list_transform(embedding[1:8],
+             x -> CAST(x AS DOUBLE))) AS DOUBLE), 6) AS head_sum,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       round(CAST(list_sort(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)))[1] AS DOUBLE), 6) AS min_dim
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@register(
+    "scalar_array_suite",
+    _ARRAY_SQL,
+    doc="Array-function parity over the embedding column: 1-based "
+    "element_at/array_position, array_max, slice + fold, lambda filter "
+    "counts, array_sort — the Spark array surface against DuckDB's "
+    "list functions.",
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at(e, 1).cast("double"), 6).alias("first_dim"),
+        F.round(F.array_max(e).cast("double"), 6).alias("max_dim"),
+        F.array_position(e, F.array_max(e)).alias("argmax_1based"),
+        F.round(
+            F.aggregate(
+                F.slice(e, 1, 8), F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.round(F.element_at(F.array_sort(e), 1).cast("double"), 6).alias(
+            "min_dim"
+        ),
+    ).orderBy("vec_id")
