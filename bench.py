@@ -75,7 +75,7 @@ def main() -> None:
     if extra:
         names += [n for n in extra.split(",") if n in REGISTRY and n not in names]
 
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
 
     def run_once(name: str) -> float:
         t0 = time.time()
