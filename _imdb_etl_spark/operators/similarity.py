@@ -508,6 +508,11 @@ _N_BLOCKS = 8  # block-pair decomposition width; grow ~sqrt(N) with corpus
     "driver-side materialization.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    return blockpair_cosine_pairs(emb).orderBy("vec_a", "vec_b")
+
+
+def blockpair_cosine_pairs(emb: DataFrame) -> DataFrame:
     """Exact all-pairs via block-pair decomposition: vector i belongs to
     block ``vec_id % B``; each row is replicated to the B unordered
     block pairs it participates in, the shuffle groups on the pair key,
@@ -534,7 +539,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    (emb,) = load_tables(spark, sf_dir, "embeddings")
     replicated = (
         emb.select(
             "vec_id",
@@ -583,8 +587,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"vec_a": va, "vec_b": vb, "cosine_sim": sims[ai, bi]}
         )
 
-    return (
-        replicated.groupBy("bp_lo", "bp_hi")
-        .applyInPandas(score_group, schema)
-        .orderBy("vec_a", "vec_b")
+    return replicated.groupBy("bp_lo", "bp_hi").applyInPandas(
+        score_group, schema
     )

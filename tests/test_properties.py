@@ -89,3 +89,101 @@ def test_decimal_sum_policy_exact(spark, cents, n_parts):
     got = df.agg(dsum(dec("v"), "s")).collect()[0].s
     want = float(sum(decimal.Decimal(c) for c in cents) / 100)
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    snaps=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # key
+            st.sampled_from(["A", "B", "C"]),  # attr value
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_scd2_history_invariants(spark, snaps):
+    """SCD2 output laws for any snapshot history: per key, exactly one
+    open (is_current) row, validity ranges chain without gaps or
+    overlaps, and consecutive history rows always change the attr."""
+    from collections import defaultdict
+
+    from _imdb_etl_spark.plans.scale import scd2_history
+
+    per_key = defaultdict(list)
+    for k, v in snaps:
+        per_key[k].append(v)
+    rows = [
+        (k, v, i + 1, f"2024-{i + 1:02d}-01")
+        for k, vals in per_key.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, attr string, snap_ver int, snap_date string"
+    )
+    hist = defaultdict(list)
+    for r in scd2_history(df, "k", "attr").collect():
+        hist[r["k"]].append(r)
+    assert set(hist) == set(per_key)
+    for k, h in hist.items():
+        h.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in h) == 1
+        assert h[-1]["is_current"] and h[-1]["valid_to"] is None
+        assert h[0]["valid_from"] == "2024-01-01"
+        for prev, nxt in zip(h, h[1:]):
+            assert prev["valid_to"] == nxt["valid_from"]  # no gap/overlap
+            assert prev["attr"] != nxt["attr"]  # rows only on change
+        # replaying the snapshots through the history gives the attrs back
+        for i, v in enumerate(per_key[k]):
+            d = f"2024-{i + 1:02d}-01"
+            (match,) = [
+                r
+                for r in h
+                if r["valid_from"] <= d and (r["valid_to"] is None or d < r["valid_to"])
+            ]
+            assert match["attr"] == v
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_block_pair_gemm_matches_numpy_all_pairs(spark, data):
+    """dedup_embedding_cosine's block-pair decomposition must equal the
+    naive quadratic loop for any vector set: every unordered pair scored
+    exactly once, thresholded identically."""
+    import numpy as np
+
+    from _imdb_etl_spark.operators import similarity as S
+
+    n = data.draw(st.integers(min_value=2, max_value=24))
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    m = rng.normal(size=(n, S._DIM)).astype(np.float32)
+    ids = list(range(0, 3 * n, 3))  # non-contiguous ids across blocks
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in zip(ids, m)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # expected: numpy all-pairs on float64-normalized rows
+    md = m.astype(np.float64)
+    md /= np.linalg.norm(md, axis=1, keepdims=True)
+    sims = np.round(md @ md.T, 6)
+    expected = {
+        (ids[i], ids[j]): sims[i, j]
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= S._COS_THRESH
+    }
+
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine_sim"]
+        for r in S.blockpair_cosine_pairs(emb).collect()
+    }
+    assert got == expected
