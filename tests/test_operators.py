@@ -153,7 +153,10 @@ def test_rate_source_drives_streaming_topology(spark):
     try:
         import time
 
-        deadline = time.time() + 15
+        # Generous deadline: the loop exits on the first emitted row, so
+        # this only costs time when the box is under external load (the
+        # co-tenant spikes documented in bench.py) — 15 s flaked there.
+        deadline = time.time() + 60
         while time.time() < deadline:
             if spark.sql("SELECT sum(n) FROM rate_smoke").collect()[0][0]:
                 break
