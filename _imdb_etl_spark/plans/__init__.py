@@ -10,6 +10,7 @@ from _imdb_etl_spark.plans.registry import REGISTRY, QuerySpec, register
 from _imdb_etl_spark.plans import tpch  # noqa: E402,F401
 from _imdb_etl_spark.plans import tpch2  # noqa: E402,F401
 from _imdb_etl_spark.plans import tpch3  # noqa: E402,F401
+from _imdb_etl_spark.plans import tpch4  # noqa: E402,F401
 from _imdb_etl_spark.plans import grafs  # noqa: E402,F401
 from _imdb_etl_spark.plans import relational  # noqa: E402,F401
 from _imdb_etl_spark.plans import events  # noqa: E402,F401
