@@ -29,7 +29,7 @@ Decimal-sum policy per _imdb_etl_spark.functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import davg, dec, disc_price, dsum
@@ -65,10 +65,12 @@ LIMIT 20
 @register(
     "tpch_q2_min_cost_supplier",
     _Q2_SQL,
-    doc="TPC-H Q2 shape: correlated MIN subquery as agg+join over an "
-    "emulated partsupp (distinct lineitem pairs, MIN extendedprice as "
-    "cost). Region-filtered dims broadcast; the pair-agg is the one "
-    "lineitem shuffle.",
+    doc="TPC-H Q2 shape: correlated MIN subquery over an emulated "
+    "partsupp (distinct lineitem pairs, MIN extendedprice as cost). The "
+    "per-part MIN is a window over p_partkey — one pass over the joined "
+    "frame instead of the agg+self-join plan, which would recompute the "
+    "whole join tree twice. Region-filtered dims broadcast; the pair-agg "
+    "is the one lineitem shuffle.",
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, nation, region = load_tables(
@@ -88,14 +90,11 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "EUROPE")
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
     )
-    best = eligible.groupBy(F.col("p_partkey").alias("bp")).agg(
-        F.min("cost").alias("min_cost")
-    )
     return (
-        eligible.join(
-            best,
-            (F.col("p_partkey") == F.col("bp")) & (F.col("cost") == F.col("min_cost")),
+        eligible.withColumn(
+            "min_cost", F.min("cost").over(Window.partitionBy("p_partkey"))
         )
+        .where(F.col("cost") == F.col("min_cost"))
         .select(
             "s_acctbal",
             "s_name",
@@ -397,8 +396,10 @@ ORDER BY s_name
     _Q20_SQL,
     doc="TPC-H Q20 shape: nested agg-over-agg threshold (supplier's "
     "shipped qty > half the part's total — stands in for availqty > half "
-    "demand), semi-joined into the supplier dim. Two map-side-combinable "
-    "aggs; the part-total join is on the agg output, not lineitem.",
+    "demand), semi-joined into the supplier dim. The part total is a "
+    "window over the (partkey, suppkey) aggregate — the window reuses "
+    "the groupBy's partitioning instead of re-aggregating and "
+    "self-joining the pair frame.",
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, nation = load_tables(
@@ -412,9 +413,10 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(dec("l_quantity")).alias("qty"))
     )
-    tot = sq.groupBy(F.col("l_partkey").alias("tp")).agg(F.sum("qty").alias("part_qty"))
     dominant = (
-        sq.join(tot, F.col("tp") == F.col("l_partkey"))
+        sq.withColumn(
+            "part_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
         .join(
             part.where(F.col("p_name").startswith("small")),
             F.col("p_partkey") == F.col("l_partkey"),
