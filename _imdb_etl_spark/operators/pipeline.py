@@ -79,3 +79,57 @@ def pipeline_docs_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_PACK_BUDGET = 4096
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, cum_tokens,
+       CAST(FLOOR((cum_tokens - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS shard_id
+FROM r
+ORDER BY lang, doc_id
+"""
+
+
+@register(
+    "corpus_pack_shards",
+    _PACK_SQL,
+    doc="Sequence packing for LLM training: assign documents to "
+    f"~{_PACK_BUDGET}-token training shards per language via a running "
+    "token count (shard = tokens-before-this-doc div budget). One "
+    "window partitioned by language — parallel across languages, the "
+    "realistic unit of a packing stream; at 100 TB the partition key "
+    "becomes (lang, date-bucket) to bound any one window's task.",
+)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return r.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / float(_PACK_BUDGET))
+        .cast("long")
+        .alias("shard_id"),
+    ).orderBy("lang", "doc_id")

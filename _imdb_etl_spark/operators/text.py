@@ -333,3 +333,127 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> md5(substr(text, i, 8))))"
         ).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+_REP_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+), g AS (
+  SELECT doc_id, l,
+         list_transform(range(1, len(l)),
+                        i -> l[i] || ' ' || l[i + 1]) AS bg,
+         list_transform(range(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) AS tg
+  FROM t
+), c AS (
+  SELECT doc_id, l, bg, tg,
+         list_max(list_transform(list_distinct(l),
+                                 d -> len(list_filter(l, x -> x = d)))) AS top_uni,
+         CASE WHEN len(l) >= 2 THEN
+           list_max(list_transform(list_distinct(bg),
+                                   d -> len(list_filter(bg, x -> x = d))))
+         END AS top_bi,
+         CASE WHEN len(l) >= 3 THEN len(tg) - len(list_distinct(tg)) END AS dup_tri
+  FROM g
+)
+SELECT doc_id,
+       ROUND(CAST(top_uni AS DOUBLE) / len(l), 6) AS top_unigram_frac,
+       CASE WHEN len(l) >= 2
+            THEN ROUND(CAST(top_bi AS DOUBLE) / len(bg), 6) END AS top_bigram_frac,
+       CASE WHEN len(l) >= 3
+            THEN ROUND(CAST(dup_tri AS DOUBLE) / len(tg), 6) END AS dup_trigram_frac,
+       CASE WHEN top_uni * 5 <= len(l)
+             AND len(l) >= 3 AND dup_tri * 10 <= len(tg) * 3
+            THEN 1 ELSE 0 END AS repetition_ok
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_repetition_scores",
+    _REP_SQL,
+    doc="Gopher-style repetition quality filters: most-frequent unigram "
+    "and bigram token fractions plus duplicated-trigram fraction, with "
+    "an integer-arithmetic keep flag (top unigram <= 20% of tokens, "
+    "duplicated trigrams <= 30%). All per-document JVM array lambdas — "
+    "zero shuffle, linear in corpus size; the O(distinct x tokens) "
+    "multiplicity scan is bounded by document length, not corpus size.",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    toks = _toks()
+
+    def top_count(arr):
+        # max multiplicity via one run-length pass over the sorted array:
+        # O(n log n) per document vs the naive O(distinct * n) per-distinct
+        # filter scan (which re-inlines the n-gram construction per probe
+        # and is ~50x slower at 55-token documents)
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.best,
+                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+
+    # 1-based element_at over sequence(1, n-1) / sequence(1, n-2); Spark's
+    # sequence() counts DOWN when the bound is below the start, so the
+    # short-document guards are CASE, not empty sequences as in DuckDB.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    trigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + F.lit(1)),
+            F.element_at(toks, i + F.lit(2)),
+        ),
+    )
+    t = docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        top_count(toks).alias("top_uni"),
+        F.when(F.size(toks) >= 2, top_count(bigrams)).alias("top_bi"),
+        F.when(F.size(toks) >= 2, F.size(bigrams)).alias("n_bi"),
+        F.when(
+            F.size(toks) >= 3, F.size(trigrams) - F.size(F.array_distinct(trigrams))
+        ).alias("dup_tri"),
+        F.when(F.size(toks) >= 3, F.size(trigrams)).alias("n_tri"),
+    )
+    return t.select(
+        "doc_id",
+        F.round(F.col("top_uni").cast("double") / F.col("n"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(F.col("top_bi").cast("double") / F.col("n_bi"), 6).alias(
+            "top_bigram_frac"
+        ),
+        F.round(F.col("dup_tri").cast("double") / F.col("n_tri"), 6).alias(
+            "dup_trigram_frac"
+        ),
+        F.when(
+            (F.col("top_uni") * 5 <= F.col("n"))
+            & (F.col("n") >= 3)
+            & (F.col("dup_tri") * 10 <= F.col("n_tri") * 3),
+            1,
+        )
+        .otherwise(0)
+        .alias("repetition_ok"),
+    ).orderBy("doc_id")

@@ -167,3 +167,48 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "streaming_dedup_events",
+    _STREAM_DEDUP_SQL,
+    doc="Streaming ingest deduplication: two file-source streams over the "
+    "same events (simulating at-least-once redelivery, every event "
+    "arriving twice) are unioned, watermarked, and deduplicated on "
+    "event_id with dropDuplicatesWithinWatermark — state is bounded by "
+    "the 1h watermark, the production shape for exactly-once ingest on "
+    "top of an at-least-once bus. The deduplicated append stream then "
+    "rolls up per event type and must equal the batch oracle over the "
+    "ORIGINAL (un-doubled) events: the oracle fails if even one "
+    "duplicate survives or one event is lost.",
+)
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two independent source instances -> a genuine self-union of the
+    # stream, i.e. every event delivered exactly twice
+    first = read_events_stream(spark, sf_dir)
+    replay = read_events_stream(spark, sf_dir)
+    deduped = (
+        first.unionAll(replay)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"stream_dedup_{next(_counter)}"
+    out = _run_to_memory(deduped, name, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "total_value"),
+        )
+        .orderBy("event_type")
+    )

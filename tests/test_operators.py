@@ -172,3 +172,67 @@ def test_streaming_builder_is_streaming(spark, sf_dir):
     agg = streaming_hourly_rollup(events)
     assert events.isStreaming and agg.isStreaming
     assert "approx_users" in agg.columns
+
+
+def test_repetition_scores_invariants(spark, sf_dir):
+    rows = REGISTRY["text_repetition_scores"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # fractions live in (0, 1]; dup fraction in [0, 1)
+        assert 0 < r.top_unigram_frac <= 1
+        assert 0 < r.top_bigram_frac <= 1
+        assert 0 <= r.dup_trigram_frac < 1
+        assert r.repetition_ok in (0, 1)
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "spam " * 49 + "spam"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("documents_tmp")
+    from _imdb_etl_spark.operators.text import text_repetition_scores
+
+    # route the builder at a temp dir by monkey-loading: simplest is to
+    # reuse the expression path on the in-memory frame via the same ops
+    import _imdb_etl_spark.operators.text as textmod
+
+    orig = textmod.load_tables
+    try:
+        textmod.load_tables = lambda s, d, *t: (df,)
+        out = {r.doc_id: r for r in text_repetition_scores(spark, "unused").collect()}
+    finally:
+        textmod.load_tables = orig
+    assert out[1].repetition_ok == 0 and out[1].top_unigram_frac == 1.0
+    assert out[2].repetition_ok == 1 and out[2].dup_trigram_frac == 0.0
+
+
+def test_pack_shards_respects_budget_and_order(spark, sf_dir):
+    from _imdb_etl_spark.operators.pipeline import _PACK_BUDGET
+
+    rows = REGISTRY["corpus_pack_shards"].spark(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert [r.doc_id for r in rs] == sorted(r.doc_id for r in rs)
+        cum = 0
+        for r in rs:
+            assert r.shard_id == cum // _PACK_BUDGET
+            cum += r.n_tokens
+            assert r.cum_tokens == cum
+
+
+def test_streaming_dedup_drops_redelivered_events(spark, sf_dir):
+    out = {
+        r.event_type: r.n_events
+        for r in REGISTRY["streaming_dedup_events"].spark(spark, sf_dir).collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in load_tables(spark, sf_dir, "events")[0]
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert out == batch  # doubled delivery, zero surviving duplicates
