@@ -233,3 +233,54 @@ def sql_api_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .replace("JOIN customer", "JOIN sqlapi_customer")
         .replace("JOIN nation", "JOIN sqlapi_nation")
     )
+
+
+_JOIN_SALT = 8
+
+_SKEW_JOIN_SQL = """
+SELECT c.c_name AS customer_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_name
+ORDER BY customer_name
+"""
+
+
+@register(
+    "skew_join_salted_events",
+    _SKEW_JOIN_SQL,
+    doc="Two-sided salted join: the dim side replicates x8 (explode over "
+    "salt ids), the fact side salts deterministically on "
+    "pmod(xxhash64(event_id), 8), and the join key becomes "
+    "(user_id, salt) — splitting any single hot user across 8 shuffle "
+    "partitions. The manual tool for join skew when the dim side is too "
+    "big to broadcast and one key is too hot for AQE's split threshold; "
+    "the salt never reaches the output, so the oracle is the naive join. "
+    "(salted_agg_by_priority is the agg-side twin.)",
+)
+def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, customer = load_tables(spark, sf_dir, "events", "customer")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_name"
+    ).withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_JOIN_SALT)]))
+    )
+    fact = events.select(
+        "user_id",
+        "value",
+        F.pmod(F.xxhash64("event_id"), F.lit(_JOIN_SALT)).cast("int").alias("salt"),
+    )
+    # pin the partitioned join the pattern exists for (at test scale AQE
+    # would broadcast the exploded dim and the salt would be inert);
+    # shuffle_hash is size-safe at any scale, unlike a broadcast hint
+    return (
+        fact.join(dim.hint("shuffle_hash"), ["user_id", "salt"])
+        .groupBy(F.col("c_name").alias("customer_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("customer_name")
+    )
