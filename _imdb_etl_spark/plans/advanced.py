@@ -389,3 +389,63 @@ def events_granularity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("hour_bucket"),
         )
     )
+
+
+_EMB_NORMS_ARROW_SQL = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             j -> CAST(embedding[j] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+def _norm_batches(batches):
+    # Arrow RecordBatch in / RecordBatch out; float64 accumulation in
+    # document order (np.cumsum is sequential) to mirror the JVM fold and
+    # DuckDB's list_sum, so the value hash matches bitwise after round(6)
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        vec_ids = b.column(b.schema.get_field_index("vec_id"))
+        embs = b.column(b.schema.get_field_index("embedding")).to_pylist()
+        dims: list[int | None] = []
+        norms: list[float | None] = []
+        for e in embs:
+            if e is None:
+                dims.append(None)
+                norms.append(None)
+                continue
+            dims.append(len(e))
+            vals = [x for x in e if x is not None]
+            if not vals:
+                norms.append(None)
+            else:
+                sq = np.asarray(vals, dtype=np.float64) ** 2
+                norms.append(float(np.sqrt(np.cumsum(sq)[-1])))
+        yield pa.RecordBatch.from_arrays(
+            [vec_ids, pa.array(dims, pa.int32()), pa.array(norms, pa.float64())],
+            names=["vec_id", "dim", "l2_norm"],
+        )
+
+
+@register(
+    "embedding_norms_arrow",
+    _EMB_NORMS_ARROW_SQL,
+    doc="mapInArrow API surface: per-vector L2 norms computed in raw "
+    "Arrow batches (RecordBatch in/out, no pandas conversion) — the "
+    "lowest-overhead Python escape hatch when even the pandas_udf "
+    "serialization matters. Rounding stays JVM-side so the float policy "
+    "lives in one place; embedding_array_stats is the pure-codegen twin "
+    "this must hash-match through a completely different execution path.",
+)
+def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    out = emb.select("vec_id", "embedding").mapInArrow(
+        _norm_batches, "vec_id long, dim int, l2_norm double"
+    )
+    return out.select(
+        "vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm")
+    ).orderBy("vec_id")
