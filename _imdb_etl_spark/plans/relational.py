@@ -478,3 +478,44 @@ def having_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= 15)
         .orderBy("custkey")
     )
+
+
+_NULLSAFE_SQL = """
+WITH a AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pkey,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+), b AS (
+  SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pkey,
+         COUNT(*) AS n_big
+  FROM orders WHERE o_totalprice > 200000 GROUP BY 1
+)
+SELECT a.pkey, a.n_orders, b.n_big
+FROM a LEFT JOIN b ON a.pkey IS NOT DISTINCT FROM b.pkey
+ORDER BY a.pkey NULLS FIRST
+"""
+
+
+@register(
+    "null_safe_join_priorities",
+    _NULLSAFE_SQL,
+    doc="Null-safe equality join (<=> / IS NOT DISTINCT FROM): a "
+    "NULLIF-derived nullable key on both sides, so the NULL group joins "
+    "to the NULL group — a plain equi-join would silently drop it. The "
+    "nullable-dimension merge every warehouse hits; same shuffle shape "
+    "as an ordinary key join.",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    pkey = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = orders.groupBy(pkey.alias("pkey")).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = (
+        orders.where(F.col("o_totalprice") > 200000)
+        .groupBy(pkey.alias("bkey"))
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return (
+        a.join(b, F.col("pkey").eqNullSafe(F.col("bkey")), "left")
+        .select("pkey", "n_orders", "n_big")
+        .orderBy(F.asc_nulls_first("pkey"))
+    )

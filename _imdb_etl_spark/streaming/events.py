@@ -212,3 +212,48 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_STREAM_ENRICH_SQL = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@register(
+    "streaming_enrich_events",
+    _STREAM_ENRICH_SQL,
+    doc="Stream-static enrichment join — the standard streaming ingest "
+    "shape: the event stream joins the slowly-changing customer/nation "
+    "dims (static batch side, re-read per micro-batch, broadcast-sized "
+    "here; at scale the static side is a compacted dim table) and rolls "
+    "up per nation. Stateless except the final aggregation; oracle = "
+    "the batch join.",
+)
+def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources import load_tables
+
+    events = read_events_stream(spark, sf_dir)
+    customer, nation = load_tables(spark, sf_dir, "customer", "nation")
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    ).join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "user_id", F.col("n_name").alias("nation")
+    )
+    agg = (
+        events.join(dim, "user_id")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value"), "total_value"),
+        )
+    )
+    name = f"stream_enrich_{next(_counter)}"
+    out = _run_to_memory(agg, name, output_mode="complete")
+    return out.orderBy("nation")
