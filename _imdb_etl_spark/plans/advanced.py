@@ -449,3 +449,28 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm")
     ).orderBy("vec_id")
+
+
+@register(
+    "approx_quantiles_price",
+    None,  # KLL/GK sketch internals are engine-specific; bound in pytest
+    doc="percentile_approx (GK sketch) per return flag — the quantile "
+    "path at 100 TB: bounded-memory mergeable sketches instead of a "
+    "full sort per group. Relative-error bound vs the exact "
+    "percentile_disc twin (quantiles_price_by_flag) asserted in "
+    "tests/test_operators.py.",
+)
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.round(
+                F.percentile_approx("l_extendedprice", 0.5, 1000), 2
+            ).alias("p50_price"),
+            F.round(
+                F.percentile_approx("l_extendedprice", 0.9, 1000), 2
+            ).alias("p90_price"),
+        )
+        .orderBy("flag")
+    )

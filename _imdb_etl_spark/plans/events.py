@@ -223,3 +223,51 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("signup").alias("signups"),
         F.col("error").alias("errors"),
     ).orderBy("day")
+
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) FILTER (event_type = 'view') AS views,
+         COUNT(*) FILTER (event_type = 'click') AS clicks,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchases
+  FROM events GROUP BY 1
+)
+SELECT day, kind, n
+FROM wide
+UNPIVOT (n FOR kind IN (views, clicks, purchases))
+ORDER BY day, kind
+"""
+
+
+@register(
+    "events_unpivot_daily",
+    _UNPIVOT_SQL,
+    doc="Unpivot/melt (the DataFrame.unpivot API): the wide day x "
+    "event-type count matrix back to long (day, kind, n) triples — "
+    "wide-to-long is a narrow 1->K row fan-out in codegen (Expand "
+    "node), no shuffle beyond the source aggregation.",
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    wide = (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+                "purchases"
+            ),
+        )
+    )
+    return (
+        wide.unpivot(
+            ids=["day"],
+            values=["views", "clicks", "purchases"],
+            variableColumnName="kind",
+            valueColumnName="n",
+        )
+        .orderBy("day", "kind")
+    )

@@ -236,3 +236,18 @@ def test_streaming_dedup_drops_redelivered_events(spark, sf_dir):
         .collect()
     }
     assert out == batch  # doubled delivery, zero surviving duplicates
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    exact = {
+        r.flag: (r.p50_price, r.p90_price)
+        for r in REGISTRY["quantiles_price_by_flag"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r.flag: (r.p50_price, r.p90_price)
+        for r in REGISTRY["approx_quantiles_price"].spark(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for flag in exact:
+        for e, a in zip(exact[flag], approx[flag]):
+            assert abs(a - e) / e < 0.05, (flag, e, a)

@@ -159,3 +159,28 @@ def test_range_join_avoids_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_salted_join_is_shuffled_hash_on_salt(spark, sf_dir):
+    plan = _explain(REGISTRY["skew_join_salted_events"].spark(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan  # the hint holds; no broadcast
+    # both sides partition on (user_id, salt) — the whole point
+    assert plan.count("hashpartitioning(user_id") >= 2
+    assert "salt" in plan.split("hashpartitioning(user_id")[1].split(")")[0]
+
+
+def test_pack_shards_single_data_shuffle(spark, sf_dir):
+    plan = _explain(REGISTRY["corpus_pack_shards"].spark(spark, sf_dir))
+    # one hash exchange (lang) + the final presentation range sort only
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("rangepartitioning(") == 1
+    # the text column is reduced to a token count BEFORE the shuffle: the
+    # hash exchange's input row is (doc_id, lang, n_tokens), never text
+    exchange_detail = plan.split("Arguments: hashpartitioning(")[0]
+    exchange_input = exchange_detail.rsplit("Input [", 1)[1]
+    assert "text#" not in exchange_input
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
+    plan = _explain(REGISTRY["events_unpivot_daily"].spark(spark, sf_dir))
+    assert "Expand" in plan  # wide-to-long is codegen fan-out, not a join
