@@ -1,0 +1,272 @@
+"""Corpus-preparation operators — the training-data curation steps that
+sit between raw documents and a tokenized training set: PII redaction,
+deterministic train/val/test splitting, corpus-level boilerplate
+removal, and language-model quality scoring.
+
+Absent from the reference (which never parses its strings); mandated by
+the LLM-data-pipeline surface alongside operators/text.py and
+operators/dedup.py.
+
+Scale posture (100 TB):
+- ``text_pii_redact`` is a pure narrow map — regex count/replace in
+  whole-stage codegen, zero shuffle, linear in bytes.
+- ``split_train_val_test`` assigns membership from a content-stable
+  hash of the key, not ``rand()`` — a re-run or backfill lands every
+  document in the same split, which is the property a production
+  pipeline needs; classification is map-side, one final aggregation.
+- ``boilerplate_ngram_filter`` and ``unigram_logprob_quality`` are
+  two-phase: a corpus-level frequency aggregation whose result is
+  small by construction (high-document-frequency n-grams / the unigram
+  vocabulary), joined back to the per-document stream. AQE broadcasts
+  the small side; no hard hints, no all-pairs stage, no driver collect.
+
+Oracle-parity notes: md5 is the cross-engine-stable hash; hex-prefix
+string comparison ('0' < 'c' ...) gives identical 16-bucket splits in
+both engines; regexp_replace needs the 'g' flag in DuckDB to match
+Spark's replace-all; mean-of-ln aggregates are rounded to 6 places
+after float64 accumulation (established float policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+# Deterministic synthetic-PII enrichment shared by both engines: the
+# test corpus is space-separated words with no '@' or digits, so the
+# injected emails (doc_id % 3 of them) and IPv4s (doc_id % 2) are the
+# only matches — redaction is exactly verifiable.
+_ENRICH_SQL = (
+    "text || repeat(' user' || CAST(doc_id AS STRING) || '@example.com',"
+    " CAST(doc_id % 3 AS INT))"
+    " || repeat(' 10.' || CAST(doc_id % 256 AS STRING) || '.0.'"
+    " || CAST(doc_id % 100 AS STRING), CAST(doc_id % 2 AS INT))"
+)
+
+_PII_SQL = f"""
+WITH enriched AS (
+  SELECT doc_id, {_ENRICH_SQL} AS body FROM documents
+)
+SELECT
+  doc_id,
+  len(regexp_extract_all(body, '{_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(body, '{_IPV4_RE}')) AS n_ips,
+  length(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_IPV4_RE}', '<IP>', 'g')) AS n_chars_red,
+  md5(regexp_replace(regexp_replace(body, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_IPV4_RE}', '<IP>', 'g')) AS sig
+FROM enriched
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_pii_redact",
+    _PII_SQL,
+    doc="PII scrubbing: count and redact email / IPv4 literals via "
+    "chained regexp_replace. Narrow map in whole-stage codegen — the "
+    "per-byte cost IS the operator; nothing shuffles. The md5 of the "
+    "redacted body proves byte-exact redaction cross-engine.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    body = F.expr(_ENRICH_SQL)
+    red = F.regexp_replace(
+        F.regexp_replace(body, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_IPV4_RE),
+        F.lit("<IP>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(body, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(body, F.lit(_IPV4_RE)).alias("n_ips"),
+        F.length(red).alias("n_chars_red"),
+        F.md5(red).alias("sig"),
+    ).orderBy("doc_id")
+
+
+_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT
+    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+         ELSE 'test' END AS split,
+    lang, n_chars, doc_id
+  FROM documents
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@register(
+    "split_train_val_test",
+    _SPLIT_SQL,
+    doc="Deterministic 75/12.5/12.5 train/val/test split from the md5 "
+    "hex prefix of the document key — content-stable membership "
+    "(re-runs and backfills agree), unlike rand()-based splits. "
+    "Assignment is map-side; one aggregation verifies stratification.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test")
+    ).alias("split")
+    return (
+        docs.select(split, "lang", "n_chars", "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+_BOILER_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(toks) - 2),
+                i -> toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]))) AS g
+  FROM base
+),
+freq AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+tot AS (SELECT COUNT(*) AS n FROM base),
+boiler AS (
+  SELECT g FROM freq, tot WHERE df >= greatest(2, ceil(0.005 * n))
+),
+perdoc AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM grams GROUP BY doc_id),
+bp AS (
+  SELECT doc_id, COUNT(*) AS n_boiler
+  FROM grams JOIN boiler USING (g)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_ngrams,
+       COALESCE(b.n_boiler, 0) AS n_boiler,
+       ROUND(CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / p.n_ngrams, 6) AS boiler_ratio
+FROM perdoc p LEFT JOIN bp b USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+@register(
+    "boilerplate_ngram_filter",
+    _BOILER_SQL,
+    doc="C4-style corpus-level boilerplate detection: distinct word "
+    "3-grams per document, document frequency over the corpus, and a "
+    "relative threshold (>= 0.5% of documents, min 2) marking "
+    "boilerplate; each document scores the fraction of its 3-grams "
+    "that are boilerplate. Two-phase: the DF aggregation shrinks to "
+    "the high-frequency tail, which AQE broadcasts back onto the "
+    "linear per-document stream — no all-pairs stage at any scale.",
+)
+def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - F.lit(3)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    base = docs.where(F.size(toks) >= 3)
+    exploded = base.select("doc_id", F.explode(grams).alias("g"))
+    # Distinct-per-doc already, so COUNT(*) per gram IS document frequency.
+    freq = exploded.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"))
+    boiler = (
+        freq.crossJoin(F.broadcast(tot))  # 1-row scalar: bounded, safe hint
+        .where(F.col("df") >= F.greatest(F.lit(2).cast("double"), F.ceil(0.005 * F.col("n")).cast("double")))
+        .select("g")
+    )
+    perdoc = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    bp = (
+        exploded.join(boiler, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        perdoc.join(bp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_ngrams"),
+                6,
+            ).alias("boiler_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM freq)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+FROM toks JOIN freq USING (w) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "unigram_logprob_quality",
+    _LOGPROB_SQL,
+    doc="Language-model quality score: corpus unigram frequencies give "
+    "each document its mean token log-probability (the classic "
+    "perplexity-style fluency proxy for filtering). Two-phase: the "
+    "vocabulary aggregation is bounded by language, AQE broadcasts it "
+    "back onto the token stream; ln terms accumulate in float64 and "
+    "round(6) absorbs summation-order drift.",
+)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").cast("double").alias("t"))
+    return (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar: bounded, safe hint
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.ln(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -251,3 +251,44 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     for flag in exact:
         for e, a in zip(exact[flag], approx[flag]):
             assert abs(a - e) / e < 0.05, (flag, e, a)
+
+
+def test_pii_redact_counts_and_cleanliness(spark, sf_dir):
+    rows = REGISTRY["text_pii_redact"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the enrichment injects exactly doc_id%3 emails and doc_id%2 IPs
+        assert r.n_emails == r.doc_id % 3
+        assert r.n_ips == r.doc_id % 2
+
+
+def test_split_fractions_and_totals(spark, sf_dir):
+    rows = REGISTRY["split_train_val_test"].spark(spark, sf_dir).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    total = sum(by_split.values())
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assert total == docs.count()  # partition of the corpus, no loss
+    # 12/16 hex buckets => expect ~75% train; allow sampling noise
+    assert 0.6 < by_split["train"] / total < 0.9
+    assert set(by_split) == {"train", "val", "test"}
+
+
+def test_boilerplate_ratio_bounds(spark, sf_dir):
+    rows = REGISTRY["boilerplate_ngram_filter"].spark(spark, sf_dir).collect()
+    assert rows
+    assert any(r.n_boiler > 0 for r in rows), "corpus should have boilerplate"
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_ngrams
+        assert 0.0 <= r.boiler_ratio <= 1.0
+
+
+def test_unigram_logprob_is_negative_and_bounded(spark, sf_dir):
+    rows = REGISTRY["unigram_logprob_quality"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every token probability is < 1, so the mean log-prob is < 0,
+        # and no rarer than 1 occurrence out of the corpus total
+        assert r.avg_logprob < 0
+        assert r.avg_logprob > -25

@@ -184,3 +184,20 @@ def test_pack_shards_single_data_shuffle(spark, sf_dir):
 def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
     plan = _explain(REGISTRY["events_unpivot_daily"].spark(spark, sf_dir))
     assert "Expand" in plan  # wide-to-long is codegen fan-out, not a join
+
+
+def test_pii_redact_is_narrow_map(spark, sf_dir):
+    plan = _explain(REGISTRY["text_pii_redact"].spark(spark, sf_dir))
+    # pure per-row regex map: column-pruned scan, no shuffle anywhere
+    assert "Exchange" not in plan.split("Sort")[0] or "rangepartitioning" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "text" in read[0] and "lang" not in read[0]
+
+
+def test_corpus_two_phase_ops_have_no_cartesian_blowup(spark, sf_dir):
+    for name in ("boilerplate_ngram_filter", "unigram_logprob_quality"):
+        plan = _plan(REGISTRY[name].spark(spark, sf_dir))
+        # the only nested-loop is the 1-row scalar broadcast (threshold /
+        # corpus total); the gram/token joins must be hash joins
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, name
