@@ -23,6 +23,7 @@ from _imdb_etl_spark.operators import similarity  # noqa: E402,F401
 from _imdb_etl_spark.operators import multimodal  # noqa: E402,F401
 from _imdb_etl_spark.operators import pipeline  # noqa: E402,F401
 from _imdb_etl_spark.operators import corpus  # noqa: E402,F401
+from _imdb_etl_spark.sources import pysource  # noqa: E402,F401
 from _imdb_etl_spark.operators import quality  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
 

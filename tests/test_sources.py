@@ -79,3 +79,18 @@ def test_explicit_schema_no_inference(spark, tmp_path):
     df = read_staging_csv(spark, str(p), schema)
     rows = {tuple(r) for r in df.collect()}
     assert rows == {(1, "x"), (None, "y")}
+
+
+def test_python_datasource_partition_planning(spark):
+    from _imdb_etl_spark.sources.pysource import read_synthetic_docs
+
+    df = read_synthetic_docs(spark, rows=100, partitions=5)
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 100
+    # re-registration is idempotent (every query call registers)
+    df2 = read_synthetic_docs(spark, rows=10, partitions=2)
+    assert df2.count() == 10
+    # deterministic payload: same row ids -> same md5 sigs across reads
+    a = {r.doc_id: r.sig for r in df2.collect()}
+    b = {r.doc_id: r.sig for r in read_synthetic_docs(spark, 10, 3).collect()}
+    assert a == b
