@@ -271,3 +271,39 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "kind")
     )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket
+"""
+
+
+@register(
+    "events_props_variant",
+    _VARIANT_SQL,
+    doc="VARIANT semi-structured type (new in Spark 4): parse_json once "
+    "into the binary variant encoding, then typed variant_get paths — "
+    "at scale this beats repeated get_json_object string re-parsing "
+    "because the parse happens once per row and extraction is a typed "
+    "binary probe. DuckDB twin extracts the same path from the JSON "
+    "text.",
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type", "k_bucket")
+    )

@@ -201,3 +201,36 @@ def test_corpus_two_phase_ops_have_no_cartesian_blowup(spark, sf_dir):
         # corpus total); the gram/token joins must be hash joins
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoopJoin") <= 1, name
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the 100 TB path: a selective
+    dim-side filter becomes a pre-shuffle bloom probe on the fact scan).
+    Thresholds are tuned for TB-scale scans, so lower them to prove the
+    seam works; at real scale the defaults fire on their own."""
+    from _imdb_etl_spark.plans import REGISTRY as R
+    from _imdb_etl_spark.sources import load_tables
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, o = load_tables(spark, sf_dir, "lineitem", "orders")
+        j = (
+            li.join(
+                o.where(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower()
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
