@@ -127,3 +127,131 @@ def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: the same connector seam for unbounded sources.
+# ---------------------------------------------------------------------------
+
+def _payload(i: int):
+    sig = hashlib.md5(str(i).encode()).hexdigest()
+    return (i, sig, int(sig[:2], 16))
+
+
+class SyntheticStreamReader:
+    """SimpleDataSourceStreamReader over the same deterministic rows:
+    offsets advance `batch` ids per micro-batch up to `rows`, and
+    `readBetweenOffsets` replays any committed range exactly — the
+    replayability contract a recovering query depends on.
+
+    Subclassed lazily (see below) because pyspark.sql.datasource imports
+    are per-session on executors."""
+
+    def __init__(self, options):
+        self.cap = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch", 400))
+
+    def initialOffset(self):
+        return {"off": 0}
+
+    def read(self, start):
+        lo = start["off"]
+        hi = min(lo + self.batch, self.cap)
+        return (iter([_payload(i) for i in range(lo, hi)]), {"off": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_payload(i) for i in range(start["off"], end["off"])])
+
+
+class SyntheticStreamDataSource(DataSource):
+    """``spark.readStream.format("synthetic_docs_stream")`` — options:
+    rows (total), batch (ids per micro-batch)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs_stream"
+
+    def schema(self) -> str:
+        return "doc_id bigint, sig string, bucket int"
+
+    def simpleStreamReader(self, schema):
+        from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+        cls = type(
+            "_Reader", (SyntheticStreamReader, SimpleDataSourceStreamReader), {}
+        )
+        return cls(self.options)
+
+
+def read_synthetic_docs_stream(
+    spark: SparkSession, rows: int = 2000, batch: int = 700
+) -> DataFrame:
+    spark.dataSource.register(SyntheticStreamDataSource)
+    return (
+        spark.readStream.format("synthetic_docs_stream")
+        .option("rows", rows)
+        .option("batch", batch)
+        .load()
+    )
+
+
+_STREAM_PYSRC_SQL = """
+WITH src AS (
+  SELECT i AS doc_id,
+         (strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 2, 1)) - 1 AS bucket
+  FROM range(0, 2000) t(i)
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM src
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+_stream_counter = 0
+
+
+@register(
+    "streaming_pysource_bucket_counts",
+    _STREAM_PYSRC_SQL,
+    doc="Custom Python STREAMING DataSource (Spark 4 "
+    "SimpleDataSourceStreamReader): offset-tracked micro-batches with "
+    "exact replay via readBetweenOffsets, drained to a bounded "
+    "completion (3 micro-batches) into a complete-mode memory sink. "
+    "The deterministic payload gives the full value-hash oracle — the "
+    "whole custom-streaming-connector path is verified, not stubbed. "
+    "availableNow falls back to single-batch for Python sources, so "
+    "the drain uses processAllAvailable on the finite offset range.",
+)
+def streaming_pysource_bucket_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import uuid
+
+    global _stream_counter
+    _stream_counter += 1
+    name = f"pysource_stream_{_stream_counter}"
+    stream = read_synthetic_docs_stream(spark, rows=2000, batch=700)
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_id"),
+    )
+    writer = (
+        agg.writeStream.format("memory").queryName(name).outputMode("complete")
+    )
+    ckpt = None
+    if os.path.isdir("/dev/shm"):
+        ckpt = f"/dev/shm/ckpt_{name}_{uuid.uuid4().hex}"
+        writer = writer.option("checkpointLocation", ckpt)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        if ckpt is not None:
+            shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name).orderBy("bucket")

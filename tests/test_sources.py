@@ -94,3 +94,20 @@ def test_python_datasource_partition_planning(spark):
     a = {r.doc_id: r.sig for r in df2.collect()}
     b = {r.doc_id: r.sig for r in read_synthetic_docs(spark, 10, 3).collect()}
     assert a == b
+
+
+def test_python_stream_source_batches_and_replay(spark):
+    from _imdb_etl_spark.plans import REGISTRY
+    from _imdb_etl_spark.sources.pysource import SyntheticStreamReader, _payload
+
+    # drained result is exactly the deterministic closed-form totals
+    rows = REGISTRY["streaming_pysource_bucket_counts"].spark(spark, "").collect()
+    assert sum(r.n_docs for r in rows) == 2000
+    assert sum(r.sum_id for r in rows) == 2000 * 1999 // 2
+    # replay contract: readBetweenOffsets reproduces read()'s rows exactly
+    r = SyntheticStreamReader({"rows": 100, "batch": 37})
+    it, nxt = r.read({"off": 37})
+    assert nxt == {"off": 74}
+    assert list(it) == list(r.readBetweenOffsets({"off": 37}, {"off": 74}))
+    assert r.read({"off": 100})[1] == {"off": 100}  # finite: offsets stop
+    assert _payload(5)[0] == 5
