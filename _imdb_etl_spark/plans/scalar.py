@@ -226,3 +226,47 @@ def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_dim"
         ),
     ).orderBy("vec_id")
+
+
+_COLLATION_SQL = """
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE lower(p_type) END AS t,
+         p_partkey
+  FROM part
+)
+SELECT lower(t) AS type_lc,
+       COUNT(*) AS n,
+       CAST(SUM(p_partkey) AS BIGINT) AS sum_key
+FROM mixed
+GROUP BY lower(t)
+ORDER BY type_lc
+"""
+
+
+@register(
+    "collation_ci_group",
+    _COLLATION_SQL,
+    doc="Collation-aware grouping (new in Spark 4): a deterministically "
+    "case-mixed key grouped under UTF8_LCASE merges case variants "
+    "inside the hash aggregate itself — no lower() copy of the column, "
+    "and at scale no double-materialization of a normalized key. The "
+    "group key is projected through lower() afterwards because the "
+    "collation-group representative is an arbitrary case variant; the "
+    "DuckDB twin groups by lower(t) directly.",
+)
+def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    mixed = (
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.lower("p_type"))
+    )
+    return (
+        part.select(F.collate(mixed, "UTF8_LCASE").alias("t"), "p_partkey")
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_partkey").cast("long").alias("sum_key"),
+        )
+        .select(F.lower("t").alias("type_lc"), "n", "sum_key")
+        .orderBy("type_lc")
+    )
