@@ -284,3 +284,73 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("customer_name")
     )
+
+
+_CDC_SQL = """
+WITH old AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+                   ELSE o_totalprice END AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(old.k, new.k) AS k,
+       CASE WHEN old.k IS NULL THEN 'insert'
+            WHEN new.k IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       old.price AS old_price,
+       new.price AS new_price
+FROM old FULL OUTER JOIN new ON old.k = new.k
+WHERE old.k IS NULL OR new.k IS NULL OR old.price <> new.price
+ORDER BY k
+"""
+
+
+@register(
+    "cdc_snapshot_diff",
+    _CDC_SQL,
+    doc="CDC-style snapshot diff — the MERGE-source computation: two "
+    "snapshots full-outer-joined on the key classify every row as "
+    "insert / delete / update, unchanged rows dropped. Both snapshots "
+    "are deterministic derivations of the same table so the whole "
+    "changefeed is value-hash-verified. At scale this is one "
+    "co-partitioned shuffle join on the key (bucketing both snapshots "
+    "on k makes it exchange-free); the +1000.0 delta is exact in "
+    "binary so the update predicate is engine-stable.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    new = orders.where(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("nk"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1000.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .cast("double")
+        .alias("nprice"),
+    )
+    diff = old.join(new, F.col("k") == F.col("nk"), "full_outer")
+    return (
+        diff.where(
+            F.col("k").isNull()
+            | F.col("nk").isNull()
+            | (F.col("price") != F.col("nprice"))
+        )
+        .select(
+            F.coalesce(F.col("k"), F.col("nk")).alias("k"),
+            F.when(F.col("k").isNull(), "insert")
+            .when(F.col("nk").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.col("price").alias("old_price"),
+            F.col("nprice").alias("new_price"),
+        )
+        .orderBy("k")
+    )
