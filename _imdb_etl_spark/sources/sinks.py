@@ -97,3 +97,43 @@ def save_as_table(
 def drop_table(spark: SparkSession, name: str) -> None:
     """S8: DROP TABLE IF EXISTS (etl_imdb_db.sql:153-158)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the standing maintenance job of any
+    100 TB lake. Streaming micro-batches and per-task writers leave
+    thousands of KB-scale files; each costs a task launch, a footer
+    read, and a catalog entry on every scan.
+
+    Rewrites `src_path` into `dst_path` with ceil(rows/target) files:
+    a round-robin repartition (or range partition when `sort_cols` is
+    given — preserving an ordering gives min/max footer stats their
+    pruning power) plus `maxRecordsPerFile` as the hard per-file cap.
+    Returns the partition count used. At scale, run per
+    partition-directory so compaction parallelizes across partitions
+    and never rewrites hot, already-compact data.
+    """
+    df = spark.read.parquet(src_path)
+    n = df.count()
+    parts = max(1, -(-n // target_rows_per_file))
+    if sort_cols:
+        # sortWithinPartitions matters: maxRecordsPerFile splits a
+        # partition by arrival order, so unsorted rows would smear each
+        # file across the whole partition range and void footer pruning
+        df = df.repartitionByRange(parts, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(parts)
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(dst_path)
+    )
+    return parts

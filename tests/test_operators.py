@@ -292,3 +292,25 @@ def test_unigram_logprob_is_negative_and_bounded(spark, sf_dir):
         # and no rarer than 1 occurrence out of the corpus total
         assert r.avg_logprob < 0
         assert r.avg_logprob > -25
+
+
+def test_observe_profile_matches_direct_agg(spark, sf_dir):
+    from _imdb_etl_spark.operators.quality import observe_profile
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    inst, obs = observe_profile(orders, "orders_dq", "o_totalprice")
+    # the observation rides the SAME action; no second scan happens
+    n_out = inst.where(F.col("o_orderpriority") == "1-URGENT").count()
+    got = obs.get
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("z"),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    ).collect()[0]
+    # observe sees pre-filter rows: metrics cover the full scan even
+    # though the action counted only a filtered subset
+    assert n_out < got["n_rows"] == direct.n
+    assert got["o_totalprice_nulls"] == direct.z
+    assert got["o_totalprice_min"] == direct.mn
+    assert got["o_totalprice_max"] == direct.mx

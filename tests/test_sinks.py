@@ -113,3 +113,49 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     sel = back.where(F.col("o_totalprice") > 300000.0)
     plan2 = sel._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan2 and "o_totalprice" in plan2
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    from _imdb_etl_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # simulate streaming debris: 64 tiny files
+    spark.range(0, 6400).withColumn("v", F.col("id") * 2).repartition(
+        64
+    ).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    parts = compact_parquet(spark, src, dst, target_rows_per_file=2000)
+    files = glob.glob(f"{dst}/part-*.parquet")
+    assert parts == 4 and 1 <= len(files) <= 4
+    # lossless: same rows, and footer row counts respect the cap
+    assert spark.read.parquet(dst).count() == 6400
+    import pyarrow.parquet as pq
+
+    for f in files:
+        assert pq.ParquetFile(f).metadata.num_rows <= 2000
+
+
+def test_compact_parquet_sorted_keeps_rowgroup_stats_tight(spark, tmp_path):
+    from _imdb_etl_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "comp2")
+    spark.range(0, 4000).repartition(16).write.parquet(src)
+    compact_parquet(spark, src, dst, 1000, sort_cols=["id"])
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(f"{dst}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        st = md.row_group(0).column(0).statistics
+        spans.append((st.min, st.max))
+    spans.sort()
+    # range partitioning makes file key-ranges disjoint -> min/max
+    # footer stats can prune whole files on point/range predicates
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
