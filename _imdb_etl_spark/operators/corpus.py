@@ -204,7 +204,9 @@ def boilerplate_ngram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= F.greatest(F.lit(2).cast("double"), F.ceil(0.005 * F.col("n")).cast("double")))
         .select("g")
     )
-    perdoc = exploded.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    # n_ngrams is just the distinct-gram array length — map-side on the
+    # base scan, no third explode pass and no extra shuffle
+    perdoc = base.select("doc_id", F.size(grams).alias("n_ngrams"))
     bp = (
         exploded.join(boiler, "g")
         .groupBy("doc_id")

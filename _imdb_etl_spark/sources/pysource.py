@@ -29,7 +29,12 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from _imdb_etl_spark.plans.registry import register
 
@@ -38,6 +43,13 @@ class _RangePartition(InputPartition):
     def __init__(self, start: int, end: int):
         self.start = start
         self.end = end
+
+
+def _payload(i: int):
+    """The one row derivation every path shares — both connectors AND
+    both DuckDB oracle twins depend on it staying identical."""
+    sig = hashlib.md5(str(i).encode()).hexdigest()
+    return (i, sig, int(sig[:2], 16))
 
 
 class SyntheticDocsReader(DataSourceReader):
@@ -54,8 +66,7 @@ class SyntheticDocsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
-            sig = hashlib.md5(str(i).encode()).hexdigest()
-            yield (i, sig, int(sig[:2], 16))
+            yield _payload(i)
 
 
 class SyntheticDocsDataSource(DataSource):
@@ -133,19 +144,11 @@ def pysource_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming form: the same connector seam for unbounded sources.
 # ---------------------------------------------------------------------------
 
-def _payload(i: int):
-    sig = hashlib.md5(str(i).encode()).hexdigest()
-    return (i, sig, int(sig[:2], 16))
-
-
-class SyntheticStreamReader:
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
     """SimpleDataSourceStreamReader over the same deterministic rows:
     offsets advance `batch` ids per micro-batch up to `rows`, and
     `readBetweenOffsets` replays any committed range exactly — the
-    replayability contract a recovering query depends on.
-
-    Subclassed lazily (see below) because pyspark.sql.datasource imports
-    are per-session on executors."""
+    replayability contract a recovering query depends on."""
 
     def __init__(self, options):
         self.cap = int(options.get("rows", 1000))
@@ -175,12 +178,7 @@ class SyntheticStreamDataSource(DataSource):
         return "doc_id bigint, sig string, bucket int"
 
     def simpleStreamReader(self, schema):
-        from pyspark.sql.datasource import SimpleDataSourceStreamReader
-
-        cls = type(
-            "_Reader", (SyntheticStreamReader, SimpleDataSourceStreamReader), {}
-        )
-        return cls(self.options)
+        return SyntheticStreamReader(self.options)
 
 
 def read_synthetic_docs_stream(

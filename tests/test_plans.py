@@ -188,8 +188,10 @@ def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
 
 def test_pii_redact_is_narrow_map(spark, sf_dir):
     plan = _explain(REGISTRY["text_pii_redact"].spark(spark, sf_dir))
-    # pure per-row regex map: column-pruned scan, no shuffle anywhere
-    assert "Exchange" not in plan.split("Sort")[0] or "rangepartitioning" in plan
+    # pure per-row regex map: the ONLY shuffle is the final orderBy's
+    # range partitioning — any hash Exchange means a regression
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], exchanges
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and "text" in read[0] and "lang" not in read[0]
 
