@@ -34,19 +34,38 @@ def _tune(spark: SparkSession) -> None:
     # The driver owns the session; timezone is runtime-mutable and must be
     # UTC so timestamp semantics agree with the UTC-naive DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    # rejects outright; read nanos as long and convert below.
+    # events.parquet has historically stored TIMESTAMP(NANOS), which
+    # Spark's parquet reader rejects outright; with this conf such files
+    # surface as bigint and normalize_event_ts converts below. Files that
+    # store timestamp[us]/[ms] are unaffected by the conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp to TIMESTAMP regardless of the
+    file's physical type.
+
+    The testdata has shipped both TIMESTAMP(NANOS) (surfacing as bigint
+    under nanosAsLong) and timestamp[us]; guard on the actual dtype so
+    both work. nanos -> micros uses exact integer division (`div`, not
+    `/`: float division loses precision above 2^53 ns), matching
+    DuckDB's truncating NANOS -> TIMESTAMP(us) read of the same file.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        # session tz is pinned to UTC, so NTZ -> LTZ is a no-op rebase;
+        # keep one logical type everywhere downstream.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # nanos -> micros with exact integer division (`div`, not `/`:
-        # float division loses precision above 2^53 ns). Matches DuckDB's
-        # truncating NANOS -> TIMESTAMP(us) read of the same file.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_ts(df)
     return df
 
 

@@ -36,9 +36,12 @@ _counter = itertools.count()
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from a
-    batch read; nanos handled as in sources.catalog)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch read; physical ts type normalized by the shared
+    sources.catalog.normalize_event_ts helper — works whether the file
+    stores TIMESTAMP(NANOS) or timestamp[us])."""
+    from _imdb_etl_spark.sources.catalog import _tune, normalize_event_ts
+
+    _tune(spark)
     path = os.path.join(sf_dir, "events.parquet")
     raw_schema = spark.read.parquet(path).schema
     # the file source wants a directory; pathGlobFilter narrows it to the
@@ -48,7 +51,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(stream)
 
 
 def streaming_hourly_rollup(events: DataFrame) -> DataFrame:

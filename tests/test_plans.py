@@ -7,6 +7,8 @@ our DataFrame builders (SURVEY.md §7 step 4).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from _imdb_etl_spark.etl import grafs as g
@@ -189,9 +191,14 @@ def test_unpivot_is_expand_no_extra_shuffle(spark, sf_dir):
 def test_pii_redact_is_narrow_map(spark, sf_dir):
     plan = _explain(REGISTRY["text_pii_redact"].spark(spark, sf_dir))
     # pure per-row regex map: the ONLY shuffle is the final orderBy's
-    # range partitioning — any hash Exchange means a regression
-    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
-    assert len(exchanges) == 1 and "rangepartitioning" in exchanges[0], exchanges
+    # range partitioning — any hash Exchange means a regression. Count
+    # unique node ids: explain("formatted") lists each node twice (tree
+    # + details), so raw line counts double-count a single Exchange.
+    exchange_ids = {
+        m for m in re.findall(r"\((\d+)\) Exchange", plan)
+    } | {m for m in re.findall(r"Exchange \((\d+)\)", plan)}
+    assert len(exchange_ids) == 1, plan
+    assert "rangepartitioning" in plan and "hashpartitioning" not in plan
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and "text" in read[0] and "lang" not in read[0]
 

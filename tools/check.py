@@ -38,9 +38,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -82,7 +84,7 @@ def main() -> int:
         else:
             print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    print(f"\n{ran - len(failures)}/{ran} passed ({len(qs)} registered)")
     return 1 if failures else 0
 
 
