@@ -362,9 +362,12 @@ LIMIT 100
     _VOCAB_SQL,
     doc="Tokenizer-vocabulary construction: corpus-wide word "
     "frequencies, deterministic (freq desc, word) ranking to ids. "
-    "Explode -> two-phase count -> global top-k; the global ranking "
-    "window is the one single-partition stage and runs over the "
-    "already-aggregated vocabulary, not the corpus.",
+    "Explode -> two-phase count -> parallel top-k "
+    "(TakeOrderedAndProject: each task keeps its local top-100, the "
+    "driver merges 100 x tasks rows) -> row_number over exactly 100 "
+    "rows. The naive alternative — a global row_number window then "
+    "filter — funnels the ENTIRE vocabulary through one task; at "
+    "corpus scale that single sort is the job.",
 )
 def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -376,11 +379,10 @@ def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    top = freqs.orderBy(F.desc("freq"), F.asc("word")).limit(100)
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
-    return (
-        freqs.withColumn("token_id", F.row_number().over(w) - 1)
-        .where(F.col("token_id") < 100)
-        .orderBy("token_id")
+    return top.withColumn("token_id", F.row_number().over(w) - 1).orderBy(
+        "token_id"
     )
 
 

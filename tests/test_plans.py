@@ -155,6 +155,16 @@ def test_scd2_history_two_snapshot_fixture(spark):
     ]
 
 
+def test_vocab_topk_is_parallel_take_ordered(spark, sf_dir):
+    df = REGISTRY["vocab_top_words"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the global top-100 must be a parallel partial top-k, never a
+    # whole-vocabulary sort through one task: TakeOrderedAndProject
+    # bounds the window input to the k survivors
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_range_join_avoids_nested_loop(spark, sf_dir):
     df = REGISTRY["range_join_price_bands"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
