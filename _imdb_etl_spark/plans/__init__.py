@@ -23,7 +23,9 @@ from _imdb_etl_spark.operators import similarity  # noqa: E402,F401
 from _imdb_etl_spark.operators import multimodal  # noqa: E402,F401
 from _imdb_etl_spark.operators import pipeline  # noqa: E402,F401
 from _imdb_etl_spark.operators import corpus  # noqa: E402,F401
+from _imdb_etl_spark.operators import webcorpus  # noqa: E402,F401
 from _imdb_etl_spark.sources import pysource  # noqa: E402,F401
+from _imdb_etl_spark.sources import jsonl  # noqa: E402,F401
 from _imdb_etl_spark.operators import quality  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
 
@@ -71,26 +73,27 @@ _GATE_ORDER = [
     # -- (c) fixed driver hash mismatches (red in r2+r3)
     "pipeline_docs_prep",
     "tpch_q12_late_shipment_priority",
+    # -- round-4 additions (new operators, first gate exposure)
+    "corpus_domain_cap",
+    "corpus_length_histogram",
+    "dedup_incremental_batch",
+    "jsonl_roundtrip_source",
     # -- representative spread of previously-green families
     "text_stats",
-    "text_quality",
     "text_repetition_scores",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_clusters",
     "sim_knn_lsh",
     "dedup_embedding_cosine",
     "multimodal_features",
     "dq_constraint_checks",
     "graf4_top3_customers_top3_nations",
-    "graf6_customers_by_nation",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q15_top_supplier",
     "w1_top3_parts_per_brand",
     "fact_star_left_joins",
     "merge_scd2_customer_history",
-    "scalar_date_suite",
     # -- everything below keeps local-only coverage this round
     "sim_knn_bruteforce",
     "sim_knn_ivf",

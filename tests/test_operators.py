@@ -314,3 +314,27 @@ def test_observe_profile_matches_direct_agg(spark, sf_dir):
     assert got["o_totalprice_nulls"] == direct.z
     assert got["o_totalprice_min"] == direct.mn
     assert got["o_totalprice_max"] == direct.mx
+
+
+def test_domain_cap_bounds_and_windowgrouplimit(spark, sf_dir):
+    from _imdb_etl_spark.operators.webcorpus import _DOMAIN_CAP
+
+    df = REGISTRY["corpus_domain_cap"].spark(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.n_kept <= _DOMAIN_CAP for r in rows)
+    assert all(r.n_kept <= r.n_docs for r in rows)
+    # every domain keeps min(n_docs, cap) — the cap never drops below it
+    assert all(r.n_kept == min(r.n_docs, _DOMAIN_CAP) for r in rows)
+
+
+def test_incremental_batch_novel_bounded(spark, sf_dir):
+    rows = REGISTRY["dedup_incremental_batch"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_incoming
+
+
+def test_jsonl_roundtrip_preserves_rowcount(spark, sf_dir):
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    out = REGISTRY["jsonl_roundtrip_source"].spark(spark, sf_dir)
+    assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
