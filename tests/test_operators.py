@@ -338,3 +338,22 @@ def test_jsonl_roundtrip_preserves_rowcount(spark, sf_dir):
     (docs,) = load_tables(spark, sf_dir, "documents")
     out = REGISTRY["jsonl_roundtrip_source"].spark(spark, sf_dir)
     assert out.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+
+
+def test_embedding_ivf_dedup_recall(spark, sf_dir):
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["dedup_embedding_cosine"].spark(spark, sf_dir).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["dedup_embedding_ivf"].spark(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    # candidate pre-filter never invents pairs; exact verify bounds them
+    assert got <= exact
+    # the synthetic near-dups sit at cosine 0.45-0.51 — the hardest
+    # regime for any candidate pre-filter (production dups at >= 0.8
+    # probe-collide with near certainty); probe-2 recall here is ~0.55-0.8
+    recall = len(got) / len(exact)
+    assert recall >= 0.5, f"IVF probe-2 candidate recall {recall}"
