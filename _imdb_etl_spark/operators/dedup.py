@@ -526,8 +526,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("a"), F.min("b")).alias("lbl")
     ).select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))
     # min-label propagation to fixpoint: pull each neighbor's current
-    # label, keep the minimum. Persist each round and drop the previous
-    # one so lineage stays flat; the convergence probe is a scalar agg.
+    # label, keep the minimum. Each round ends in an eager
+    # localCheckpoint: persist() alone would cache the data but the
+    # logical plan would still deepen every round (analysis cost grows
+    # with iteration count — the classic iterative-algorithm trap);
+    # checkpointing truncates lineage so round k's plan is one join
+    # deep regardless of k. The convergence probe is a scalar agg.
     for _ in range(32):  # >= log2(diameter) for any plausible graph
         nbr = (
             edges.join(labels, edges["b"] == labels["doc_id"])
@@ -542,7 +546,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -552,7 +556,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
