@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, spread
 
 _EXACT_SQL = """
 SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
@@ -103,9 +103,10 @@ _SHINGLE_SQL = (
 def _shingles(docs: DataFrame) -> DataFrame:
     # documents often arrive as one file -> one partition; spread the
     # CPU-heavy shingle/hash work across cores before the narrow ops
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # (conditional: no shuffle when the scan is already parallel)
+    wide = spread(docs)
     return (
-        spread.select("doc_id", F.split("text", " ").alias("toks"))
+        wide.select("doc_id", F.split("text", " ").alias("toks"))
         .select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("sh"))
         # <3-token docs produce a NULL shingle (concat over OOB lookups);
         # drop it: DuckDB's list_distinct discards NULLs, and keeping it
@@ -374,7 +375,7 @@ def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load_tables(spark, sf_dir, "documents")
     freqs = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        spread(docs)
         .select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -426,8 +427,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[k] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    sigs = spread.select("doc_id", simhash64("text").alias("sig"))
+    wide = spread(docs)
+    sigs = wide.select("doc_id", simhash64("text").alias("sig"))
     # band on 8x8-bit chunks: by pigeonhole, any pair with hamming <= 7
     # (so certainly <= _HAMMING_MAX=6) shares at least one exact chunk —
     # guaranteed candidate recall, unlike 4x16 which only covers <= 3

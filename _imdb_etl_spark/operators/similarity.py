@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, spread
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -198,8 +198,9 @@ def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             bits.append(F.when(score >= 0, "1").otherwise("0"))
         return F.concat(*bits)
 
-    # spread the 8 per-row projection sums across cores (single-file input)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    # spread the 8 per-row projection sums across cores (shuffles only
+    # if the scan is under-partitioned; no-op on many-split input)
+    emb = spread(emb)
     b = emb.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
     q = b.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, spread
 
 def _toks():
     return F.split(F.col("text"), " ")
@@ -163,7 +163,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage. The struct orders by (n_hits, reverse-alphabetical rank) to
     # reproduce the oracle window's (n_hits DESC, lang ASC) tiebreak.
     (docs,) = load_tables(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread(docs)
     langs_sorted = sorted(_LEXICON)  # alphabetical
     per_lang = []
     for r, lang in enumerate(reversed(langs_sorted)):
@@ -279,7 +279,7 @@ ORDER BY doc_id, chunk_no
 )
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    t = docs.repartition(spark.sparkContext.defaultParallelism).select(
+    t = spread(docs).select(
         "doc_id", F.split("text", " ").alias("toks"), F.size(F.split("text", " ")).alias("n")
     )
     starts = F.sequence(
@@ -325,7 +325,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     # spread the per-row md5-per-shingle work across cores (documents is
     # typically a single input split at test scale)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread(docs)
     return docs.select(
         "doc_id",
         F.expr(
@@ -382,7 +382,7 @@ ORDER BY doc_id
 )
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    docs = spread(docs)
     toks = _toks()
 
     def top_count(arr):

@@ -72,3 +72,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     # table() owns the session tuning; no need to repeat it here
     return tuple(table(spark, sf_dir, n) for n in names)
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Widen pathologically under-partitioned input without taxing
+    already-parallel input.
+
+    The local test tables are single parquet files — one scan partition —
+    so CPU-heavy per-row operators (shingling, hashing, projections)
+    would otherwise run on one core. A 100 TB table arrives in thousands
+    of splits, where an unconditional repartition() would be a full
+    corpus shuffle for nothing; so shuffle ONLY when the scan yields
+    fewer partitions than the target parallelism.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
