@@ -111,3 +111,34 @@ def test_python_stream_source_batches_and_replay(spark):
     assert list(it) == list(r.readBetweenOffsets({"off": 37}, {"off": 74}))
     assert r.read({"off": 100})[1] == {"off": 100}  # finite: offsets stop
     assert _payload(5)[0] == 5
+
+
+def test_events_ts_normalizes_for_both_physical_types(spark, tmp_path):
+    """Round-3 regression armor: the testdata's events.parquet has
+    shipped both TIMESTAMP(NANOS) (read as bigint under nanosAsLong)
+    and timestamp[us]; the reader must yield identical TIMESTAMP values
+    for either physical encoding of the same instants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _imdb_etl_spark.sources.catalog import _tune, normalize_event_ts
+
+    _tune(spark)  # nanosAsLong + UTC, as every production read path sets
+
+    instants_us = [1704067200_000_000, 1704070800_123_456]
+    nanos_dir, micros_dir = str(tmp_path / "ns"), str(tmp_path / "us")
+    pq.write_table(
+        pa.table({"ts": pa.array([v * 1000 for v in instants_us],
+                                 pa.timestamp("ns"))}),
+        f"{nanos_dir}.parquet",
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(instants_us, pa.timestamp("us"))}),
+        f"{micros_dir}.parquet",
+    )
+    got = {}
+    for name, path in (("ns", f"{nanos_dir}.parquet"), ("us", f"{micros_dir}.parquet")):
+        df = normalize_event_ts(spark.read.parquet(path))
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got[name] = sorted(r.ts for r in df.collect())
+    assert got["ns"] == got["us"]
