@@ -187,3 +187,39 @@ def test_block_pair_gemm_matches_numpy_all_pairs(spark, data):
         for r in S.blockpair_cosine_pairs(emb).collect()
     }
     assert got == expected
+
+
+_VAL = st.one_of(
+    st.none(),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False),
+    st.text(max_size=12),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.lists(st.tuples(_VAL, _VAL, _VAL), min_size=1, max_size=12),
+    data=st.data(),
+)
+def test_canon_hash_invariant_under_row_and_column_order(rows, data):
+    """The gate's comparison contract: the canonical hash must not
+    depend on row order or on the order columns are presented in —
+    only on the (column-name -> value) multiset."""
+    import random
+
+    from _imdb_etl_spark.testing import canon_rows
+
+    cols = ["b_col", "a_col", "c_col"]
+    _, h0 = canon_rows(cols, rows)
+
+    shuffled_rows = list(rows)
+    random.Random(data.draw(st.integers(0, 10**6))).shuffle(shuffled_rows)
+    _, h1 = canon_rows(cols, shuffled_rows)
+    assert h1 == h0
+
+    perm = data.draw(st.permutations(range(3)))
+    pcols = [cols[i] for i in perm]
+    prows = [tuple(r[i] for i in perm) for r in rows]
+    _, h2 = canon_rows(pcols, prows)
+    assert h2 == h0
