@@ -391,13 +391,55 @@ _SIMHASH_BITS = 64
 _HAMMING_MAX = 6
 
 
+# Bit-level SQL twin of the pandas-UDF SimHash: instead of 64-bit
+# integer twiddling (whose shift/sign semantics differ per engine), the
+# oracle works one (doc, bit) row at a time — bit b of md5(token) read
+# straight out of hex nibble (63-b)//4, majority vote per bit, band
+# keys as small per-chunk integer sums, hamming as a per-bit inequality
+# count. Bitwise-identical to the UDF by construction.
+_SIMHASH_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+bt AS (
+  SELECT doc_id, b,
+         CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef',
+                  substr(m, CAST((63-b)//4 AS INT) + 1, 1)) - 1)
+                  // (CASE b%4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1
+              THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+  FROM h CROSS JOIN (SELECT unnest(range({_SIMHASH_BITS})) AS b) GROUP BY doc_id, b
+),
+chunks AS (
+  SELECT doc_id, b//8 AS chunk_id,
+         SUM(bit * (CASE b%8 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8
+                    WHEN 4 THEN 16 WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END)) AS chunk
+  FROM bt GROUP BY doc_id, b//8
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM chunks a JOIN chunks e ON a.chunk_id = e.chunk_id AND a.chunk = e.chunk AND a.doc_id < e.doc_id
+),
+ham AS (
+  SELECT c.doc_a, c.doc_b, SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+  FROM cand c
+  JOIN bt x ON x.doc_id = c.doc_a
+  JOIN bt y ON y.doc_id = c.doc_b AND y.b = x.b
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= {_HAMMING_MAX} ORDER BY doc_a, doc_b
+"""
+
+
 @register(
     "dedup_simhash",
-    None,  # bit-twiddling UDF path; property-tested in pytest instead
+    _SIMHASH_SQL,
     doc="64-bit SimHash near-dup candidates (hamming <= "
-    f"{_HAMMING_MAX}) via Arrow-vectorized pandas UDF + 4x16-bit "
-    "band exact-match blocking. Rows-only driver check; recall vs the "
-    "exact Jaccard pairs is asserted in tests/test_operators.py.",
+    f"{_HAMMING_MAX}) via Arrow-vectorized pandas UDF + 8x8-bit "
+    "band exact-match blocking. Fully oracle-checked: the DuckDB twin "
+    "recomputes the signature per (doc, bit) from md5 hex nibbles — "
+    "no 64-bit twiddling in SQL — and must agree on every candidate "
+    "pair AND its exact hamming distance. Recall vs the exact Jaccard "
+    "pairs additionally asserted in tests/test_operators.py.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
