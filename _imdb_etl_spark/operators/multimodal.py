@@ -146,11 +146,31 @@ def sample_frames(assets: DataFrame) -> DataFrame:
     )
 
 
+# SQL twin of the frame sampler: the synthetic payload is the document
+# text (ASCII by construction, so character slices == the UDF's byte
+# slices) and frames are md5 of fixed-stride slices; substr clamps past
+# the end exactly like a Python slice, and an out-of-range start yields
+# '' -> md5('') on both sides.
+_FRAME_SQL = f"""
+WITH v AS (
+  SELECT doc_id AS asset_id, text,
+         GREATEST(length(text) // {_N_FRAMES}, 1) AS step
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
+       md5(substr(text, CAST(frame_no * step AS INT) + 1, CAST(step AS INT))) AS frame_hash
+FROM v CROSS JOIN (SELECT unnest(range({_N_FRAMES})) AS frame_no)
+ORDER BY asset_id, frame_no
+"""
+
+
 @register(
     "multimodal_frame_sample",
-    None,  # slice arithmetic is UDF-internal; rows-only + pytest checks
+    _FRAME_SQL,
     doc=f"Video frame sampling stub: 1 asset -> {_N_FRAMES} frame rows "
-    "via mapInPandas fan-out. Deterministic; invariants asserted in "
+    "via mapInPandas fan-out. Fully oracle-checked: the DuckDB twin "
+    "recomputes every frame hash from the same deterministic payload "
+    "slices; invariants additionally asserted in "
     "tests/test_operators.py.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
