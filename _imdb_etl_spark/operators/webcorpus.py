@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, spread
 
 _DOMAIN_CAP = 10
 
@@ -173,4 +173,81 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
         .orderBy("lang")
+    )
+
+
+_SEG_LEN = 16
+
+_LINE_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, i * {_SEG_LEN} + 1,
+                                        least((i + 1) * {_SEG_LEN}, n)), ' ')) AS h,
+         least((i + 1) * {_SEG_LEN}, n) - i * {_SEG_LEN} AS n_toks
+  FROM t, unnest(range(0, (greatest(n - 1, 0) // {_SEG_LEN}) + 1)) AS u(i)
+),
+freq AS (SELECT h, COUNT(*) AS c FROM segs GROUP BY h)
+SELECT s.doc_id,
+       COUNT(*) AS n_segs,
+       CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+       CAST(SUM(CASE WHEN f.c > 1 THEN 0 ELSE s.n_toks END) AS BIGINT) AS kept_tokens
+FROM segs s JOIN freq f ON s.h = f.h
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "dedup_corpus_lines",
+    _LINE_DEDUP_SQL,
+    doc=f"C4-style line-level dedup accounting: documents split into "
+    f"non-overlapping {_SEG_LEN}-token segments, each md5-hashed; a "
+    "segment is boilerplate if its exact text occurs anywhere else in "
+    "the corpus. Reports per-document segment counts, duplicated "
+    "segments, and tokens surviving removal — the pre-tokenization "
+    "cleanup every web corpus runs. Scale shape: segment hashing is "
+    "map-side fan-out, the frequency table is one hash-agg shuffle "
+    "(high-df segments are by definition few), and the join back keys "
+    "on the same hash.",
+)
+def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    t = spread(docs).select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    starts = F.sequence(
+        F.lit(0), F.floor((F.greatest(F.col("n") - 1, F.lit(0))) / _SEG_LEN)
+    )
+    segs = t.select(
+        "doc_id", "toks", "n", F.explode(starts).alias("i")
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.slice(F.col("toks"), F.col("i") * _SEG_LEN + 1, _SEG_LEN), " "
+            )
+        ).alias("h"),
+        (
+            F.least((F.col("i") + 1) * _SEG_LEN, F.col("n"))
+            - F.col("i") * _SEG_LEN
+        ).alias("n_toks"),
+    )
+    freq = segs.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.col("c") > 1
+    return (
+        segs.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(dup.cast("long")).alias("n_dup_segs"),
+            F.sum(F.when(dup, 0).otherwise(F.col("n_toks"))).alias("kept_tokens"),
+        )
+        .orderBy("doc_id")
     )
