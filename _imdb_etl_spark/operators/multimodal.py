@@ -204,3 +204,71 @@ def decode_image_batch(payloads: pd.Series, use_real_codec: bool = False) -> pd.
             "mode": "FAKE-RGB",
         }
     )
+
+
+_RESIZE_STRIDE = 4
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("orig_bytes", IntegerType()),
+        StructField("resized_bytes", IntegerType()),
+        StructField("resized_hash", StringType()),
+    ]
+)
+
+
+def _resize_assets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize/downsample stub: keep every STRIDE-th payload byte — the
+    1:N byte-geometry shape of a real thumbnailer (which would decode,
+    scale, re-encode), with deterministic output the oracle can verify."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "asset_id": [],
+            "orig_bytes": [],
+            "resized_bytes": [],
+            "resized_hash": [],
+        }
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            payload = bytes(payload)
+            small = payload[::_RESIZE_STRIDE]
+            rows["asset_id"].append(asset_id)
+            rows["orig_bytes"].append(len(payload))
+            rows["resized_bytes"].append(len(small))
+            rows["resized_hash"].append(hashlib.md5(small).hexdigest())
+        yield pd.DataFrame(rows)
+
+
+# SQL twin: the synthetic payload is ASCII text, so the byte stride is
+# a character stride — chars at 1-based positions 1, 1+k, 1+2k, ...
+_RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS asset_id, text, length(text) AS n
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT asset_id,
+       CAST(n AS INT) AS orig_bytes,
+       CAST((n - 1) // {_RESIZE_STRIDE} + 1 AS INT) AS resized_bytes,
+       md5(array_to_string(
+         list_transform(range(0, (n - 1) // {_RESIZE_STRIDE} + 1),
+                        i -> substr(text, CAST(i * {_RESIZE_STRIDE} AS INT) + 1, 1)),
+         '')) AS resized_hash
+FROM img
+ORDER BY asset_id
+"""
+
+
+@register(
+    "multimodal_resize",
+    _RESIZE_SQL,
+    doc=f"Image resize stub: every {_RESIZE_STRIDE}-th payload byte via "
+    "mapInPandas — completes the decode / feature-extract / resize / "
+    "frame-sample multimodal quartet. Fully oracle-checked (the "
+    "payload is ASCII text, so the DuckDB twin replays the byte stride "
+    "as a character stride and must match the md5 of the downsampled "
+    "payload exactly).",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assets = make_assets(docs).where(F.col("modality") == "image")
+    return assets.mapInPandas(_resize_assets, _RESIZE_SCHEMA).orderBy("asset_id")
