@@ -310,3 +310,81 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_bucket")
     )
+
+
+_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+)
+SELECT s.event_type,
+       strftime(s.hr, '%Y-%m-%d %H:00:00') AS hour_bucket,
+       COALESCE(h.n, 0) AS n_events,
+       CAST(last_value(h.total_value IGNORE NULLS)
+              OVER (PARTITION BY s.event_type ORDER BY s.hr
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS filled_value
+FROM spine s
+LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+ORDER BY s.event_type, hour_bucket
+"""
+
+
+@register(
+    "events_gapfill_hourly",
+    _GAPFILL_SQL,
+    doc="Time-series gap fill (the hypertable pattern): a dense hourly "
+    "spine per event type (sequence + explode — generated, never "
+    "materialized as a table), left-joined to the observed hourly "
+    "rollup; missing hours report zero events and carry the last "
+    "observed value forward (last_value IGNORE NULLS over an "
+    "unbounded-preceding frame). The spine and the fill window both "
+    "partition on the series key, so series parallelize independently; "
+    "at production cardinality the key becomes (entity, day-range) to "
+    "bound any one window.",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(dec("value"), "total_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.last("total_value", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("filled_value"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
