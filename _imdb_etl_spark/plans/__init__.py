@@ -78,15 +78,18 @@ _GATE_ORDER = [
     "corpus_length_histogram",
     "dedup_incremental_batch",
     "jsonl_roundtrip_source",
-    # -- representative spread of previously-green families
-    "text_stats",
+    "dedup_embedding_ivf",
+    "dedup_corpus_lines",
+    "multimodal_resize",
+    "events_gapfill_hourly",
+    # -- representative spread of previously-green families (the
+    # families dropped to make room all have fresh r3 green rows)
     "text_repetition_scores",
-    "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_knn_lsh",
     "dedup_embedding_cosine",
-    "multimodal_features",
-    "dq_constraint_checks",
+    "multimodal_frame_sample",
     "graf4_top3_customers_top3_nations",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
