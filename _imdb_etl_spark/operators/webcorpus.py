@@ -251,3 +251,70 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_VOCAB_K = 100
+
+_OOV_SQL = f"""
+WITH freqs AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, COUNT(*) AS freq FROM freqs GROUP BY word
+  ) ORDER BY freq DESC, word LIMIT {_VOCAB_K}
+),
+toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT t.lang,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST((SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000)
+            // COUNT(*) AS BIGINT) AS oov_permille
+FROM toks t LEFT JOIN vocab v ON t.word = v.word
+GROUP BY t.lang
+ORDER BY t.lang
+"""
+
+
+@register(
+    "vocab_oov_rate",
+    _OOV_SQL,
+    doc=f"Tokenizer-health metric: out-of-vocabulary token rate per "
+    f"language against the corpus's own top-{_VOCAB_K} vocabulary "
+    "(same deterministic ranking as vocab_top_words). The vocabulary "
+    "is bounded by construction, so the membership probe is a "
+    "broadcast join against the token stream — corpus-linear, one "
+    "aggregation shuffle on the language key. Rate in exact integer "
+    "permille (div), no float rounding to drift cross-engine.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    words = spread(docs).select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(_VOCAB_K)
+        .select("word")
+    )
+    flagged = words.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr("(n_oov * 1000) div n_tokens").alias("oov_permille"),
+        )
+        .orderBy("lang")
+    )
