@@ -253,3 +253,23 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_oov_vocab_probe_is_bounded_broadcast(spark, sf_dir):
+    df = REGISTRY["vocab_oov_rate"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the vocabulary must be built as a parallel partial top-k and the
+    # membership probe must broadcast it — never shuffle the token
+    # stream against a shuffled vocab
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_corpus_line_dedup_has_no_pair_blowup(spark, sf_dir):
+    df = REGISTRY["dedup_corpus_lines"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # segment hashing is map-side fan-out: the frequency agg and the
+    # join back key on the hash; only keyed exchanges appear
+    assert plan.count("Exchange hashpartitioning") <= 4
