@@ -21,9 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 def write_parquet(
     df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
 ) -> None:
+    """Partitioned overwrites default to DYNAMIC partition overwrite:
+    only the partitions present in ``df`` are replaced. Static overwrite
+    (Spark's default) wipes every sibling partition — on an incremental
+    backfill that silently deletes all history outside the batch, the
+    classic partitioned-write footgun at scale."""
     w = df.write.mode(mode)
     if partition_by:
-        w = w.partitionBy(*partition_by)
+        w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
     w.parquet(path)
 
 

@@ -159,3 +159,20 @@ def test_compact_parquet_sorted_keeps_rowgroup_stats_tight(spark, tmp_path):
     # footer stats can prune whole files on point/range predicates
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_partitioned_overwrite_is_dynamic(spark, tmp_path):
+    """An overwrite carrying only one partition must not wipe siblings —
+    the incremental-backfill safety property."""
+    from _imdb_etl_spark.sources import sinks
+
+    out = str(tmp_path / "dyn")
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, part string"
+    )
+    sinks.write_parquet(full, out, partition_by=["part"])
+    one = spark.createDataFrame([(9, "a")], "id long, part string")
+    sinks.write_parquet(one, out, partition_by=["part"])
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    # partition a replaced, partition b intact
+    assert got == [(2, "b"), (9, "a")]
