@@ -1,6 +1,6 @@
 SF_CHECK ?= /root/testdata/sf0.01
 
-.PHONY: check test bench smoke explain
+.PHONY: check test bench smoke explain lint verify
 
 check:
 	SPARK_GRAFT_CPUS=16 python tools/check.py $(SF_CHECK)
@@ -18,6 +18,12 @@ smoke:
 	assert len(df.collect()) > 0; \
 	assert set(e.oracle_sql()) <= set(e.queries()); \
 	print('entry ok:', df.columns)"
+
+lint:
+	SPARK_GRAFT_CPUS=8 python tools/planlint.py
+
+# the full verification battery: oracle gate, pytest, plan lint, smoke
+verify: check test lint smoke
 
 # make explain Q=tpch_q1_pricing_summary
 explain:
