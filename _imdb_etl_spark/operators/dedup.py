@@ -381,6 +381,9 @@ def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     top = freqs.orderBy(F.desc("freq"), F.asc("word")).limit(100)
+    # global (unpartitioned) window — benign by construction: it runs
+    # AFTER the limit, over exactly <= 100 rows, so the single-task
+    # WindowExec warning Spark always emits does not indicate a funnel
     w = Window.orderBy(F.desc("freq"), F.asc("word"))
     return top.withColumn("token_id", F.row_number().over(w) - 1).orderBy(
         "token_id"
@@ -396,9 +399,12 @@ _HAMMING_MAX = 6
 # oracle works one (doc, bit) row at a time — bit b of md5(token) read
 # straight out of hex nibble (63-b)//4, majority vote per bit, band
 # keys as small per-chunk integer sums, hamming as a per-bit inequality
-# count. Bitwise-identical to the UDF by construction.
+# count. Bitwise-identical to the UDF by construction — including NULL
+# text: the UDF maps NULL to '' (one empty token), so the oracle
+# COALESCEs before splitting; a bare string_split(NULL) would unnest to
+# zero rows and silently drop the document from the signature set.
 _SIMHASH_SQL = f"""
-WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+WITH toks AS (SELECT doc_id, unnest(string_split(COALESCE(text, ''),' ')) AS tok FROM documents),
 h AS (SELECT doc_id, md5(tok) AS m FROM toks),
 bt AS (
   SELECT doc_id, b,

@@ -13,9 +13,10 @@ LLM-data-pipeline surface alongside operators/corpus.py.
 
 Scale posture (100 TB):
 - ``corpus_domain_cap`` windows on the domain key — parallel across
-  domains, the natural unit; a skew-heavy domain bounds one task at
-  cap-rank depth, not corpus size (row_number short-circuits via
-  WindowGroupLimit under the rank filter).
+  domains, the natural unit; the kept-stats branch filters on the rank
+  column itself so WindowGroupLimit actually fires and a skew-heavy
+  domain bounds its task at cap-rank depth, not domain size (the
+  unfiltered total comes from a separate plain count branch).
 - ``corpus_length_histogram`` reduces each doc to one integer bucket
   map-side; the aggregate is buckets x languages — tiny by
   construction.
@@ -56,23 +57,34 @@ ORDER BY source
     _DOMAIN_CAP_SQL,
     doc=f"Domain-mix rate limiting: keep at most {_DOMAIN_CAP} documents "
     "per source domain, deterministic by doc_id order (stable across "
-    "re-runs, unlike sampling). The window partitions on the domain "
-    "key, so work parallelizes across domains and a crawl-dominating "
-    "domain costs one task, not the job.",
+    "re-runs, unlike sampling). Two branches over one scan: a plain "
+    "count per domain, and a rank-filtered window branch whose "
+    "row_number stops at cap depth via WindowGroupLimit (the limit "
+    "optimization only fires under an explicit rank predicate — "
+    "consuming rnk inside conditional aggregation would scan every "
+    "row of a crawl-dominating domain). Both branches shuffle on the "
+    "domain key, so work parallelizes across domains.",
 )
 def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
+    base = docs.select("source", "n_chars", "doc_id")
+    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("source").orderBy("doc_id")
-    kept = F.col("rnk") <= _DOMAIN_CAP
-    return (
-        docs.select("source", "lang", "n_chars", "doc_id")
-        .withColumn("rnk", F.row_number().over(w))
+    kept = (
+        base.withColumn("rnk", F.row_number().over(w))
+        # rank predicate directly over the window -> WindowGroupLimit:
+        # each domain's task keeps only its first _DOMAIN_CAP rows
+        .where(F.col("rnk") <= _DOMAIN_CAP)
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
         )
+    )
+    # inner join is total: every domain has >= 1 row, so rnk = 1 exists
+    return (
+        totals.join(kept, "source")
+        .select("source", "n_docs", "n_kept", "kept_chars")
         .orderBy("source")
     )
 

@@ -85,8 +85,30 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     corpus shuffle for nothing; so shuffle ONLY when the scan yields
     fewer partitions than the target parallelism.
     """
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = min_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Estimate scan parallelism from the input file listing instead of
+    # df.rdd.getNumPartitions(): the estimate is Connect-safe (no
+    # SparkContext / RDD access) and errs on the side of NOT shuffling —
+    # a frame with no input files (in-memory source) or enough
+    # files/bytes to split at or past the target is left untouched.
+    files = df.inputFiles()
+    est = len(files)
+    if 0 < est < target:
+        # each file yields >= 1 partition; large files split further at
+        # ~128 MiB (spark.sql.files.maxPartitionBytes default), which the
+        # local-path stat refines so a few huge files don't trigger a
+        # pointless full-table shuffle
+        try:
+            sizes = [
+                os.stat(f.removeprefix("file:")).st_size
+                for f in files
+                if f.startswith("file:")
+            ]
+            if len(sizes) == len(files):
+                est = sum(max(1, -(-s // (128 << 20))) for s in sizes)
+        except OSError:
+            pass
+    if 0 < est < target:
         return df.repartition(target)
     return df

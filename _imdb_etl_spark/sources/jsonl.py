@@ -22,7 +22,14 @@ from pyspark.sql import functions as F
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
-_OUT_DIR = "/root/repo/spark-warehouse/jsonl_docs"
+# Per-process output directory (pid-suffixed, substituted into the
+# oracle SQL at registration time): concurrent harness runs — bench +
+# check + planlint, or two sessions — must never race on one shared
+# path, and an oracle run without a prior Spark build in the same
+# process now fails loudly (missing dir) instead of silently reading
+# another run's stale files. The build-before-oracle ordering within a
+# process is the driver's documented contract.
+_OUT_DIR = f"/root/repo/spark-warehouse/jsonl_docs_{os.getpid()}"
 
 _DOC_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -44,6 +51,26 @@ ORDER BY lang
 """
 
 
+def _reap_stale_outputs() -> None:
+    """Best-effort GC of pid-suffixed output dirs left by finished
+    processes (a dir is stale when its embedded pid is no longer
+    alive); keeps spark-warehouse from accumulating one dir per run."""
+    import re
+    import shutil
+
+    base = os.path.dirname(_OUT_DIR)
+    for entry in os.listdir(base):
+        m = re.fullmatch(r"jsonl_docs_(\d+)", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+
 @register(
     "jsonl_roundtrip_source",
     _JSONL_SQL,
@@ -57,6 +84,7 @@ ORDER BY lang
 def jsonl_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     os.makedirs(os.path.dirname(_OUT_DIR), exist_ok=True)
+    _reap_stale_outputs()
     docs.write.mode("overwrite").json(_OUT_DIR)
     back = (
         spark.read.schema(_DOC_SCHEMA)

@@ -42,17 +42,31 @@ ALLOW = {
 }
 
 
+def _tree_depth(ln: str) -> int:
+    """Depth of a node in Spark's plan-tree drawing = offset of the
+    first payload character past the ``:  +- `` branch prefix (the
+    codegen ``*(n)`` marker counts as payload)."""
+    return len(ln) - len(ln.lstrip(" :+-"))
+
+
 def _benign_nested_loop(plan: str) -> bool:
     """A BroadcastNestedLoopJoin is benign when its broadcast build side
     is provably tiny: a scalar aggregate (keys=[] -> one row) or an
     explicit limit (TakeOrderedAndProject / GlobalLimit). Detected
     textually: the build-side BroadcastExchange IdentityBroadcastMode
-    line, with a scalar-agg/limit node within the next two lines."""
+    line, with a scalar-agg/limit node within the next two lines.
+    The search is scoped to the join's OWN subtree (strictly deeper
+    indentation until the tree returns to the join's depth) — scanning
+    to end-of-plan could attribute a different join's tiny build side
+    to an unbounded nested-loop join and mask a real O(N*M) regression."""
     lines = plan.splitlines()
     bnlj_idx = [i for i, ln in enumerate(lines) if "NestedLoopJoin" in ln or "CartesianProduct" in ln]
     for i in bnlj_idx:
         ok = False
+        d = _tree_depth(lines[i])
         for j in range(i + 1, len(lines)):
+            if lines[j].strip() and _tree_depth(lines[j]) <= d:
+                break  # left the join's subtree
             if "BroadcastExchange IdentityBroadcastMode" in lines[j]:
                 nxt = "\n".join(lines[j + 1 : j + 3])
                 if (
