@@ -435,17 +435,13 @@ def _ivf_search(normed: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "sim_knn_ivf_trained",
-    None,  # trained centroids are float-iterative; rows-only + recall pytest
-    doc=f"IVF ANN with pyspark.ml KMeans-trained centroids "
-    f"(k={_N_CENTROIDS}, fixed seed): the production shape of "
-    "sim_knn_ivf. Training is distributed; only the k centroid "
-    "vectors ever reach the driver (bounded by k, not corpus size). "
-    "Same probe/score stage as the deterministic variant; recall vs "
-    "sim_knn_bruteforce asserted in tests/test_operators.py.",
-)
-def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_knn_ivf_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw top-k pairs from the KMeans-trained IVF index (the
+    production shape of sim_knn_ivf). Training is distributed; only
+    the k centroid vectors ever reach the driver (bounded by k, not
+    corpus size). Unregistered: trained-centroid output is
+    float-iterative, so the driver-gated face of this operator is the
+    recall scorecard below, and pytest consumes these raw pairs."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -472,6 +468,57 @@ def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ivf_search(normed, cents)
+
+
+# Recall thresholds for the driver-gated scorecard. Measured trained
+# recall is ~0.38 at sf0.01 (per-query min 0.2 — too volatile for a
+# per-query boolean, hence corpus-level); the graded thresholds leave
+# >= 6-hit margin so only a genuinely broken index flips the hash.
+_RECALL_FLOORS = (0.15, 0.25)
+
+_IVF_TRAINED_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) * {_TOP_K} AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ge_150,
+       TRUE AS recall_ge_250
+FROM embeddings WHERE vec_id < {_N_QUERIES}
+"""
+
+
+@register(
+    "sim_knn_ivf_trained",
+    _IVF_TRAINED_SQL,
+    doc=f"IVF ANN with pyspark.ml KMeans-trained centroids "
+    f"(k={_N_CENTROIDS}, fixed seed), emitted as an oracle-checkable "
+    "recall scorecard: the trained index's top-k is joined against "
+    "the exact brute-force top-k in the same plan, and the output is "
+    "(n_queries, n_exact_pairs, recall >= 0.15, recall >= 0.25) — "
+    "deterministic columns the DuckDB twin re-derives from the query "
+    "count alone, asserting the booleans TRUE. An index whose recall "
+    "collapses flips the value hash; exact recall values (and "
+    "trained >= deterministic) are asserted in "
+    "tests/test_operators.py on the raw pairs.",
+)
+def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ivf = sim_knn_ivf_trained_pairs(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    exact = sim_knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    stats = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact_pairs"),
+    )
+    hits = ivf.join(exact, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    recall = F.col("n_hits") / F.col("n_exact_pairs")
+    # two 1-row aggregates; the cross join is a broadcast of one row
+    return stats.crossJoin(hits).select(
+        "n_queries",
+        "n_exact_pairs",
+        (recall >= _RECALL_FLOORS[0]).alias("recall_ge_150"),
+        (recall >= _RECALL_FLOORS[1]).alias("recall_ge_250"),
+    )
 
 
 _COS_THRESH = 0.45

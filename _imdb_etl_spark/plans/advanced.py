@@ -143,19 +143,49 @@ def case_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HLL_RSD = 0.02
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 @register(
     "approx_distinct_users",
-    None,  # HLL sketches are engine-specific; accuracy pinned in pytest
+    _APPROX_DISTINCT_SQL,
     doc="approx_count_distinct (HyperLogLog++) per event_type — the "
     "sketch path that replaces exact COUNT(DISTINCT) at 100 TB "
-    "(no per-key state explosion, one pass). Error bound vs exact "
-    "asserted in tests/test_operators.py.",
+    "(no per-key state explosion, one pass). Oracle-checkable without "
+    "a cross-engine sketch: the query emits the exact count plus a "
+    "within_bound boolean (|sketch - exact| <= 3*rsd*exact, floored at "
+    "5 for tiny groups); the DuckDB twin computes the exact aggregate "
+    "and asserts the bound as TRUE, so a sketch drifting outside its "
+    f"{_HLL_RSD} rsd contract flips the value hash. The raw sketch "
+    "value is deliberately NOT an output column (engine-specific, "
+    "never hash-comparable); tighter error assertions live in "
+    "tests/test_operators.py.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
+    bound = F.greatest(F.col("exact_users") * (3 * _HLL_RSD), F.lit(5.0))
     return (
         events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", _HLL_RSD).alias("approx_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users")) <= bound
+            ).alias("within_bound"),
+        )
         .orderBy("event_type")
     )
 
@@ -451,26 +481,66 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# GK sketch accuracy 1000 => ~0.1% rank error; the oracle-checked band
+# is +-2% of rank — 20x slack, so the boolean only flips on a sketch
+# that has genuinely broken its contract, never on routine drift.
+_GK_ACCURACY = 1000
+_RANK_BAND = 0.02
+
+_APPROX_QUANT_SQL = """
+SELECT l_returnflag AS flag,
+       ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS p50_price,
+       ROUND(quantile_disc(l_extendedprice, 0.9), 2) AS p90_price,
+       TRUE AS p50_within,
+       TRUE AS p90_within
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
 @register(
     "approx_quantiles_price",
-    None,  # KLL/GK sketch internals are engine-specific; bound in pytest
+    _APPROX_QUANT_SQL,
     doc="percentile_approx (GK sketch) per return flag — the quantile "
     "path at 100 TB: bounded-memory mergeable sketches instead of a "
-    "full sort per group. Relative-error bound vs the exact "
-    "percentile_disc twin (quantiles_price_by_flag) asserted in "
-    "tests/test_operators.py.",
+    "full sort per group. Oracle-checkable without a cross-engine "
+    "sketch: the query emits the exact percentile_disc values plus "
+    "per-quantile booleans asserting the sketch landed inside the "
+    f"exact [q-{_RANK_BAND}, q+{_RANK_BAND}] rank band (the "
+    f"accuracy-{_GK_ACCURACY} sketch guarantees ~0.1% rank error, so "
+    "the band has 20x slack); the DuckDB twin computes the same exact "
+    "quantiles and asserts TRUE. A sketch outside its error contract "
+    "flips the value hash. The raw sketch values are deliberately NOT "
+    "output columns (engine-specific); tighter error assertions live "
+    "in tests/test_operators.py.",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+
+    def disc(q: float):
+        return F.expr(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
+        )
+
     return (
         lineitem.groupBy(F.col("l_returnflag").alias("flag"))
         .agg(
-            F.round(
-                F.percentile_approx("l_extendedprice", 0.5, 1000), 2
-            ).alias("p50_price"),
-            F.round(
-                F.percentile_approx("l_extendedprice", 0.9, 1000), 2
-            ).alias("p90_price"),
+            disc(0.5).alias("e50"),
+            disc(0.9).alias("e90"),
+            disc(0.5 - _RANK_BAND).alias("lo50"),
+            disc(0.5 + _RANK_BAND).alias("hi50"),
+            disc(0.9 - _RANK_BAND).alias("lo90"),
+            disc(0.9 + _RANK_BAND).alias("hi90"),
+            F.percentile_approx("l_extendedprice", 0.5, _GK_ACCURACY).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.9, _GK_ACCURACY).alias("a90"),
+        )
+        .select(
+            "flag",
+            F.round("e50", 2).alias("p50_price"),
+            F.round("e90", 2).alias("p90_price"),
+            F.col("a50").between(F.col("lo50"), F.col("hi50")).alias("p50_within"),
+            F.col("a90").between(F.col("lo90"), F.col("hi90")).alias("p90_within"),
         )
         .orderBy("flag")
     )

@@ -57,24 +57,30 @@ def test_knn_lsh_consistent_with_bruteforce(spark, sf_dir):
 
 
 def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
+    from _imdb_etl_spark.operators import similarity
+
     exact = {
         (r.query_id, r.neighbor_id)
         for r in REGISTRY["sim_knn_bruteforce"].spark(spark, sf_dir).collect()
     }
 
-    def recall(name: str) -> float:
-        got = {
-            (r.query_id, r.neighbor_id)
-            for r in REGISTRY[name].spark(spark, sf_dir).collect()
-        }
+    def recall(rows) -> float:
+        got = {(r.query_id, r.neighbor_id) for r in rows}
         return len(exact & got) / len(exact)
 
-    r_det = recall("sim_knn_ivf")
-    r_trained = recall("sim_knn_ivf_trained")
+    r_det = recall(REGISTRY["sim_knn_ivf"].spark(spark, sf_dir).collect())
+    r_trained = recall(
+        similarity.sim_knn_ivf_trained_pairs(spark, sf_dir).collect()
+    )
     # trained centroids should partition the space at least as well as
     # the deterministic picks the oracle-checkable variant uses
     assert r_trained >= r_det, f"trained {r_trained} < deterministic {r_det}"
     assert r_trained >= 0.3, f"trained IVF recall {r_trained} too low"
+    # the driver-gated scorecard must agree with the raw pairs
+    card = REGISTRY["sim_knn_ivf_trained"].spark(spark, sf_dir).collect()
+    assert len(card) == 1
+    assert card[0].n_exact_pairs == len(exact)
+    assert card[0].recall_ge_150 and card[0].recall_ge_250
 
 
 def test_multimodal_frame_fanout(spark, sf_dir):
@@ -115,10 +121,8 @@ def test_decimal_sums_partition_invariant(spark, sf_dir):
 
 
 def test_approx_distinct_within_bound(spark, sf_dir):
-    approx = {
-        r.event_type: r.approx_users
-        for r in REGISTRY["approx_distinct_users"].spark(spark, sf_dir).collect()
-    }
+    rows = REGISTRY["approx_distinct_users"].spark(spark, sf_dir).collect()
+    assert rows and all(r.within_bound for r in rows)
     (events,) = load_tables(spark, sf_dir, "events")
     exact = {
         r.event_type: r.n
@@ -126,8 +130,18 @@ def test_approx_distinct_within_bound(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    for t, n in exact.items():
-        assert abs(approx[t] - n) / n < 0.1, (t, approx[t], n)
+    # the emitted exact column really is the exact count, and the raw
+    # sketch (recomputed here) is tighter than the gated 3*rsd bound
+    approx = {
+        r.event_type: r.a
+        for r in events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("a"))
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_users == exact[r.event_type]
+        n = exact[r.event_type]
+        assert abs(approx[r.event_type] - n) / n < 0.1, (r.event_type, n)
 
 
 def test_rate_source_drives_streaming_topology(spark):
@@ -243,14 +257,26 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
         r.flag: (r.p50_price, r.p90_price)
         for r in REGISTRY["quantiles_price_by_flag"].spark(spark, sf_dir).collect()
     }
-    approx = {
-        r.flag: (r.p50_price, r.p90_price)
-        for r in REGISTRY["approx_quantiles_price"].spark(spark, sf_dir).collect()
+    rows = REGISTRY["approx_quantiles_price"].spark(spark, sf_dir).collect()
+    assert {r.flag for r in rows} == set(exact)
+    # the emitted values are the exact quantiles; the sketch's rank-band
+    # booleans must hold; and the raw sketch (recomputed here) stays
+    # within 5% relative error of exact
+    (li,) = load_tables(spark, sf_dir, "lineitem")
+    sketch = {
+        r.flag: (r.a50, r.a90)
+        for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("a50"),
+            F.percentile_approx("l_extendedprice", 0.9, 1000).alias("a90"),
+        )
+        .collect()
     }
-    assert set(exact) == set(approx)
-    for flag in exact:
-        for e, a in zip(exact[flag], approx[flag]):
-            assert abs(a - e) / e < 0.05, (flag, e, a)
+    for r in rows:
+        assert (r.p50_price, r.p90_price) == exact[r.flag]
+        assert r.p50_within and r.p90_within
+        for e, a in zip(exact[r.flag], sketch[r.flag]):
+            assert abs(a - e) / e < 0.05, (r.flag, e, a)
 
 
 def test_pii_redact_counts_and_cleanliness(spark, sf_dir):
