@@ -548,17 +548,96 @@ ORDER BY doc_id
 """
 
 
+def connected_components(
+    edges: DataFrame, max_rounds: int = 32, probe_every: int = 2
+) -> tuple[DataFrame, int]:
+    """Connected components over a symmetric edge list (columns a, b):
+    returns (labels, rounds_used) where labels has (doc_id, cluster_id)
+    = the component's minimum node id.
+
+    Each round combines TWO label moves before the next checkpoint:
+
+    - neighbor-min propagation (the Pregel step): pull every
+      neighbor's current label, keep the minimum — advances a label
+      one hop per round, O(diameter) alone;
+    - pointer jumping (path halving): re-label through the label's own
+      label (lbl = lbl(lbl)) — doubles the hop distance a label has
+      travelled, so the combination converges in O(log diameter)
+      rounds. A 1000-hop duplicate chain costs ~10 rounds, not 1000
+      (plain propagation under a fixed round cap would return WRONG
+      components on chains longer than the cap).
+
+    Each round is two shuffles keyed on node id and ends in an eager
+    localCheckpoint: persist() alone would cache the data but the
+    logical plan would still deepen every round (analysis cost grows
+    with iteration count — the classic iterative-algorithm trap).
+    The scalar convergence probe runs every ``probe_every`` rounds to
+    halve driver-side actions; the checkpoint boundary keeps skipped
+    rounds pipelined.
+    """
+    # init: every node labels itself with the smallest neighbor (or self)
+    labels = (
+        edges.groupBy("a")
+        .agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
+        .select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    rounds = 0
+    for r in range(1, max_rounds + 1):
+        rounds = r
+        nbr = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        prop = labels.join(nbr, labels["doc_id"] == nbr["a"], "left").select(
+            "doc_id",
+            F.least(
+                "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
+            ).alias("cluster_id"),
+        )
+        parent = prop.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lbl")
+        )
+        new_labels = (
+            prop.join(parent, prop["cluster_id"] == parent["p_id"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("p_lbl", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        converged = False
+        if r % probe_every == 0 or r == max_rounds:
+            converged = (
+                new_labels.join(
+                    labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+                )
+                .where(F.col("cluster_id") != F.col("old"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        labels = new_labels
+        if converged:
+            break
+    return labels, rounds
+
+
 @register(
     "dedup_clusters",
     _CLUSTER_SQL,
     doc="Duplicate-cluster assignment (the step after pair generation a "
     "real dedup pipeline needs): connected components of the "
-    "minhash-LSH near-dup graph via iterative min-label propagation — "
-    "each round joins labels to the symmetrized edge list and keeps the "
-    "per-node minimum, converging in O(log diameter) rounds with a "
-    "scalar convergence check per round (the Pregel shape; at 100 TB "
-    "each round is one shuffle keyed on node id). The oracle states the "
-    "same fixpoint as a recursive CTE over the identical pair set.",
+    "minhash-LSH near-dup graph via min-label propagation WITH pointer "
+    "jumping (lbl = lbl(lbl)) — the hop distance a label covers "
+    "doubles per round, so convergence is O(log diameter) with two "
+    "node-keyed shuffles per round and a convergence probe every "
+    "second round (see connected_components; round count on a 64-node "
+    "path graph pinned in tests/test_operators.py). The oracle states "
+    "the same fixpoint as a recursive CTE over the identical pair set.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
@@ -570,44 +649,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    # init: every node labels itself with the smallest neighbor (or self)
-    labels = edges.groupBy("a").agg(
-        F.least(F.col("a"), F.min("b")).alias("lbl")
-    ).select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-    # min-label propagation to fixpoint: pull each neighbor's current
-    # label, keep the minimum. Each round ends in an eager
-    # localCheckpoint: persist() alone would cache the data but the
-    # logical plan would still deepen every round (analysis cost grows
-    # with iteration count — the classic iterative-algorithm trap);
-    # checkpointing truncates lineage so round k's plan is one join
-    # deep regardless of k. The convergence probe is a scalar agg.
-    for _ in range(32):  # >= log2(diameter) for any plausible graph
-        nbr = (
-            edges.join(labels, edges["b"] == labels["doc_id"])
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["a"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
-            )
-            .where(F.col("cluster_id") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    labels, _ = connected_components(edges)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

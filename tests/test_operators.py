@@ -83,6 +83,29 @@ def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
     assert card[0].recall_ge_150 and card[0].recall_ge_250
 
 
+def test_connected_components_long_chain(spark):
+    """Pointer jumping must collapse a 64-node path graph in O(log n)
+    rounds — plain one-hop label propagation would need 63 rounds and
+    return WRONG components under any smaller round cap."""
+    from _imdb_etl_spark.operators.dedup import connected_components
+
+    n = 64
+    path = [(i, i + 1) for i in range(n - 1)]
+    sym = path + [(b, a) for a, b in path]
+    edges = spark.createDataFrame(sym, "a long, b long")
+    labels, rounds = connected_components(edges)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, f"path-64 took {rounds} rounds (expected O(log n))"
+
+    # two components + an isolated edge: labels are each component's min
+    two = [(10, 11), (11, 12), (20, 21)]
+    sym2 = two + [(b, a) for a, b in two]
+    labels2, _ = connected_components(spark.createDataFrame(sym2, "a long, b long"))
+    got2 = {r.doc_id: r.cluster_id for r in labels2.collect()}
+    assert got2 == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
 def test_multimodal_frame_fanout(spark, sf_dir):
     frames = REGISTRY["multimodal_frame_sample"].spark(spark, sf_dir)
     per_asset = frames.groupBy("asset_id").count().collect()
