@@ -120,6 +120,82 @@ def test_multimodal_frame_fanout(spark, sf_dir):
     assert h1 == h2
 
 
+def _sample_pixels(n: int, seed: int = 1) -> bytes:
+    # deterministic pseudo-random bytes without random module state
+    import hashlib as _h
+
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out += _h.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+    return bytes(out[:n])
+
+
+def test_png_codec_roundtrip_all_filters():
+    from _imdb_etl_spark.operators.png_codec import decode_png, encode_png
+
+    for channels, mode in ((1, "L"), (3, "RGB"), (4, "RGBA")):
+        for w, h in ((1, 1), (3, 5), (16, 4)):
+            for ftype in range(5):
+                pix = _sample_pixels(w * h * channels, seed=ftype)
+                data = encode_png(pix, w, h, channels, filter_type=ftype)
+                assert data[:8] == b"\x89PNG\r\n\x1a\n"
+                ww, hh, m, got = decode_png(data)
+                assert (ww, hh, m) == (w, h, mode), (channels, w, h, ftype)
+                assert got == pix, f"pixel mismatch ch={channels} f={ftype}"
+
+
+def test_png_codec_rejects_corruption():
+    from _imdb_etl_spark.operators.png_codec import decode_png, encode_png
+
+    data = bytearray(encode_png(_sample_pixels(4 * 4 * 3), 4, 4, 3))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + bytes(data))
+    corrupt = bytearray(data)
+    corrupt[50] ^= 0xFF  # inside IHDR/IDAT body -> CRC must catch it
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+
+
+def test_decode_image_batch_real_codec():
+    import pandas as pd
+
+    from _imdb_etl_spark.operators.png_codec import encode_png
+
+    payloads = pd.Series(
+        [
+            encode_png(_sample_pixels(8 * 2 * 3), 8, 2, 3),
+            encode_png(_sample_pixels(5 * 7 * 1), 5, 7, 1),
+            encode_png(_sample_pixels(6 * 3 * 4), 6, 3, 4, filter_type=4),
+        ]
+    )
+    out = multimodal.decode_image_batch(payloads, use_real_codec=True)
+    assert list(out["width"]) == [8, 5, 6]
+    assert list(out["height"]) == [2, 7, 3]
+    assert list(out["mode"]) == ["RGB", "L", "RGBA"]
+
+
+@pytest.mark.skipif(not multimodal._HAVE_PIL, reason="PIL not installed")
+def test_png_codec_cross_checks_pil():
+    import io
+
+    from PIL import Image
+
+    from _imdb_etl_spark.operators.png_codec import decode_png, encode_png
+
+    # our encoder's output must be readable by PIL, pixel-exact
+    pix = _sample_pixels(9 * 4 * 3)
+    with Image.open(io.BytesIO(encode_png(pix, 9, 4, 3, filter_type=2))) as im:
+        assert (im.width, im.height, im.mode) == (9, 4, "RGB")
+        assert im.tobytes() == pix
+    # and PIL's own PNG output must be readable by our decoder
+    buf = io.BytesIO()
+    Image.frombytes("RGB", (9, 4), pix).save(buf, format="PNG")
+    w, h, mode, got = decode_png(buf.getvalue())
+    assert (w, h, mode, got) == (9, 4, "RGB", pix)
+
+
 def test_decode_image_stub_deterministic():
     import pandas as pd
 
