@@ -1,0 +1,124 @@
+"""Synthetic scale-up of the driver's parquet tables (sf0.1 -> ~sf1).
+
+The test environment ships sf0.001/0.01/0.1 only, but the engine's
+claims are about 100 TB behavior — one order of magnitude of measured
+headroom beats extrapolation. ``ensure_scaled`` materializes a
+``factor``x copy of a source sf directory by replicating every row
+``factor`` times with consistent key remapping, preserving the
+relational structure instead of naively concatenating rows:
+
+- every key/foreign-key column maps ``key * factor + replica``, so each
+  replica is a disjoint, internally-consistent copy of the whole join
+  graph (orders still find their customers, lineitems their orders) and
+  per-key fan-outs / group sizes stay exactly what they were at the
+  source sf — join selectivity and skew shape are preserved;
+- ``nation`` / ``region`` are copied unreplicated (fixed dimensions do
+  not grow with scale factor, exactly as in TPC-H);
+- ``documents.text`` tokens are salted with the replica id (and
+  ``n_chars`` recomputed): un-salted replicas would make every document
+  a 10-way exact duplicate, exploding dedup candidate groups
+  quadratically; salting keeps the duplicate RATE identical to the
+  source corpus while the corpus grows linearly — the honest dedup
+  scale-up;
+- ``events`` timestamps keep their values (10x the users emit in the
+  same window -> 10x rows per hour bucket), and sessionization still
+  sees each replicated user's original event sequence.
+
+Output layout mirrors the testdata (``<table>.parquet`` paths readable
+by sources/catalog.py); big tables are written with enough files for
+parallel scans. Generation is idempotent: a ``_DONE`` marker skips
+re-generation on every later run.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.sources.catalog import DRIVER_TABLES, table
+
+# key columns remapped to key * factor + replica (foreign keys included,
+# with the same formula, so intra-replica joins stay consistent)
+_KEYS = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "nation": None,  # fixed dims: copy once, unreplicated
+    "region": None,
+}
+
+# output files per table: enough splits that a local[32] scan (and the
+# spread() heuristic) sees real parallelism on the big tables
+_OUT_FILES = {
+    "lineitem": 32,
+    "orders": 16,
+    "events": 16,
+    "part": 8,
+    "documents": 8,
+    "embeddings": 8,
+    "customer": 4,
+    "supplier": 4,
+}
+
+
+def _replicate(df: DataFrame, name: str, factor: int) -> DataFrame:
+    keys = _KEYS.get(name)
+    if keys is None:
+        return df
+    cols = df.columns
+    rep = df.withColumn(
+        "_r", F.explode(F.array(*[F.lit(i) for i in range(factor)]))
+    )
+    out = rep.select(
+        *[
+            (F.col(c) * factor + F.col("_r")).alias(c) if c in keys else F.col(c)
+            for c in cols
+        ],
+        "_r",
+    )
+    if name == "documents":
+        # salt every token with the replica id so replicas are not
+        # near-duplicates of each other (see module docstring)
+        salted = F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda t: F.concat(t, F.lit("_"), F.col("_r").cast("string")),
+            ),
+            " ",
+        )
+        out = out.withColumn("text", salted).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+    return out.drop("_r")
+
+
+def ensure_scaled(
+    spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
+) -> float | None:
+    """Materialize a ``factor``x scaled copy of ``src_dir`` into
+    ``dst_dir`` unless already present. Returns generation seconds, or
+    None when the marker says the data is already there."""
+    marker = os.path.join(dst_dir, "_DONE")
+    if os.path.exists(marker):
+        return None
+    t0 = time.time()
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in DRIVER_TABLES:
+        df = _replicate(table(spark, src_dir, name), name, factor)
+        n_files = _OUT_FILES.get(name)
+        if n_files:
+            df = df.repartition(n_files)
+        df.write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{name}.parquet")
+        )
+    with open(marker, "w") as f:
+        f.write(f"factor={factor} src={src_dir}\n")
+    return time.time() - t0

@@ -111,18 +111,81 @@ def main() -> None:
 
     total = round(sum(t for t in times.values() if t is not None), 3)
     failed = [n for n, t in times.items() if t is None]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "failed": failed,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "failed": failed,
+        "sf": sf,
+    }
+    spot = sf1_spot(spark)
+    if spot is not None:
+        out["sf1_spot"] = spot
+    print(json.dumps(out))
+
+
+# One order of magnitude above the sf0.1 envelope: the heaviest headline
+# queries re-run against a 10x synthetic scale-up (see sources/scaleup),
+# giving the 100 TB design claims a measured scaling datapoint instead
+# of pure extrapolation. Roughly linear per-query growth (~10x the
+# sf0.1 time) is the healthy signal; super-linear growth flags a plan
+# whose cost curve bends the wrong way.
+SF1_SPOT = [
+    "fact_star_left_joins",
+    "dedup_minhash_lsh",
+    "tpch_q1_pricing_summary",
+    "tpch_q5_local_supplier_volume",
+    "events_hourly_rollup",
+]
+
+_SF1_SRC = "/root/testdata/sf0.1"
+_SF1_BUDGET_S = 240.0  # soft wall-clock cap for the whole spot section
+
+
+def sf1_spot(spark) -> dict | None:
+    """Run the SF1_SPOT queries at the 10x scale-up; never raises — a
+    broken spot section records its error instead of zeroing the main
+    bench number. Disable with BENCH_SF1=0."""
+    if os.environ.get("BENCH_SF1", "1") == "0":
+        return None
+    if not os.path.isdir(_SF1_SRC):
+        return {"error": f"source {_SF1_SRC} missing"}
+    from _imdb_etl_spark.plans import REGISTRY
+
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", "/root/repo/.benchdata/sf1"
     )
+    section: dict = {"sf": 1.0, "queries": {}, "failed": []}
+    try:
+        from _imdb_etl_spark.sources.scaleup import ensure_scaled
+
+        gen_s = ensure_scaled(spark, _SF1_SRC, sf1_dir, factor=10)
+        if gen_s is not None:
+            section["generated_sec"] = round(gen_s, 1)
+    except Exception as e:  # noqa: BLE001
+        section["error"] = f"scale-up generation failed: {e}"
+        return section
+    t_start = time.time()
+    for name in SF1_SPOT:
+        if name not in REGISTRY:
+            continue
+        if time.time() - t_start > _SF1_BUDGET_S:
+            section["failed"].append(f"{name} (budget)")
+            continue
+        try:
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                df = REGISTRY[name].spark(spark, sf1_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            section["queries"][name] = round(min(runs), 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"sf1 spot {name} failed: {e}", file=sys.stderr)
+            section["failed"].append(name)
+    section["total"] = round(sum(section["queries"].values()), 3)
+    return section
 
 
 if __name__ == "__main__":

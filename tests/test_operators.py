@@ -83,6 +83,35 @@ def test_ivf_trained_recall_vs_bruteforce(spark, sf_dir):
     assert card[0].recall_ge_150 and card[0].recall_ge_250
 
 
+def test_scaleup_preserves_relational_shape(spark, sf_dir, tmp_path):
+    from _imdb_etl_spark.sources import load_tables
+    from _imdb_etl_spark.sources.scaleup import ensure_scaled
+
+    dst = str(tmp_path / "sf_x2")
+    assert ensure_scaled(spark, sf_dir, dst, factor=2) is not None
+    assert ensure_scaled(spark, sf_dir, dst, factor=2) is None  # idempotent
+
+    for name, mult in (("orders", 2), ("lineitem", 2), ("nation", 1)):
+        (src,) = load_tables(spark, sf_dir, name)
+        (got,) = load_tables(spark, dst, name)
+        assert got.count() == src.count() * mult, name
+
+    # intra-replica join consistency: no orphaned foreign keys
+    orders, customer = load_tables(spark, dst, "orders", "customer")
+    orphans = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    )
+    assert orphans.count() == 0
+
+    # replica salting: scaled docs must contain no cross-replica exact
+    # duplicates beyond the source corpus's own duplicate rate
+    (sdocs,) = load_tables(spark, sf_dir, "documents")
+    (ddocs,) = load_tables(spark, dst, "documents")
+    src_dups = sdocs.count() - sdocs.select("text").distinct().count()
+    dst_dups = ddocs.count() - ddocs.select("text").distinct().count()
+    assert dst_dups == 2 * src_dups, (src_dups, dst_dups)
+
+
 def test_connected_components_long_chain(spark):
     """Pointer jumping must collapse a 64-node path graph in O(log n)
     rounds — plain one-hop label propagation would need 63 rounds and
