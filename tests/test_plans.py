@@ -55,6 +55,23 @@ def test_semi_anti_join_strategy(spark, sf_dir):
     assert "LeftSemi" in semi and "LeftAnti" in anti
 
 
+def test_gate_window_fits_driver_cut():
+    """The driver records only the first GATE_WINDOW_SIZE registry
+    entries per round; an intended window longer than the cut silently
+    loses its tail (round 4 listed 52 names and two got no gate row)."""
+    from _imdb_etl_spark.plans import GATE_WINDOW, GATE_WINDOW_SIZE
+
+    assert len(GATE_WINDOW) <= GATE_WINDOW_SIZE, (
+        f"intended gate window has {len(GATE_WINDOW)} entries; the "
+        f"driver records only the first {GATE_WINDOW_SIZE}"
+    )
+    assert len(set(GATE_WINDOW)) == len(GATE_WINDOW), "duplicate names"
+    missing = [n for n in GATE_WINDOW if n not in REGISTRY]
+    assert not missing, f"gate window names not in registry: {missing}"
+    # the registry must actually lead with the intended window
+    assert list(REGISTRY)[: len(GATE_WINDOW)] == GATE_WINDOW
+
+
 def test_no_cartesian_in_registry_except_intended(spark, sf_dir):
     # cross products are only ever legitimate against a broadcast side
     for name, spec in REGISTRY.items():
