@@ -15,8 +15,9 @@ Design for 100 TB:
   stage intersects — the exchange carries one row per doc, never an
   exploded or seed-multiplied shingle table.
 - `dedup_simhash` is the Arrow/pandas-UDF showcase (bit manipulation is
-  miserable as SQL); it is registered rows-only and property-tested in
-  pytest instead of oracle-hashed.
+  miserable as SQL); its oracle recomputes the signature bit-by-bit
+  from md5 hex nibbles, so candidates AND hamming distances are fully
+  hash-checked, with recall additionally property-tested in pytest.
 """
 
 from __future__ import annotations

@@ -330,6 +330,124 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Real WAV (RIFF) decode round trip via the stdlib ``wave`` codec —
+# the audio sibling of multimodal_decode_png. PCM payload bytes are the
+# same ASCII md5-chain trick, so the DuckDB twin rebuilds the exact
+# frame bytes with repeat/substr and hashes them; channel count and
+# frame count vary per asset so the header parsing is exercised across
+# geometries, not one fixed shape.
+_WAV_RATE = 8000
+_WAV_WIDTH = 2  # bytes per sample
+
+
+def _wav_geom(doc_id: int) -> tuple[int, int]:
+    """(n_channels, n_frames) for an asset id."""
+    return 1 + doc_id % 2, 800 + (doc_id % 5) * 160
+
+
+def _wav_pcm(doc_id: int) -> bytes:
+    ch, nf = _wav_geom(doc_id)
+    n = nf * ch * _WAV_WIDTH
+    hexs = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return (hexs * (n // 32 + 1))[:n].encode("ascii")
+
+
+_WAV_DECODE_SQL = f"""
+SELECT doc_id AS asset_id,
+       CAST(1 + doc_id % 2 AS INT) AS n_channels,
+       CAST({_WAV_WIDTH} AS INT) AS sample_width,
+       CAST({_WAV_RATE} AS INT) AS sample_rate,
+       CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_frames,
+       CAST((800 + (doc_id % 5) * 160) * 1000 // {_WAV_RATE} AS BIGINT) AS duration_ms,
+       md5(substr(repeat(md5(CAST(doc_id AS VARCHAR)),
+                         CAST((800 + (doc_id % 5) * 160) * (1 + doc_id % 2) * {_WAV_WIDTH} // 32 + 1 AS INT)),
+                  1,
+                  CAST((800 + (doc_id % 5) * 160) * (1 + doc_id % 2) * {_WAV_WIDTH} AS INT))) AS pcm_md5
+FROM documents
+ORDER BY asset_id
+"""
+
+_WAV_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+_WAV_DECODE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_width", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def _encode_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["asset_id"]:
+            doc_id = int(doc_id)
+            ch, _ = _wav_geom(doc_id)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(ch)
+                w.setsampwidth(_WAV_WIDTH)
+                w.setframerate(_WAV_RATE)
+                w.writeframes(_wav_pcm(doc_id))
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+
+def _decode_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in _WAV_DECODE_SCHEMA}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                nf = w.getnframes()
+                rows["asset_id"].append(asset_id)
+                rows["n_channels"].append(w.getnchannels())
+                rows["sample_width"].append(w.getsampwidth())
+                rows["sample_rate"].append(w.getframerate())
+                rows["n_frames"].append(nf)
+                rows["duration_ms"].append(nf * 1000 // w.getframerate())
+                rows["pcm_md5"].append(
+                    hashlib.md5(w.readframes(nf)).hexdigest()
+                )
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "multimodal_decode_wav",
+    _WAV_DECODE_SQL,
+    doc="REAL audio decode through the multimodal plumbing: a binary "
+    "column of genuine WAV files (stdlib wave codec — RIFF chunk "
+    "framing, fmt header, PCM frames) decoded back to header fields "
+    "and frame bytes in mapInPandas. Channel count and frame count "
+    "vary per asset; the oracle recomputes every header field and the "
+    "md5 of the PCM bytes from the same deterministic ASCII source, "
+    "so a parsing or framing error flips the hash. Completes the "
+    "image(PNG)+audio(WAV) real-codec pair.",
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assets = docs.select(F.col("doc_id").alias("asset_id"))
+    payloads = assets.mapInPandas(_encode_wavs, _WAV_SCHEMA)
+    return payloads.mapInPandas(_decode_wavs, _WAV_DECODE_SCHEMA).orderBy(
+        "asset_id"
+    )
+
+
 _RESIZE_STRIDE = 4
 
 _RESIZE_SCHEMA = StructType(

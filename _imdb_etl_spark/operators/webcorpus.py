@@ -265,6 +265,85 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hash-bucket expression shared by both engines: the first 4 md5 hex
+# chars of the doc id as an integer, reduced mod 1000. 65536 % 1000 !=
+# 0, so buckets 0-535 are marginally likelier (1/65536 each) — an
+# acceptable, documented bias for mix control; both engines compute
+# the identical membership so the oracle is exact.
+_BUCKET_SQL = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    )
+    + ") % 1000)"
+)
+
+_BALANCED_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+t AS (SELECT MIN(n_docs) AS target FROM counts),
+rates AS (
+  SELECT lang, n_docs,
+         LEAST(1000, target * 1000 // n_docs) AS keep_permille
+  FROM counts, t
+),
+h AS (SELECT lang, n_chars, {_BUCKET_SQL} AS bucket FROM documents)
+SELECT r.lang,
+       r.n_docs,
+       CAST(r.keep_permille AS BIGINT) AS keep_permille,
+       CAST(SUM(CASE WHEN h.bucket < r.keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN h.bucket < r.keep_permille THEN h.n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM h JOIN rates r ON h.lang = r.lang
+GROUP BY r.lang, r.n_docs, r.keep_permille
+ORDER BY r.lang
+"""
+
+
+@register(
+    "corpus_balanced_sample",
+    _BALANCED_SQL,
+    doc="Language-mix rebalancing: every language downsampled to the "
+    "smallest language's document count via deterministic hash "
+    "thresholding — membership comes from md5(doc_id) mod 1000 against "
+    "a per-language permille rate, so the sample is content-stable "
+    "across re-runs and engines (no RNG), the standard way a "
+    "pretraining pipeline pins its mix. Scale shape: the per-language "
+    "counts are one tiny shuffle, the rate table is |langs| rows and "
+    "broadcasts, membership is map-side arithmetic over the corpus, "
+    "and the final aggregate shuffles on the language key once.",
+)
+def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    target = counts.agg(F.min("n_docs").alias("target"))
+    rates = counts.crossJoin(F.broadcast(target)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1000).cast("long"), F.expr("target * 1000 div n_docs")
+        ).alias("keep_permille"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    probe = docs.select("lang", "n_chars", bucket.alias("bucket"))
+    kept = F.col("bucket") < F.col("keep_permille")
+    return (
+        probe.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "keep_permille")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 _VOCAB_K = 100
 
 _OOV_SQL = f"""

@@ -58,6 +58,8 @@ GATE_WINDOW = [
     "approx_distinct_users",
     "sim_knn_ivf_trained",
     "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "corpus_balanced_sample",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -100,11 +102,9 @@ GATE_WINDOW = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "window_suite_customer_orders",
-    # -- round-3-vintage queries over code paths touched this round
-    # (spread() rewrite, similarity refactor)
+    # -- round-3-vintage query over a code path touched this round
+    # (the spread() rewrite)
     "vocab_top_words",
-    "sim_knn_ivf",
-    "decontaminate_vs_eval",
 ]
 # everything below keeps local-only coverage this round (all have
 # green rows from rounds 3-4)

@@ -225,6 +225,25 @@ def test_png_codec_cross_checks_pil():
     assert (w, h, mode, got) == (9, 4, "RGB", pix)
 
 
+def test_wav_roundtrip_geometry():
+    import pandas as pd
+
+    from _imdb_etl_spark.operators.multimodal import (
+        _decode_wavs,
+        _encode_wavs,
+        _wav_geom,
+    )
+
+    src = pd.DataFrame({"asset_id": [0, 1, 2, 3, 7]})
+    (enc,) = list(_encode_wavs(iter([src])))
+    assert all(bytes(p[:4]) == b"RIFF" for p in enc["payload"])
+    (dec,) = list(_decode_wavs(iter([enc])))
+    for _, r in dec.iterrows():
+        ch, nf = _wav_geom(int(r.asset_id))
+        assert (r.n_channels, r.n_frames) == (ch, nf)
+        assert r.sample_rate == 8000 and r.sample_width == 2
+
+
 def test_decode_image_stub_deterministic():
     import pandas as pd
 
