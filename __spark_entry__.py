@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from _imdb_etl_spark.plans import REGISTRY
+from _imdb_etl_spark.plans import REGISTRY, apply_gate_order
 
 FLAGSHIP = "graf3_top10_customers"
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -25,6 +25,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # the driver records only the first N entries: re-assert gate order
+    # so it holds regardless of what was imported before this module
+    apply_gate_order()
     return {name: spec.spark for name, spec in REGISTRY.items()}
 
 

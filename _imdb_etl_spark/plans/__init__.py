@@ -60,15 +60,19 @@ GATE_WINDOW = [
     "multimodal_decode_png",
     "multimodal_decode_wav",
     "corpus_balanced_sample",
+    "streaming_join_view_purchase",
+    "grouped_agg_pandas_udaf",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
     "corpus_domain_cap",
     "jsonl_roundtrip_source",
     # -- (d) greens last proven in round 1, oldest first-party coverage
+    # (cross_join_dense_grid and setop_intersect_nations yield their
+    # slots to the two new queries above: both are r1-green, trivially
+    # stable, and their families stay represented in-window)
     "anti_join_small_spenders",
     "case_date_buckets",
-    "cross_join_dense_grid",
     "dim_people_fanout_distinct",
     "embedding_array_stats",
     "fuzzy_part_name_match",
@@ -89,7 +93,6 @@ GATE_WINDOW = [
     "sample_stratified_customers",
     "semi_join_big_spenders",
     "setop_except_nations",
-    "setop_intersect_nations",
     "setop_union_nations",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
@@ -124,10 +127,33 @@ _GATE_REST = [
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 
-_ordered = {n: REGISTRY[n] for n in _GATE_ORDER if n in REGISTRY}
-for _n, _spec in list(REGISTRY.items()):
-    _ordered.setdefault(_n, _spec)
-REGISTRY.clear()
-REGISTRY.update(_ordered)
 
-__all__ = ["REGISTRY", "QuerySpec", "register", "GATE_WINDOW", "GATE_WINDOW_SIZE"]
+def apply_gate_order() -> None:
+    """Reorder REGISTRY in place to gate-priority order (idempotent).
+
+    Runs once at import, but consumers of the ORDER (the driver
+    contract in __spark_entry__.py, the gate-window test) re-apply it:
+    if an operator module is imported before this package, the
+    circular import back into the partially-initialized package means
+    that module's queries register only AFTER the import-time reorder
+    ran, leaving them appended at the end — silently outside the
+    driver's recording window. Re-applying at consumption time makes
+    the order correct under any import order.
+    """
+    ordered = {n: REGISTRY[n] for n in _GATE_ORDER if n in REGISTRY}
+    for n, spec in list(REGISTRY.items()):
+        ordered.setdefault(n, spec)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+apply_gate_order()
+
+__all__ = [
+    "REGISTRY",
+    "QuerySpec",
+    "register",
+    "GATE_WINDOW",
+    "GATE_WINDOW_SIZE",
+    "apply_gate_order",
+]

@@ -6,6 +6,8 @@ user of this engine needs at 100 TB.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves postponed hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -479,6 +481,64 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm")
     ).orderBy("vec_id")
+
+
+_UDAF_SQL = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n_items,
+       CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * CAST(l_quantity AS BIGINT)) AS BIGINT)
+            // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+            AS BIGINT) AS wavg_price_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@register(
+    "grouped_agg_pandas_udaf",
+    _UDAF_SQL,
+    doc="GROUPED_AGG pandas UDAF — the custom-aggregate flavor of the "
+    "Python API (series in, scalar out, Arrow-batched per group; "
+    "completes the UDF family next to applyInPandas, mapInPandas, "
+    "mapInArrow, and the UDTF): quantity-weighted average price per "
+    "return flag. All arithmetic is exact int64 (prices in cents, "
+    "integer quantities, floor-divided ratio), so the result is "
+    "bitwise-stable across engines and partitionings — the same "
+    "policy reason the engine sums decimals, applied to a Python "
+    "aggregate. Caveat vs built-ins: a pandas GROUPED_AGG ships whole "
+    "groups to Python (no partial aggregation), so at 100 TB it fits "
+    "bounded per-group data; unbounded-group aggregates belong in "
+    "codegen or applyInPandas over pre-aggregated slices.",
+)
+def grouped_agg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def wavg_price_cents(price: pd.Series, qty: pd.Series) -> int:
+        cents = (price * 100).round().astype("int64")
+        q = qty.astype("int64")
+        return int((cents * q).sum() // q.sum())
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with JVM
+    # aggregates in one agg (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # row count is a pandas aggregate too
+    @pandas_udf("long")
+    def n_rows(price: pd.Series) -> int:
+        return len(price)
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            n_rows("l_extendedprice").alias("n_items"),
+            wavg_price_cents("l_extendedprice", "l_quantity").alias(
+                "wavg_price_cents"
+            ),
+        )
+        .orderBy("flag")
+    )
 
 
 # GK sketch accuracy 1000 => ~0.1% rank error; the oracle-checked band

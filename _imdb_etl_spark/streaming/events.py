@@ -217,6 +217,71 @@ def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SS_JOIN_SQL = """
+SELECT p.user_id,
+       p.event_id AS p_event_id,
+       v.event_id AS v_event_id,
+       epoch_ms(p.ts) - epoch_ms(v.ts) AS gap_ms
+FROM events p
+JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
+ORDER BY p_event_id, v_event_id
+"""
+
+
+@register(
+    "streaming_join_view_purchase",
+    _STREAM_SS_JOIN_SQL,
+    doc="Stream-STREAM interval join (the stateful join Structured "
+    "Streaming is built for, distinct from the stream-static enrich): "
+    "a purchases stream inner-joins a views stream on user with an "
+    "event-time range (view within 30 minutes before the purchase). "
+    "Both sides carry 1h watermarks and the range predicate bounds "
+    "the join state — views older than watermark + 30min are evicted, "
+    "so state is O(window), never O(stream). Emitted in append mode; "
+    "on bounded replay the pair set must equal the batch interval "
+    "join, which is the oracle.",
+)
+def streaming_ss_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev_p = read_events_stream(spark, sf_dir)
+    ev_v = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev_p.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    views = (
+        ev_v.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "v_user = p_user AND "
+            "v_ts BETWEEN p_ts - INTERVAL 30 MINUTES AND p_ts"
+        ),
+    )
+    name = f"stream_ssjoin_{next(_counter)}"
+    out = _run_to_memory(joined, name, output_mode="append")
+    return out.select(
+        F.col("p_user").alias("user_id"),
+        "p_event_id",
+        "v_event_id",
+        (F.unix_millis("p_ts") - F.unix_millis("v_ts")).alias("gap_ms"),
+    ).orderBy("p_event_id", "v_event_id")
+
+
 _STREAM_ENRICH_SQL = """
 SELECT n.n_name AS nation,
        COUNT(*) AS n_events,

@@ -59,7 +59,15 @@ def test_gate_window_fits_driver_cut():
     """The driver records only the first GATE_WINDOW_SIZE registry
     entries per round; an intended window longer than the cut silently
     loses its tail (round 4 listed 52 names and two got no gate row)."""
-    from _imdb_etl_spark.plans import GATE_WINDOW, GATE_WINDOW_SIZE
+    from _imdb_etl_spark.plans import (
+        GATE_WINDOW,
+        GATE_WINDOW_SIZE,
+        apply_gate_order,
+    )
+
+    # mirror the driver contract (__spark_entry__.queries), which
+    # re-applies the order to be robust to module import order
+    apply_gate_order()
 
     assert len(GATE_WINDOW) <= GATE_WINDOW_SIZE, (
         f"intended gate window has {len(GATE_WINDOW)} entries; the "

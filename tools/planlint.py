@@ -97,6 +97,7 @@ SKIP = {
     "streaming_stateful_user_totals",
     "streaming_dedup_events",
     "streaming_enrich_events",
+    "streaming_join_view_purchase",
     "streaming_pysource_bucket_counts",
     "sim_knn_ivf_trained",
     "merge_scd1_vip_segment",  # writes a table, then diffs snapshots
