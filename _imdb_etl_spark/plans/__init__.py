@@ -62,15 +62,16 @@ GATE_WINDOW = [
     "corpus_balanced_sample",
     "streaming_join_view_purchase",
     "grouped_agg_pandas_udaf",
+    "sql_udf_revenue",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
     "corpus_domain_cap",
     "jsonl_roundtrip_source",
     # -- (d) greens last proven in round 1, oldest first-party coverage
-    # (cross_join_dense_grid and setop_intersect_nations yield their
-    # slots to the two new queries above: both are r1-green, trivially
-    # stable, and their families stay represented in-window)
+    # (cross_join_dense_grid, setop_intersect_nations, and
+    # setop_except_nations yield their slots to the new queries above:
+    # all r1-green, trivially stable, families still represented)
     "anti_join_small_spenders",
     "case_date_buckets",
     "dim_people_fanout_distinct",
@@ -92,7 +93,6 @@ GATE_WINDOW = [
     "sample_deterministic_orders",
     "sample_stratified_customers",
     "semi_join_big_spenders",
-    "setop_except_nations",
     "setop_union_nations",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",

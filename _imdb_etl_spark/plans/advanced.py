@@ -483,6 +483,51 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+_SQL_UDF_SQL = """
+SELECT l_returnflag AS flag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY flag
+"""
+
+
+@register(
+    "sql_udf_revenue",
+    _SQL_UDF_SQL,
+    doc="SQL UDF (CREATE FUNCTION ... RETURN <expr>, Spark 4): the "
+    "discounted-price formula packaged as a named session function and "
+    "used inside an aggregate. Unlike every Python UDF flavor, a SQL "
+    "UDF is INLINED by Catalyst — the plan is pure whole-stage codegen "
+    "with no serialization boundary, making it the first-choice "
+    "packaging for shareable scalar logic; the UDF body applies the "
+    "engine's exact-decimal policy (operands cast to narrow decimals "
+    "BEFORE the multiply — a double multiply rounded afterwards hits "
+    "half-even/half-up midpoint drift between engines). Oracle states "
+    "the inlined expression.",
+)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqludf_disc_price("
+        "p DOUBLE, d DOUBLE) RETURNS DECIMAL(21,4) "
+        "RETURN CAST(p AS DECIMAL(12,2)) * CAST(1 - d AS DECIMAL(8,2))"
+    )
+    lineitem.createOrReplaceTempView("lineitem_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag,
+               COUNT(*) AS n_items,
+               CAST(SUM(sqludf_disc_price(l_extendedprice, l_discount)) AS DOUBLE) AS revenue
+        FROM lineitem_sqludf
+        GROUP BY l_returnflag
+        ORDER BY flag
+        """
+    )
+
+
 _UDAF_SQL = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n_items,
