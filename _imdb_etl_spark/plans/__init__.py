@@ -63,17 +63,19 @@ GATE_WINDOW = [
     "streaming_join_view_purchase",
     "grouped_agg_pandas_udaf",
     "sql_udf_revenue",
+    "recursive_cte_amortization",
+    "lateral_top_orders_per_customer",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
     "corpus_domain_cap",
     "jsonl_roundtrip_source",
     # -- (d) greens last proven in round 1, oldest first-party coverage
-    # (cross_join_dense_grid, setop_intersect_nations, and
-    # setop_except_nations yield their slots to the new queries above:
-    # all r1-green, trivially stable, families still represented)
+    # (cross_join_dense_grid, setop_intersect/except_nations,
+    # case_date_buckets, and sample_deterministic_orders yield their
+    # slots to the new queries above: all r1-green, trivially stable,
+    # and their families stay represented in-window or in r3 greens)
     "anti_join_small_spenders",
-    "case_date_buckets",
     "dim_people_fanout_distinct",
     "embedding_array_stats",
     "fuzzy_part_name_match",
@@ -90,7 +92,6 @@ GATE_WINDOW = [
     "quantiles_price_by_flag",
     "rollup_orders_status_priority",
     "salted_agg_by_priority",
-    "sample_deterministic_orders",
     "sample_stratified_customers",
     "semi_join_big_spenders",
     "setop_union_nations",

@@ -483,6 +483,93 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# Amortization-schedule unrolling — the classic WITH RECURSIVE shape:
+# iteration count is data-dependent (ceil(totalprice / installment)),
+# which no static UNION ALL can express. Arithmetic stays exact: the
+# prices are 2-decimal values and the installment is integral, so the
+# double subtraction chain is exactly representable and both engines
+# agree bitwise on every remaining balance and on the > 0 recursion
+# predicate. The orderkey filter bounds the anchor at test scale; at
+# 100 TB each iteration is one distributed self-union step whose frame
+# shrinks as orders pay off.
+_RECURSIVE_TMPL = """
+WITH RECURSIVE pay AS (
+  SELECT o_orderkey, 1 AS installment_no,
+         CAST(o_totalprice AS DOUBLE) - 50000.0 AS remaining
+  FROM {orders} WHERE o_orderkey % 100 = 0
+  UNION ALL
+  SELECT o_orderkey, installment_no + 1, remaining - 50000.0
+  FROM pay WHERE remaining > 0
+)
+SELECT o_orderkey, COUNT(*) AS n_installments,
+       CAST(MIN(remaining) AS DOUBLE) AS final_balance
+FROM pay GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
+@register(
+    "recursive_cte_amortization",
+    _RECURSIVE_TMPL.format(orders="orders"),
+    doc="WITH RECURSIVE (Spark 4): per-order installment schedule "
+    "unrolled until the balance clears — data-dependent iteration "
+    "depth that static SQL cannot express. The DuckDB oracle runs the "
+    "identical recursion; exact double arithmetic (2-decimal prices, "
+    "integral installment) keeps every intermediate balance and the "
+    "recursion predicate bitwise-identical across engines.",
+)
+def recursive_cte_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_rec_v")
+    return spark.sql(_RECURSIVE_TMPL.format(orders="orders_rec_v"))
+
+
+# DuckDB needs an explicit ON TRUE for JOIN LATERAL; Spark's parser
+# takes the bare form. Same semantics, per-dialect text.
+_LATERAL_ORACLE = """
+SELECT c.c_custkey AS custkey, l.o_orderkey AS orderkey,
+       CAST(l.o_totalprice AS DOUBLE) AS totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) l ON TRUE
+WHERE c.c_custkey % 50 = 0
+ORDER BY custkey, totalprice DESC, orderkey
+"""
+
+
+@register(
+    "lateral_top_orders_per_customer",
+    _LATERAL_ORACLE,
+    doc="Correlated LATERAL subquery with ORDER BY ... LIMIT: top-2 "
+    "orders per probed customer, expressed as the SQL-standard lateral "
+    "join rather than a window+filter. Catalyst decorrelates the "
+    "per-row subquery (DecorrelateInnerQuery) into a joinable plan — "
+    "no per-customer re-execution, unlike a naive nested-loop "
+    "interpretation; the oracle states the same lateral in DuckDB's "
+    "dialect (explicit ON TRUE).",
+)
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = load_tables(spark, sf_dir, "orders", "customer")
+    orders.createOrReplaceTempView("orders_lat_v")
+    customer.createOrReplaceTempView("customer_lat_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, l.o_orderkey AS orderkey,
+               CAST(l.o_totalprice AS DOUBLE) AS totalprice
+        FROM customer_lat_v c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat_v o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) l
+        WHERE c.c_custkey % 50 = 0
+        ORDER BY custkey, totalprice DESC, orderkey
+        """
+    )
+
+
 _SQL_UDF_SQL = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n_items,
