@@ -74,6 +74,29 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(table(spark, sf_dir, n) for n in names)
 
 
+def reap_stale_pid_dirs(base: str, prefix: str) -> None:
+    """Best-effort GC of pid-suffixed output dirs (``<prefix>_<pid>``)
+    left by finished processes — a dir is stale when its embedded pid
+    is no longer alive. Keeps per-process sink/staging outputs (used
+    so concurrent harness runs never race on one path) from
+    accumulating one directory per run."""
+    import re
+    import shutil
+
+    if not os.path.isdir(base):
+        return
+    for entry in os.listdir(base):
+        m = re.fullmatch(re.escape(prefix) + r"_(\d+)", entry)
+        if not m or int(m.group(1)) == os.getpid():
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid alive under another uid — leave it
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Widen pathologically under-partitioned input without taxing
     already-parallel input.

@@ -51,26 +51,6 @@ ORDER BY lang
 """
 
 
-def _reap_stale_outputs() -> None:
-    """Best-effort GC of pid-suffixed output dirs left by finished
-    processes (a dir is stale when its embedded pid is no longer
-    alive); keeps spark-warehouse from accumulating one dir per run."""
-    import re
-    import shutil
-
-    base = os.path.dirname(_OUT_DIR)
-    for entry in os.listdir(base):
-        m = re.fullmatch(r"jsonl_docs_(\d+)", entry)
-        if not m or int(m.group(1)) == os.getpid():
-            continue
-        try:
-            os.kill(int(m.group(1)), 0)
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another uid — leave it
-
-
 @register(
     "jsonl_roundtrip_source",
     _JSONL_SQL,
@@ -82,9 +62,11 @@ def _reap_stale_outputs() -> None:
     "bytes, counts) — not just the aggregate math.",
 )
 def jsonl_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
     (docs,) = load_tables(spark, sf_dir, "documents")
     os.makedirs(os.path.dirname(_OUT_DIR), exist_ok=True)
-    _reap_stale_outputs()
+    reap_stale_pid_dirs(os.path.dirname(_OUT_DIR), "jsonl_docs")
     docs.write.mode("overwrite").json(_OUT_DIR)
     back = (
         spark.read.schema(_DOC_SCHEMA)

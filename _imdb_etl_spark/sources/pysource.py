@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from _imdb_etl_spark.plans.registry import register
@@ -253,3 +255,136 @@ def streaming_pysource_bucket_counts(
         if ckpt is not None:
             shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Writer form: the same connector seam for custom SINKS (Spark 4
+# DataSourceWriter) — export to systems Spark has no built-in writer
+# for (APIs, bespoke formats, non-JVM stores).
+# ---------------------------------------------------------------------------
+
+
+class _PartFile(WriterCommitMessage):
+    """Commit message carrying one task's temp-file path to the driver."""
+
+    def __init__(self, tmp: str):
+        self.tmp = tmp
+
+
+class JsonLinesSinkWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink: each task writes its partition to a
+    hidden temp file and reports it in a WriterCommitMessage; only the
+    driver-side commit() renames temp files to final part files and
+    drops a _SUCCESS marker, and abort() removes the temps — so a
+    failed or speculative task can never leave a half-visible file.
+    This is the same task-commit/job-commit protocol real file sinks
+    use, expressed through the Python writer API. Local-FS paths here;
+    on a cluster the rename target must be shared storage (or the
+    commit uploads to the destination system)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options["path"]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+        return _PartFile(tmp)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        if self.overwrite:
+            for entry in os.listdir(self.dir):
+                if entry.startswith("part-") or entry == "_SUCCESS":
+                    p = os.path.join(self.dir, entry)
+                    shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        for i, m in enumerate(messages):
+            os.rename(m.tmp, os.path.join(self.dir, f"part-{i:05d}.json"))
+        open(os.path.join(self.dir, "_SUCCESS"), "w").close()
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp)
+            except FileNotFoundError:
+                pass
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("pysink_jsonl").option("path", dir)`` — the
+    writer half of the custom-connector seam."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pysink_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonLinesSinkWriter(self.options, overwrite)
+
+
+_PYSINK_DIR = f"/root/repo/spark-warehouse/pysink_docs_{__import__('os').getpid()}"
+
+_PYSINK_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "pysink_roundtrip_docs",
+    _PYSINK_SQL,
+    doc="Custom Python DataSource WRITER (Spark 4): documents written "
+    "through a two-phase-commit JSONL sink (task temp files -> "
+    "WriterCommitMessage -> driver-side rename + _SUCCESS; abort "
+    "cleans temps) and read back with an explicit schema. The oracle "
+    "aggregates the ORIGINAL table, so a sink that drops, duplicates, "
+    "or corrupts one row fails the value hash — the writer path is "
+    "verified end to end, completing the connector seam "
+    "(batch read / stream read / write).",
+)
+def pysink_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from _imdb_etl_spark.sources import load_tables
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    reap_stale_pid_dirs(os.path.dirname(_PYSINK_DIR), "pysink_docs")
+    spark.dataSource.register(JsonLinesSinkDataSource)
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    (
+        docs.select("doc_id", "lang", "n_chars")
+        .write.format("pysink_jsonl")
+        .option("path", _PYSINK_DIR)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.schema("doc_id bigint, lang string, n_chars bigint").json(
+        f"{_PYSINK_DIR}/part-*.json"
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
