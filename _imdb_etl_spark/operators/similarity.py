@@ -521,6 +521,82 @@ def sim_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Int8 scalar quantization of the embedding column — the storage/
+# serving compression step of a vector pipeline (4x smaller than fp32,
+# dot products in integer SIMD downstream). Symmetric per-vector
+# scheme: q_i = floor(x_i * 127 / max|x| + 0.5). floor(x + 0.5) is
+# used instead of round() deliberately: Spark/numpy round half-even
+# while DuckDB rounds half-away, and quantization grids hit exact .5
+# midpoints; floor+0.5 is the same IEEE op sequence in both engines,
+# so every quantized value is bitwise-identical. All JVM-side array
+# lambdas — zero Python in the plan.
+_QUANT_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         len(embedding) AS dim,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id,
+       dim,
+       ROUND(absmax, 6) AS scale_absmax,
+       CAST(list_sum(list_transform(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 127 / absmax + 0.5))) AS BIGINT) AS q_checksum,
+       CAST(len(list_filter(embedding,
+            x -> floor(CAST(x AS DOUBLE) * 127 / absmax + 0.5) = 127)) AS BIGINT) AS n_saturated,
+       ROUND(list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)
+                     - floor(CAST(x AS DOUBLE) * 127 / absmax + 0.5)
+                       * absmax / 127))), 6) AS max_abs_err
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_quantize_int8",
+    _QUANT_SQL,
+    doc="Int8 symmetric per-vector quantization of the embedding "
+    "column (the 4x storage-compression step before a vector index "
+    "ships to serving): per-vector absmax scale, quantized-value "
+    "checksum, saturation count, and max dequantization error — all "
+    "as JVM array lambdas in codegen, no Python. floor(x*127/absmax "
+    "+ 0.5) instead of round() keeps midpoint behavior identical "
+    "across engines, so the oracle hash pins every quantized value.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    x = lambda c: c.cast("double")  # noqa: E731
+    absmax = F.array_max(F.transform("embedding", lambda c: F.abs(x(c))))
+    q = emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        absmax.alias("absmax"),
+        "embedding",
+    )
+    quant = lambda c: F.floor(x(c) * 127 / F.col("absmax") + 0.5)  # noqa: E731
+    dequant_err = lambda c: F.abs(  # noqa: E731
+        x(c) - quant(c) * F.col("absmax") / 127
+    )
+    return q.select(
+        "vec_id",
+        "dim",
+        F.round("absmax", 6).alias("scale_absmax"),
+        F.aggregate(
+            F.transform("embedding", quant), F.lit(0.0), lambda a, b: a + b
+        )
+        .cast("long")
+        .alias("q_checksum"),
+        F.size(F.filter(F.col("embedding"), lambda c: quant(c) == 127))
+        .cast("long")
+        .alias("n_saturated"),
+        F.round(
+            F.array_max(F.transform("embedding", dequant_err)), 6
+        ).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
 _COS_THRESH = 0.45
 
 _NORM_SQL = _DOT_SQL.format(a="embedding", b="embedding", dim=_DIM)

@@ -66,6 +66,7 @@ GATE_WINDOW = [
     "recursive_cte_amortization",
     "lateral_top_orders_per_customer",
     "pysink_roundtrip_docs",
+    "embedding_quantize_int8",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -91,7 +92,8 @@ GATE_WINDOW = [
     "p1_projection_rename",
     "p2_distinct_projection",
     "p3_degenerate_dim",
-    "quantiles_price_by_flag",
+    # (quantiles_price_by_flag yielded its slot: its exact quantiles
+    # are re-proven every round inside approx_quantiles_price)
     "rollup_orders_status_priority",
     "salted_agg_by_priority",
     "sample_stratified_customers",
