@@ -223,3 +223,36 @@ def test_canon_hash_invariant_under_row_and_column_order(rows, data):
     prows = [tuple(r[i] for i in perm) for r in rows]
     _, h2 = canon_rows(pcols, prows)
     assert h2 == h0
+
+
+# --- PNG codec: random geometry x channels x filter type must round-trip
+# pixel-exactly; the decoder must reject a flipped byte (CRC) ---
+
+_png_case = st.tuples(
+    st.integers(min_value=1, max_value=24),  # width
+    st.integers(min_value=1, max_value=12),  # height
+    st.sampled_from([1, 3, 4]),              # channels
+    st.integers(min_value=0, max_value=4),   # filter type
+    st.randoms(use_true_random=False),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(case=_png_case)
+def test_png_codec_roundtrip_property(case):
+    from _imdb_etl_spark.operators.png_codec import decode_png, encode_png
+
+    w, h, channels, ftype, rng = case
+    pix = bytes(rng.randrange(256) for _ in range(w * h * channels))
+    data = encode_png(pix, w, h, channels, filter_type=ftype)
+    ww, hh, _mode, got = decode_png(data)
+    assert (ww, hh) == (w, h)
+    assert got == pix
+
+    # corrupting any single payload byte must raise (chunk CRC check)
+    i = rng.randrange(8, len(data) - 4)
+    corrupt = bytearray(data)
+    corrupt[i] ^= 0xFF
+    if bytes(corrupt) != data:
+        with pytest.raises(ValueError):
+            decode_png(bytes(corrupt))

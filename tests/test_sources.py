@@ -142,3 +142,22 @@ def test_events_ts_normalizes_for_both_physical_types(spark, tmp_path):
         assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
         got[name] = sorted(r.ts for r in df.collect())
     assert got["ns"] == got["us"]
+
+
+def test_reap_stale_pid_dirs(tmp_path):
+    import os
+    import subprocess
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    base = str(tmp_path)
+    # a pid that existed but is gone (child reaped by wait())
+    dead = subprocess.Popen(["true"])
+    dead.wait()
+    os.makedirs(os.path.join(base, f"foo_{dead.pid}"))
+    os.makedirs(os.path.join(base, f"foo_{os.getpid()}"))  # live: ours
+    os.makedirs(os.path.join(base, "other_dir"))  # non-matching prefix
+    reap_stale_pid_dirs(base, "foo")
+    assert sorted(os.listdir(base)) == sorted(
+        [f"foo_{os.getpid()}", "other_dir"]
+    )
