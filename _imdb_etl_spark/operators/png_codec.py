@@ -134,9 +134,10 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         typ = data[pos + 4 : pos + 8]
         body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        crc_raw = data[pos + 8 + length : pos + 12 + length]
+        if len(body) != length or len(crc_raw) != 4:
             raise ValueError(f"truncated {typ!r} chunk")
-        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        (crc,) = struct.unpack(">I", crc_raw)
         if crc != zlib.crc32(typ + body) & 0xFFFFFFFF:
             raise ValueError(f"CRC mismatch in {typ!r} chunk")
         if typ == b"IHDR":

@@ -42,11 +42,12 @@ from _imdb_etl_spark import streaming  # noqa: E402,F401
 # queries whose implementation or oracle SQL changed this round — a
 # prior green row no longer vouches for them; (d) every remaining
 # query whose only green row is from round 1 (the oldest coverage),
-# plus three round-3-vintage queries sharing code paths touched this
-# round. r1 U r2 U r3 U r4 U r5 then gives all 126 registered queries
-# at least one driver-gate row, every one of them green or no_oracle-
-# by-design. Everything after the window keeps per-round coverage via
-# tools/check.py + pytest.
+# plus a round-3-vintage query over the rewritten spread() path. Every
+# query registered BEFORE round 5 already has a green row in some
+# round, and every round-5 addition is in this window — so r1 U ... U
+# r5 gives the full registry at least one driver-gate row, every one
+# green or no_oracle-by-design. Everything after the window keeps
+# per-round coverage via tools/check.py + pytest.
 GATE_WINDOW_SIZE = 50
 GATE_WINDOW = [
     # -- (a) never gated / dropped by round 4's off-by-two

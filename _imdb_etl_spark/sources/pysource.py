@@ -26,6 +26,7 @@ overhead in the iterator protocol only.
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -314,7 +315,12 @@ class JsonLinesSinkWriter(DataSourceWriter):
     def abort(self, messages):
         import os
 
+        # the contract delivers None in place of the commit message of
+        # any FAILED task — skip those or the cleanup itself crashes
+        # and leaves the surviving temp files behind
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.tmp)
             except FileNotFoundError:
@@ -333,7 +339,7 @@ class JsonLinesSinkDataSource(DataSource):
         return JsonLinesSinkWriter(self.options, overwrite)
 
 
-_PYSINK_DIR = f"/root/repo/spark-warehouse/pysink_docs_{__import__('os').getpid()}"
+_PYSINK_DIR = f"/root/repo/spark-warehouse/pysink_docs_{os.getpid()}"
 
 _PYSINK_SQL = """
 SELECT lang,
@@ -360,8 +366,6 @@ ORDER BY lang
     "(batch read / stream read / write).",
 )
 def pysink_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from _imdb_etl_spark.sources import load_tables
     from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
 

@@ -100,25 +100,62 @@ def _replicate(df: DataFrame, name: str, factor: int) -> DataFrame:
     return out.drop("_r")
 
 
+def _marker_text(src_dir: str, factor: int) -> str:
+    """Generation fingerprint: factor + source path + source file
+    sizes. If the source testdata drifts between rounds (it has
+    before) or a different factor is requested, the marker no longer
+    matches and the data regenerates instead of being silently reused
+    at the wrong scale."""
+    sizes = []
+    for name in DRIVER_TABLES:
+        p = os.path.join(src_dir, f"{name}.parquet")
+        try:
+            sizes.append(f"{name}:{os.stat(p).st_size}")
+        except OSError:
+            sizes.append(f"{name}:absent")
+    return f"factor={factor} src={src_dir} {' '.join(sizes)}\n"
+
+
 def ensure_scaled(
     spark: SparkSession, src_dir: str, dst_dir: str, factor: int = 10
 ) -> float | None:
     """Materialize a ``factor``x scaled copy of ``src_dir`` into
-    ``dst_dir`` unless already present. Returns generation seconds, or
-    None when the marker says the data is already there."""
+    ``dst_dir`` unless a matching copy is already present. Returns
+    generation seconds, or None when the marker proves the existing
+    data was built from this exact source at this factor.
+
+    Concurrency: generation happens in a pid-suffixed sibling
+    directory that is renamed into place only when complete, so a
+    second process racing past the marker check either loses the
+    rename (and discards its copy) or sees the winner's marker — no
+    process ever reads a half-written table."""
+    import shutil
+
     marker = os.path.join(dst_dir, "_DONE")
-    if os.path.exists(marker):
-        return None
+    want = _marker_text(src_dir, factor)
+    try:
+        with open(marker) as f:
+            if f.read() == want:
+                return None
+    except OSError:
+        pass
     t0 = time.time()
-    os.makedirs(dst_dir, exist_ok=True)
+    tmp = f"{dst_dir}.tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     for name in DRIVER_TABLES:
         df = _replicate(table(spark, src_dir, name), name, factor)
         n_files = _OUT_FILES.get(name)
         if n_files:
             df = df.repartition(n_files)
-        df.write.mode("overwrite").parquet(
-            os.path.join(dst_dir, f"{name}.parquet")
-        )
-    with open(marker, "w") as f:
-        f.write(f"factor={factor} src={src_dir}\n")
+        df.write.mode("overwrite").parquet(os.path.join(tmp, f"{name}.parquet"))
+    with open(os.path.join(tmp, "_DONE"), "w") as f:
+        f.write(want)
+    # replace any stale copy, then move the finished dir into place;
+    # if a concurrent generator won the race, keep theirs
+    shutil.rmtree(dst_dir, ignore_errors=True)
+    try:
+        os.rename(tmp, dst_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     return time.time() - t0
