@@ -26,6 +26,7 @@ from _imdb_etl_spark.operators import corpus  # noqa: E402,F401
 from _imdb_etl_spark.operators import webcorpus  # noqa: E402,F401
 from _imdb_etl_spark.sources import pysource  # noqa: E402,F401
 from _imdb_etl_spark.sources import jsonl  # noqa: E402,F401
+from _imdb_etl_spark.sources import xml  # noqa: E402,F401
 from _imdb_etl_spark.operators import quality  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
 
@@ -68,6 +69,7 @@ GATE_WINDOW = [
     "lateral_top_orders_per_customer",
     "pysink_roundtrip_docs",
     "embedding_quantize_int8",
+    "xml_roundtrip_source",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -96,7 +98,8 @@ GATE_WINDOW = [
     # (quantiles_price_by_flag yielded its slot: its exact quantiles
     # are re-proven every round inside approx_quantiles_price)
     "rollup_orders_status_priority",
-    "salted_agg_by_priority",
+    # (salted_agg_by_priority yielded its slot: the salting family is
+    # re-proven by skew_join_salted_events' r4 green)
     "sample_stratified_customers",
     "semi_join_big_spenders",
     "setop_union_nations",
