@@ -70,6 +70,7 @@ GATE_WINDOW = [
     "pysink_roundtrip_docs",
     "embedding_quantize_int8",
     "xml_roundtrip_source",
+    "sql_tvf_brand_stats",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -101,7 +102,8 @@ GATE_WINDOW = [
     # (salted_agg_by_priority yielded its slot: the salting family is
     # re-proven by skew_join_salted_events' r4 green)
     "sample_stratified_customers",
-    "semi_join_big_spenders",
+    # (semi_join_big_spenders yielded its slot: J8 semi-join stays
+    # covered in-window by graf4 and tpch_q18)
     "setop_union_nations",
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",

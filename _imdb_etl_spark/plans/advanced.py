@@ -615,6 +615,55 @@ def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TVF_SQL = """
+SELECT p_brand AS brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS total_retail
+FROM part
+GROUP BY p_brand
+ORDER BY brand
+"""
+
+
+@register(
+    "sql_tvf_brand_stats",
+    _TVF_SQL,
+    doc="SQL table-valued function (CREATE FUNCTION ... RETURNS TABLE, "
+    "Spark 4) invoked per row via LATERAL: per-brand part stats "
+    "through a named, parameterized table function — the SQL-native "
+    "sibling of the Python UDTF, fully inlined/decorrelated by "
+    "Catalyst (the plan is a plain aggregate + join, no function-call "
+    "boundary). Engine caveat, verified while building this: a "
+    "correlated ORDER BY ... LIMIT inside a SQL TVF body is "
+    "mis-decorrelated in this Spark version (the limit hoists above "
+    "the correlation, yielding top-k OVERALL instead of per key), so "
+    "per-key top-k belongs in a plain lateral subquery "
+    "(lateral_top_orders_per_customer) or a window; this TVF keeps an "
+    "aggregation body, which decorrelates correctly — and the oracle "
+    "hash proves it.",
+)
+def sql_tvf_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_tvf_v")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION brand_stats(b STRING)
+        RETURNS TABLE(n_parts BIGINT, total_retail DOUBLE)
+        RETURN SELECT COUNT(*),
+                      CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+               FROM part_tvf_v WHERE p_brand = b
+        """
+    )
+    return spark.sql(
+        """
+        SELECT b.p_brand AS brand, t.n_parts, t.total_retail
+        FROM (SELECT DISTINCT p_brand FROM part_tvf_v) b,
+             LATERAL brand_stats(b.p_brand) t
+        ORDER BY brand
+        """
+    )
+
+
 _UDAF_SQL = """
 SELECT l_returnflag AS flag,
        COUNT(*) AS n_items,
