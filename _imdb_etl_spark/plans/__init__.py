@@ -71,6 +71,7 @@ GATE_WINDOW = [
     "embedding_quantize_int8",
     "xml_roundtrip_source",
     "sql_tvf_brand_stats",
+    "scd2_point_in_time_join",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -80,8 +81,9 @@ GATE_WINDOW = [
     # (cross_join_dense_grid, setop_intersect/except_nations,
     # case_date_buckets, and sample_deterministic_orders yield their
     # slots to the new queries above: all r1-green, trivially stable,
-    # and their families stay represented in-window or in r3 greens)
-    "anti_join_small_spenders",
+    # and their families stay represented in-window or in r3 greens;
+    # anti_join_small_spenders likewise — anti-join semantics recur in
+    # tpch_q21/q22's r3 greens)
     "dim_people_fanout_distinct",
     "embedding_array_stats",
     "fuzzy_part_name_match",

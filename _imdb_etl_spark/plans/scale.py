@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from _imdb_etl_spark.functions import dec
+from _imdb_etl_spark.functions import dec, dsum
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
@@ -160,17 +160,12 @@ def scd2_history(snaps: DataFrame, key: str, attr: str) -> DataFrame:
     )
 
 
-@register(
-    "merge_scd2_customer_history",
-    _SCD2_SQL,
-    doc="MERGE / SCD Type 2 emulation: two customer snapshots (baseline "
-    "and post-VIP-update) collapse to history rows with "
-    "valid_from/valid_to/is_current via lag/lead windows over the "
-    "dimension key — unchanged customers keep one open-ended row, "
-    "updated ones close the old row at the second snapshot date.",
-)
-def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+def _vip_snapshots(
+    customer: DataFrame, orders: DataFrame, d1: str, d2: str
+) -> DataFrame:
+    """Two customer snapshots (baseline at ``d1``; VIP-upgraded heavy
+    orderers at ``d2``) stacked with version/date columns — the input
+    shape scd2_history expects."""
     vip_keys = (
         orders.groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -181,7 +176,7 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_mktsegment",
         F.lit(1).alias("snap_ver"),
-        F.lit("2024-01-01").alias("snap_date"),
+        F.lit(d1).alias("snap_date"),
     )
     upd = customer.join(
         vip_keys, F.col("c_custkey") == F.col("k"), "left_semi"
@@ -193,12 +188,27 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_mktsegment",
             F.lit(2).alias("snap_ver"),
-            F.lit("2024-07-01").alias("snap_date"),
+            F.lit(d2).alias("snap_date"),
         )
     )
-    return scd2_history(
-        s1.unionByName(s2), "c_custkey", "c_mktsegment"
-    ).orderBy("c_custkey", "valid_from")
+    return s1.unionByName(s2)
+
+
+@register(
+    "merge_scd2_customer_history",
+    _SCD2_SQL,
+    doc="MERGE / SCD Type 2 emulation: two customer snapshots (baseline "
+    "and post-VIP-update) collapse to history rows with "
+    "valid_from/valid_to/is_current via lag/lead windows over the "
+    "dimension key — unchanged customers keep one open-ended row, "
+    "updated ones close the old row at the second snapshot date.",
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    snaps = _vip_snapshots(customer, orders, "2024-01-01", "2024-07-01")
+    return scd2_history(snaps, "c_custkey", "c_mktsegment").orderBy(
+        "c_custkey", "valid_from"
+    )
 
 
 _SQLAPI_SQL = """
@@ -353,4 +363,97 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nprice").alias("new_price"),
         )
         .orderBy("k")
+    )
+
+
+# Point-in-time (PIT) join: the lookup pattern SCD2 history exists FOR —
+# each fact row joins the dimension attributes that were valid AT its
+# event time, never the current ones. Snapshot dates sit inside the
+# orders date range so all three regimes occur: orders before the first
+# snapshot (no valid row -> PRE_HISTORY), between snapshots (baseline
+# segment), and after the VIP upgrade (open-ended current row).
+_PIT_D1 = "1997-01-01"
+_PIT_D2 = "1999-01-01"
+
+_PIT_SQL = f"""
+WITH vip AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+),
+snaps AS (
+  SELECT c_custkey, c_mktsegment, 1 AS snap_ver, '{_PIT_D1}' AS snap_date
+  FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_custkey IN (SELECT o_custkey FROM vip)
+              THEN 'VIP' ELSE c_mktsegment END AS c_mktsegment,
+         2 AS snap_ver, '{_PIT_D2}' AS snap_date
+  FROM customer
+),
+changed AS (
+  SELECT * FROM (
+    SELECT c_custkey, c_mktsegment, snap_ver, snap_date,
+           LAG(c_mktsegment) OVER (PARTITION BY c_custkey ORDER BY snap_ver)
+             AS prev_seg
+    FROM snaps
+  )
+  WHERE prev_seg IS NULL OR c_mktsegment <> prev_seg
+),
+hist AS (
+  SELECT c_custkey, c_mktsegment,
+         snap_date AS valid_from,
+         LEAD(snap_date) OVER (PARTITION BY c_custkey ORDER BY snap_ver)
+           AS valid_to
+  FROM changed
+)
+SELECT COALESCE(h.c_mktsegment, 'PRE_HISTORY') AS segment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+FROM orders o
+LEFT JOIN hist h
+  ON o.o_custkey = h.c_custkey
+ AND o.o_orderdate >= CAST(h.valid_from AS TIMESTAMP)
+ AND (h.valid_to IS NULL OR o.o_orderdate < CAST(h.valid_to AS TIMESTAMP))
+GROUP BY 1
+ORDER BY segment
+"""
+
+
+@register(
+    "scd2_point_in_time_join",
+    _PIT_SQL,
+    doc="Point-in-time join against the SCD2 history — the lookup "
+    "pattern versioned dimensions exist for: every order joins the "
+    "segment valid AT its order date (equi key on custkey plus a "
+    "validity-interval residual — an ordinary keyed shuffle join, "
+    "never a range explosion, since each customer holds at most a "
+    "handful of disjoint intervals), with pre-history orders surfaced "
+    "explicitly rather than silently matched to later attributes. "
+    "The three validity regimes (pre-history, baseline, post-upgrade) "
+    "all occur by construction.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, orders = load_tables(spark, sf_dir, "customer", "orders")
+    hist = scd2_history(
+        _vip_snapshots(customer, orders, _PIT_D1, _PIT_D2),
+        "c_custkey",
+        "c_mktsegment",
+    ).select("c_custkey", "c_mktsegment", "valid_from", "valid_to")
+    cond = (
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.to_timestamp("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.to_timestamp("valid_to"))
+        )
+    )
+    return (
+        orders.join(hist, cond, "left")
+        .groupBy(
+            F.coalesce("c_mktsegment", F.lit("PRE_HISTORY")).alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec("o_totalprice"), "total_price"),
+        )
+        .orderBy("segment")
     )
