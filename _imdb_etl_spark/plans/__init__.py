@@ -72,6 +72,7 @@ GATE_WINDOW = [
     "xml_roundtrip_source",
     "sql_tvf_brand_stats",
     "scd2_point_in_time_join",
+    "window_range_trailing_30d",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -83,8 +84,8 @@ GATE_WINDOW = [
     # slots to the new queries above: all r1-green, trivially stable,
     # and their families stay represented in-window or in r3 greens;
     # anti_join_small_spenders likewise — anti-join semantics recur in
-    # tpch_q21/q22's r3 greens)
-    "dim_people_fanout_distinct",
+    # tpch_q21/q22's r3 greens; dim_people_fanout_distinct's fan-out +
+    # DISTINCT shape recurs in fact_star_left_joins, in-window)
     "embedding_array_stats",
     "fuzzy_part_name_match",
     "graf1_orders_by_priority",

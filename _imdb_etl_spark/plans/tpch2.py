@@ -323,3 +323,55 @@ def window_suite2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("price").over(w).cast("double").alias("max_price"),
         F.nth_value("price", 2).over(full).cast("double").alias("second_price"),
     ).orderBy("custkey", "orderkey")
+
+
+_RANGE_WINDOW_SECONDS = 30 * 86400
+
+# Event-time RANGE frame — distinct from every ROWS frame above: the
+# frame boundary is a VALUE distance on the ordering key, so peers and
+# near rows enter by timestamp arithmetic, not row position. Both
+# engines order by epoch seconds and use the identical numeric bound,
+# sidestepping interval-arithmetic dialect differences; the sum is
+# decimal (exact, order-independent) per the engine policy.
+_RANGE_FRAME_SQL = f"""
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN {_RANGE_WINDOW_SECONDS} PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d_spend,
+       CAST(COUNT(*) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN {_RANGE_WINDOW_SECONDS} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_30d_orders
+FROM orders
+ORDER BY custkey, orderkey
+"""
+
+
+@register(
+    "window_range_trailing_30d",
+    _RANGE_FRAME_SQL,
+    doc="RANGE window frame over event time: per-order trailing "
+    "30-day spend and order count per customer — the frame bound is a "
+    "value distance on the ordering key (epoch seconds), so same-day "
+    "orders are peers and enter each other's frame, which no ROWS "
+    "frame can express. One shuffle on the customer key; both engines "
+    "use the identical numeric bound so the decimal sums hash-match "
+    "exactly.",
+)
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-_RANGE_WINDOW_SECONDS, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias(
+            "trailing_30d_spend"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_30d_orders"),
+    ).orderBy("custkey", "orderkey")
