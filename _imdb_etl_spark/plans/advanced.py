@@ -785,3 +785,56 @@ def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+_STRINGAGG_SQL = """
+WITH ranked AS (
+  SELECT c_nationkey, c_name,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer
+)
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_top,
+       string_agg(c_name, '|' ORDER BY rnk) AS top_customers
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rnk <= 3
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+@register(
+    "stringagg_top_customers_per_nation",
+    _STRINGAGG_SQL,
+    doc="Ordered string aggregation (SQL-standard LISTAGG ... WITHIN "
+    "GROUP, Spark 4): the top-3 customers per nation by balance, "
+    "concatenated in rank order — the report/export shape that turns "
+    "a ranked set into one cell. The explicit WITHIN GROUP order (by "
+    "the unique rank) makes the concatenation deterministic across "
+    "partitionings, which is what lets it hash-match DuckDB's "
+    "string_agg; the rank filter rides WindowGroupLimit so each "
+    "nation's window stops at depth 3.",
+)
+def stringagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    customer, nation = load_tables(spark, sf_dir, "customer", "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = (
+        customer.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        top.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.expr(
+                "listagg(c_name, '|') WITHIN GROUP (ORDER BY rnk)"
+            ).alias("top_customers"),
+        )
+        .orderBy("nation")
+    )
