@@ -90,6 +90,44 @@ def test_no_cartesian_in_registry_except_intended(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime row-level bloom-filter injection: a shuffle join whose
+    build side carries a selective filter gets a bloom_filter_agg
+    subquery applied to the probe-side scan, pruning rows before the
+    shuffle. Local test tables sit under the default size thresholds
+    (10 MB creation side), so the test lowers them — at the 100 TB
+    design point the production defaults are met naturally and this
+    optimization is free."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1B",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from pyspark.sql import functions as F
+
+        from _imdb_etl_spark.sources import load_tables
+
+        li, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        plan = _plan(li.join(sel, li["l_orderkey"] == sel["o_orderkey"]))
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_join_hints_control_strategy(spark, sf_dir):
     """Join-strategy hints: the engine exposes Catalyst's full strategy
     surface (broadcast is the AQE default at this scale; merge and
