@@ -409,3 +409,94 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Temperature (alpha = 0.5) language sampling — the multilingual-mix
+# shape that upweights low-resource languages relative to proportional
+# sampling without flattening to uniform: weights w_l = floor(sqrt(n_l))
+# (exact for BIGINT counts: IEEE sqrt of integers < 2^52 is correctly
+# rounded, and perfect squares are exact, so floor agrees bitwise in
+# both engines), quotas split a global budget by weight with integer
+# division, and membership reuses the md5-permille bucket. Zero float
+# comparisons anywhere, so the oracle is exact.
+_TEMP_BUDGET_PERMILLE = 500  # sample half the corpus, redistributed
+
+
+_TEMP_SQL = f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS wt FROM counts
+),
+tot AS (
+  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+         CAST(SUM(wt) AS BIGINT) AS total_wt
+  FROM w
+),
+rates AS (
+  SELECT lang, n_docs, wt,
+         LEAST(1000,
+               (total_docs * {_TEMP_BUDGET_PERMILLE} // 1000) * wt
+                 * 1000 // total_wt // n_docs) AS keep_permille
+  FROM w, tot
+),
+h AS (SELECT lang, n_chars, {_BUCKET_SQL} AS bucket FROM documents)
+SELECT r.lang,
+       r.n_docs,
+       CAST(r.wt AS BIGINT) AS weight,
+       CAST(r.keep_permille AS BIGINT) AS keep_permille,
+       CAST(SUM(CASE WHEN h.bucket < r.keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM h JOIN rates r ON h.lang = r.lang
+GROUP BY r.lang, r.n_docs, r.wt, r.keep_permille
+ORDER BY r.lang
+"""
+
+
+@register(
+    "corpus_temperature_sample",
+    _TEMP_SQL,
+    doc="Temperature-based language sampling (alpha = 0.5): a global "
+    "budget is split across languages by sqrt(count) weights, so "
+    "low-resource languages keep a larger share than proportional "
+    "sampling gives them — the standard multilingual pretraining mix "
+    "control. All arithmetic is integer (floor(sqrt) of BIGINT counts "
+    "is bitwise-identical cross-engine; quotas and permilles use "
+    "integer division; membership is the md5-permille bucket), so "
+    "the sample is content-stable and the oracle exact. Same scale "
+    "shape as corpus_balanced_sample: tiny count shuffle, broadcast "
+    "rate table, map-side membership.",
+)
+def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "wt", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    tot = w.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("wt").alias("total_wt")
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "wt",
+        F.least(
+            F.lit(1000).cast("long"),
+            F.expr(
+                f"(total_docs * {_TEMP_BUDGET_PERMILLE} div 1000)"
+                " * wt * 1000 div total_wt div n_docs"
+            ),
+        ).alias("keep_permille"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    probe = docs.select("lang", bucket.alias("bucket"))
+    kept = F.col("bucket") < F.col("keep_permille")
+    return (
+        probe.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", F.col("wt").alias("weight"), "keep_permille")
+        .agg(F.sum(kept.cast("long")).alias("n_kept"))
+        .orderBy("lang")
+    )

@@ -74,6 +74,7 @@ GATE_WINDOW = [
     "scd2_point_in_time_join",
     "window_range_trailing_30d",
     "stringagg_top_customers_per_nation",
+    "corpus_temperature_sample",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -97,9 +98,9 @@ GATE_WINDOW = [
     # (having_frequent_customers yielded its slot too: HAVING stays
     # covered in-window by tpch_q18_large_volume)
     "merge_scd1_vip_segment",
-    # (p1_projection_rename yielded its slot: bare projection+rename
-    # is exercised by virtually every in-window query)
-    "p2_distinct_projection",
+    # (p1_projection_rename and p2_distinct_projection yielded their
+    # slots: bare projection+rename is exercised by virtually every
+    # in-window query, and DISTINCT by fact_star_left_joins)
     "p3_degenerate_dim",
     # (quantiles_price_by_flag yielded its slot: its exact quantiles
     # are re-proven every round inside approx_quantiles_price)
