@@ -661,3 +661,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# Graph profile of the near-dup pair graph — the health check a dedup
+# pipeline runs before collapsing clusters: node/edge counts, max
+# degree (a super-connector node usually means a boilerplate shingle
+# slipped through), and the triangle count (transitivity of the
+# near-dup relation). Triangles enumerate by the standard distributed
+# ordered-edge join: pairs keep doc_a < doc_b, so each triangle
+# (a < b < c) matches exactly one (e1=(a,b), e2=(b,c), e3=(a,c))
+# combination — two keyed shuffle joins, no orientation dedup needed.
+_GRAPH_STATS_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip().rstrip()})
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT doc_a AS node FROM pairs
+        UNION ALL SELECT doc_b AS node FROM pairs)
+  GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS n
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT n FROM tri) AS n_triangles,
+       (SELECT MAX(d) FROM deg) AS max_degree
+"""
+
+
+@register(
+    "neardup_graph_stats",
+    _GRAPH_STATS_SQL,
+    doc="Near-dup graph profile: node/edge counts, max degree, and "
+    "triangle count of the minhash-LSH pair graph. Triangles use the "
+    "ordered-edge join (doc_a < doc_b throughout, so each triangle "
+    "matches exactly one edge combination) — two keyed shuffle joins, "
+    "the standard distributed triangle enumeration; max degree flags "
+    "boilerplate super-connectors before cluster collapse.",
+)
+def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionAll(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"), F.max("d").alias("max_degree")
+    )
+    edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    # three 1-row aggregates; cross joins broadcast single rows
+    out = nodes.crossJoin(edges).crossJoin(tri).select(
+        "n_nodes", "n_edges", "n_triangles", "max_degree"
+    )
+    return out

@@ -75,6 +75,7 @@ GATE_WINDOW = [
     "window_range_trailing_30d",
     "stringagg_top_customers_per_nation",
     "corpus_temperature_sample",
+    "neardup_graph_stats",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -88,7 +89,8 @@ GATE_WINDOW = [
     # anti_join_small_spenders likewise — anti-join semantics recur in
     # tpch_q21/q22's r3 greens; dim_people_fanout_distinct's fan-out +
     # DISTINCT shape recurs in fact_star_left_joins, in-window)
-    "embedding_array_stats",
+    # (embedding_array_stats yielded its slot: the same L2 math is
+    # hash-proven via its mapInArrow twin embedding_norms_arrow, r4)
     "fuzzy_part_name_match",
     "graf1_orders_by_priority",
     "graf2_avg_quantity_by_type",
