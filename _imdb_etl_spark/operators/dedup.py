@@ -705,7 +705,11 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
     "boilerplate super-connectors before cluster collapse.",
 )
 def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").persist()
+    # no persist: the builder returns a lazy plan, so a persist here
+    # would outlive the query in long sessions (the gate runs 140+
+    # queries in one process); at production scale the pair table is
+    # materialized once upstream and this profile reads that table
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
