@@ -705,11 +705,18 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
     "boilerplate super-connectors before cluster collapse.",
 )
 def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no persist: the builder returns a lazy plan, so a persist here
+    # eager localCheckpoint instead of persist: the pair table feeds
+    # four consumers (degrees, both triangle sides, edge count), so it
+    # must be computed once — but a lazy persist from inside a builder
     # would outlive the query in long sessions (the gate runs 140+
-    # queries in one process); at production scale the pair table is
-    # materialized once upstream and this profile reads that table
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # queries in one process). The checkpoint materializes now and its
+    # blocks release with the DataFrame, and at production scale the
+    # pair table is a materialized upstream output anyway.
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionAll(pairs.select(F.col("doc_b").alias("node")))
