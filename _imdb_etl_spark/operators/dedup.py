@@ -173,6 +173,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_TAU = 0.8
+
+_CONTAIN_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS container_id, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id, container_id,
+       ROUND(CAST(n_inter AS DOUBLE) / sa.n_sh, 6) AS containment
+FROM inter
+JOIN sizes sa USING (doc_id)
+WHERE CAST(n_inter AS DOUBLE) / sa.n_sh >= {_CONTAIN_TAU}
+ORDER BY doc_id, container_id
+"""
+
+
+@register(
+    "dedup_containment",
+    _CONTAIN_SQL,
+    doc=f"Directional containment dedup: |A∩B| / |A| over word-3-gram "
+    f"shingle sets, flagging docs >= {_CONTAIN_TAU} contained in "
+    "another doc — catches quotes, excerpts, and page-within-page "
+    "duplication that symmetric Jaccard misses (a 100-line doc pasted "
+    "into a 10,000-line doc has Jaccard ~0.01 but containment 1.0; "
+    "Broder's containment measure, 'On the resemblance and "
+    "containment of documents', 1997). Same candidate-pair shuffle as "
+    "dedup_ngram_jaccard (shared-shingle equi-join keyed on the "
+    "shingle); at 100 TB the pair stage runs after MinHash-LSH "
+    "banding instead, with this exact ratio as the verify step.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("container_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    contain = F.col("n_inter").cast("double") / F.col("n_sh")
+    return (
+        inter.join(sizes, "doc_id")
+        .where(contain >= _CONTAIN_TAU)
+        .select("doc_id", "container_id", F.round(contain, 6).alias("containment"))
+        .orderBy("doc_id", "container_id")
+    )
+
+
 _N_HASHES = 12
 _BAND_SIZE = 4  # 3 bands x 4 rows
 

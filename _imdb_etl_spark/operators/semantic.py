@@ -1,0 +1,336 @@
+"""Semantic (embedding-space) corpus operators.
+
+Extends the similarity family (operators/similarity.py) with the three
+remaining embedding-pipeline stages a pretraining corpus needs:
+
+- `decontaminate_embedding`: semantic benchmark decontamination — flag
+  training vectors too close (cosine) to any eval vector. The embedding
+  analog of the shingle-based `decontaminate_vs_eval`
+  (operators/dedup.py): catches paraphrased eval leakage that exact
+  n-gram overlap misses.
+- `embedding_centroid_cohesion`: per-label centroid + cohesion profile
+  — the cluster-quality audit run after any corpus clustering /
+  stratification step.
+- `sim_knn_pq`: product-quantization ANN with asymmetric distance
+  computation (ADC) — the memory-side compression counterpart to the
+  IVF partition pruning in `sim_knn_ivf` (Jégou et al., "Product
+  Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Reference scope note: the reference (/root/reference, 253 lines of
+Snowflake SQL over IMDB CSVs) has no vector surface; these operators
+are the driver-contract north-star extensions (BASELINE.json), built
+on public PySpark + the published PQ/IVF literature only.
+
+Float policy (shared with operators/similarity.py): accumulate dot
+products in float64, round similarities/distances to 6 decimals before
+any ranking or thresholding so accumulation-order ulp noise can never
+order differently per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.operators.similarity import _cos_sql, _dot
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+_DIM = 64
+_N_EVAL = 10  # vec_id < 10 are the held-out eval vectors
+_DECONTAM_TAU = 0.30
+
+_DECONTAM_EMB_SQL = f"""
+WITH ev AS (SELECT vec_id AS eval_id, embedding AS qe FROM embeddings
+            WHERE vec_id < {_N_EVAL}),
+scored AS (
+  SELECT e.vec_id, ev.eval_id,
+         ROUND({_cos_sql('ev.qe', 'e.embedding')}, 6) AS cos_sim
+  FROM embeddings e CROSS JOIN ev
+  WHERE e.vec_id >= {_N_EVAL}
+)
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+       MAX(cos_sim) AS max_sim
+FROM scored
+WHERE cos_sim >= {_DECONTAM_TAU}
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@register(
+    "decontaminate_embedding",
+    _DECONTAM_EMB_SQL,
+    doc=f"Semantic decontamination: training vectors with cosine >= "
+    f"{_DECONTAM_TAU} to ANY eval vector (vec_id < {_N_EVAL}) are "
+    "flagged with hit count and max similarity. The eval set is tiny "
+    "by construction, so it broadcasts and the 100 TB corpus scan "
+    "stays map-side (scan -> per-row k-way dot products -> filter) — "
+    "one shuffle only for the per-vector hit aggregation, keyed on "
+    "vec_id. Catches paraphrase-level eval leakage that the "
+    "shingle-overlap filter (decontaminate_vs_eval) cannot.",
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    ev = normed.where(F.col("vec_id") < _N_EVAL).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        normed.where(F.col("vec_id") >= _N_EVAL)
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        scored.where(F.col("cos_sim") >= _DECONTAM_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos_sim").alias("max_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# --- per-label centroid + cohesion -----------------------------------
+#
+# Centroid components are rounded to 6 decimals BEFORE the member
+# cosines are taken, so both engines measure against the bitwise-same
+# centroid; member cosines are rounded before averaging, and the final
+# mean again — the standard accumulate-f64 / round-at-boundaries
+# policy.
+
+_COHESION_SQL = f"""
+WITH comp AS (
+  SELECT label, j, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS m
+  FROM embeddings, range(1, {_DIM} + 1) t(j)
+  GROUP BY label, j
+),
+cent AS (SELECT label, list(m ORDER BY j) AS c FROM comp GROUP BY label),
+member AS (
+  SELECT e.label,
+         ROUND({_cos_sql('e.embedding', 'cent.c')}, 6) AS cos_c
+  FROM embeddings e JOIN cent USING (label)
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(cos_c), 6) AS mean_cohesion,
+       MIN(cos_c) AS min_cohesion
+FROM member
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "embedding_centroid_cohesion",
+    _COHESION_SQL,
+    doc="Cluster-quality audit: per-label mean embedding (centroid) "
+    "via posexplode -> two-phase avg keyed (label, dim) — the "
+    "feature-index explode pattern: 64x row blow-up is map-side only, "
+    "partial aggregation shrinks it to labels x 64 before the shuffle "
+    "— then each member's cosine to its (rounded) centroid, "
+    "aggregated to n_vecs / mean / min cohesion per label. The "
+    "centroid table is bounded by the label count, so the member-side "
+    "join broadcasts at any corpus size.",
+)
+def embedding_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+    )
+    cent = comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+        ).alias("c")
+    )
+    member = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        F.round(
+            _dot(F.col("embedding"), F.col("c"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("c"), F.col("c")))
+            ),
+            6,
+        ).alias("cos_c"),
+    )
+    return (
+        member.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("cos_c"), 6).alias("mean_cohesion"),
+            F.min("cos_c").alias("min_cohesion"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- product-quantization ANN (ADC) ----------------------------------
+
+_N_SUB = 8  # subspaces
+_SUB_DIM = _DIM // _N_SUB
+_N_CODES = 16  # codebook entries per subspace
+_PQ_TOP_K = 5
+_N_QUERIES = 8  # vec_id < 8 query the index (same convention as sim_knn_*)
+# deterministic codebook seeds: both engines pick the same 16 corpus
+# vectors by a pure expression (real deployments train per-subspace
+# k-means; deterministic picks keep the operator oracle-checkable,
+# mirroring sim_knn_ivf's centroid convention)
+_SEED_FILTER = "vec_id % 29 = 1"
+
+_SUB_SLICE = "list_slice({v}, {s} * {sd} + 1, {s} * {sd} + {sd})"
+
+
+def _pq_sql() -> str:
+    sub_dot = (
+        f"list_sum(list_transform(range(1, {_SUB_DIM} + 1),"
+        " j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)))"
+    )
+    sub_l2 = (
+        f"list_sum(list_transform(range(1, {_SUB_DIM} + 1),"
+        " j -> (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
+        " * (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))))"
+    )
+    return f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
+  FROM embeddings WHERE {_SEED_FILTER}
+  ORDER BY vec_id LIMIT {_N_CODES}
+),
+subs AS (SELECT unnest(range(0, {_N_SUB})) AS s),
+codebook AS (
+  SELECT s, code_id,
+         {_SUB_SLICE.format(v='embedding', s='s', sd=_SUB_DIM)} AS cs
+  FROM seeds CROSS JOIN subs
+),
+vec_subs AS (
+  SELECT vec_id, s,
+         {_SUB_SLICE.format(v='embedding', s='s', sd=_SUB_DIM)} AS vs
+  FROM embeddings CROSS JOIN subs
+),
+encoded AS (
+  SELECT vec_id, s, code_id FROM (
+    SELECT v.vec_id, v.s, cb.code_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, v.s
+             ORDER BY ROUND({sub_l2.format(a='v.vs', b='cb.cs')}, 6), cb.code_id
+           ) AS rnk
+    FROM vec_subs v JOIN codebook cb ON v.s = cb.s
+  ) WHERE rnk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.s, cb.code_id,
+         ROUND({sub_dot.format(a='q.vs', b='cb.cs')}, 6) AS part
+  FROM vec_subs q JOIN codebook cb ON q.s = cb.s
+  WHERE q.vec_id < {_N_QUERIES}
+),
+scored AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id,
+         ROUND(SUM(part), 6) AS approx_dot
+  FROM encoded e JOIN lut l ON e.s = l.s AND e.code_id = l.code_id
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dot, rnk AS neighbor_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_PQ_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+@register(
+    "sim_knn_pq",
+    _pq_sql(),
+    doc=f"Product-quantization ANN with asymmetric distance computation "
+    f"(Jégou et al. 2011): {_N_SUB} subspaces x {_N_CODES}-entry "
+    "codebooks; every corpus vector compresses to "
+    f"{_N_SUB} code ids ({_N_SUB} bytes vs {_DIM * 4} for fp32 — the "
+    "RAM-side compression that complements IVF's partition pruning). "
+    "Queries precompute a dot-product lookup table against the "
+    "codebook (queries x subspaces x codes rows — broadcastable by "
+    "construction), scoring is a broadcast-LUT join + per-(query, "
+    "vector) partial-agg sum, never touching raw corpus floats. The "
+    "encode argmin is expressed as a windowed rank keyed (vec_id, "
+    "subspace) for oracle parity; the production path fuses it into "
+    "one Arrow-batched mapInPandas pass (see tests for the "
+    "recall-vs-exact floor).",
+)
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    subs = spark.range(_N_SUB).select(F.col("id").cast("int").alias("s"))
+    seed_w = Window.orderBy("vec_id")
+    seeds = (
+        emb.where(F.expr(_SEED_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CODES)
+        # global window over exactly <= _N_CODES post-limit rows — the
+        # single-task WindowExec warning is benign by construction
+        .withColumn("code_id", F.row_number().over(seed_w) - 1)
+    )
+    sub_slice = lambda v: F.slice(v, F.col("s") * _SUB_DIM + 1, _SUB_DIM)  # noqa: E731
+    codebook = seeds.crossJoin(subs).select(
+        "s", "code_id", sub_slice(F.col("embedding")).alias("cs")
+    )
+    vec_subs = emb.crossJoin(F.broadcast(subs)).select(
+        "vec_id", "s", sub_slice(F.col("embedding")).alias("vs")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("vs"),
+            F.col("cs"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    enc_w = Window.partitionBy("vec_id", "s").orderBy("d", "code_id")
+    encoded = (
+        vec_subs.join(F.broadcast(codebook), "s")
+        .select("vec_id", "s", "code_id", F.round(l2, 6).alias("d"))
+        .withColumn("rnk", F.row_number().over(enc_w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "s", "code_id")
+    )
+    lut = (
+        vec_subs.where(F.col("vec_id") < _N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "code_id",
+            F.round(_dot(F.col("vs"), F.col("cs")), 6).alias("part"),
+        )
+    )
+    scored = (
+        encoded.join(F.broadcast(lut), ["s", "code_id"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("part"), 6).alias("approx_dot"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(rank_w))
+        .where(F.col("neighbor_rank") <= _PQ_TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )

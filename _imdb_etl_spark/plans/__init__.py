@@ -24,6 +24,7 @@ from _imdb_etl_spark.operators import multimodal  # noqa: E402,F401
 from _imdb_etl_spark.operators import pipeline  # noqa: E402,F401
 from _imdb_etl_spark.operators import corpus  # noqa: E402,F401
 from _imdb_etl_spark.operators import webcorpus  # noqa: E402,F401
+from _imdb_etl_spark.operators import semantic  # noqa: E402,F401
 from _imdb_etl_spark.sources import pysource  # noqa: E402,F401
 from _imdb_etl_spark.sources import jsonl  # noqa: E402,F401
 from _imdb_etl_spark.sources import xml  # noqa: E402,F401
