@@ -514,3 +514,206 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = make_assets(docs).where(F.col("modality") == "image")
     return assets.mapInPandas(_resize_assets, _RESIZE_SCHEMA).orderBy("asset_id")
+
+
+# --- perceptual-hash image dedup -------------------------------------
+#
+# The image-side analog of dedup_simhash: a 64-bit DCT perceptual hash
+# (the classic pHash recipe: grayscale -> 32x32 resample -> 2D DCT ->
+# top-left 8x8 low-frequency block -> median-threshold bits) computed
+# per decoded PNG in one Arrow-batched mapInPandas pass, then duplicate
+# discovery by 4x16-bit band blocking over the hash — the same
+# pigeonhole scheme dedup_simhash uses for text. The DCT cannot be
+# replayed in DuckDB, so the driver-gated face is a scorecard of
+# oracle-derivable counts plus margin booleans (the sim_knn_ivf_trained
+# convention); exact hash values and the band-blocking recall are
+# pinned in tests/test_operators.py.
+
+_N_COPIES = 20  # doc_id < 20 get an exact copy and a perturbed copy
+_COPY_BASE = 1_000_000
+_PERTURB_BASE = 2_000_000
+_PHASH_HAMMING_MARGIN = 16
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("src_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _phash_bits(pixels: bytes, w: int, h: int) -> int:
+    """63-bit DCT perceptual hash (DC coefficient dropped; the result
+    fits a signed 64-bit column). Pure numpy float64 — deterministic."""
+    import numpy as np
+
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+    gray = rgb.astype(np.float64).mean(axis=2)
+    # nearest-neighbor resample to 32x32 (inputs are small synthetic
+    # thumbnails; at production scale the decoded image is already in
+    # memory and the resample stays O(1024) per asset)
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    a = gray[np.ix_(yi, xi)]
+    j = np.arange(32)
+    c = np.sqrt(2.0 / 32) * np.cos(np.pi * (2 * j[None, :] + 1) * j[:, None] / 64)
+    c[0, :] = np.sqrt(1.0 / 32)
+    d = c @ a @ c.T
+    block = d[:8, :8].flatten()[1:]  # drop DC
+    med = float(np.median(block))
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def _phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from _imdb_etl_spark.operators.png_codec import decode_png
+
+    for pdf in batches:
+        out: dict[str, list] = {"asset_id": [], "src_id": [], "kind": [], "phash": []}
+        for asset_id, src_id, kind, payload in zip(
+            pdf["asset_id"], pdf["src_id"], pdf["kind"], pdf["payload"]
+        ):
+            w, h, _mode, pixels = decode_png(bytes(payload))
+            if kind == "perturbed":
+                # corrupt one byte — a tiny pixel change a perceptual
+                # hash must shrug off (unlike the content md5)
+                buf = bytearray(pixels)
+                buf[0] = (buf[0] + 16) % 256
+                pixels = bytes(buf)
+            out["asset_id"].append(asset_id)
+            out["src_id"].append(src_id)
+            out["kind"].append(kind)
+            out["phash"].append(_phash_bits(pixels, w, h))
+        yield pd.DataFrame(out)
+
+
+_PHASH_SQL = f"""
+SELECT CAST(COUNT(*) + 2 * LEAST({_N_COPIES}, COUNT(*)) AS BIGINT) AS n_assets,
+       CAST(COUNT(*) AS BIGINT) AS n_originals,
+       CAST(LEAST({_N_COPIES}, COUNT(*)) AS BIGINT) AS n_copy_pairs_expected,
+       CAST(LEAST({_N_COPIES}, COUNT(*)) AS BIGINT) AS n_copy_pairs_hash_equal,
+       CAST(LEAST({_N_COPIES}, COUNT(*)) AS BIGINT) AS n_copy_pairs_band_blocked,
+       TRUE AS perturbed_within_margin
+FROM documents
+"""
+
+
+@register(
+    "multimodal_phash_dedup",
+    _PHASH_SQL,
+    doc="Perceptual-hash image dedup over REAL decoded PNGs: 63-bit "
+    "DCT pHash per asset in one mapInPandas pass, exact-duplicate "
+    "recovery by hash equality, candidate blocking by 4x16-bit bands "
+    "(the simhash pigeonhole scheme on the image side: hamming-close "
+    "hashes must collide in >= 1 band). The corpus is originals plus "
+    f"{_N_COPIES} byte-identical copies and {_N_COPIES} one-byte-"
+    "perturbed copies; the scorecard asserts every copy pair is "
+    "recovered by hash equality AND by band blocking, and every "
+    f"perturbed pair stays within hamming {_PHASH_HAMMING_MARGIN} — "
+    "counts the DuckDB twin derives from the documents table alone. "
+    "Exact hash values are pinned in tests/test_operators.py. At "
+    "100 TB: hashing is map-side, blocking keys the only shuffle "
+    "(4 bands x corpus), verify touches band collisions only.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").alias("src_id"))
+    orig = base.select(
+        F.col("src_id").alias("asset_id"), "src_id", F.lit("orig").alias("kind")
+    )
+    dup_src = base.where(F.col("src_id") < _N_COPIES)
+    copies = dup_src.select(
+        (F.col("src_id") + _COPY_BASE).alias("asset_id"),
+        "src_id",
+        F.lit("copy").alias("kind"),
+    )
+    perturbed = dup_src.select(
+        (F.col("src_id") + _PERTURB_BASE).alias("asset_id"),
+        "src_id",
+        F.lit("perturbed").alias("kind"),
+    )
+    assets = orig.unionByName(copies).unionByName(perturbed)
+    # payload = the genuine PNG encoding of the source doc's pixels
+    # (copies re-encode the same pixels -> byte-identical payloads)
+    with_payload = assets.withColumn("payload", F.lit(None).cast("binary"))
+
+    def encode_and_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from _imdb_etl_spark.operators.png_codec import encode_png
+
+        def add_payload(pdf: pd.DataFrame) -> pd.DataFrame:
+            payloads = []
+            for src in pdf["src_id"]:
+                src = int(src)
+                w, h = _png_dims(src)
+                payloads.append(
+                    encode_png(_png_pixels(src), w, h, 3, filter_type=src % 5)
+                )
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            return pdf
+
+        yield from _phash_batch(add_payload(p) for p in batches)
+
+    hashed = with_payload.mapInPandas(encode_and_hash, _PHASH_SCHEMA)
+    o = hashed.where(F.col("kind") == "orig").select(
+        F.col("src_id").alias("o_src"), F.col("phash").alias("o_hash")
+    )
+    c = hashed.where(F.col("kind") == "copy").select(
+        F.col("src_id").alias("c_src"), F.col("phash").alias("c_hash")
+    )
+    p = hashed.where(F.col("kind") == "perturbed").select(
+        F.col("src_id").alias("p_src"), F.col("phash").alias("p_hash")
+    )
+    copy_pairs = o.join(c, F.col("o_src") == F.col("c_src"))
+    perturb_pairs = o.join(p, F.col("o_src") == F.col("p_src")).select(
+        F.bit_count(F.expr("o_hash ^ p_hash")).alias("hamming")
+    )
+    # band blocking: orig x copy pairs sharing >= 1 of 4 16-bit bands
+    bands = F.array(
+        *[
+            F.shiftrightunsigned(F.col("phash"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ]
+    )
+    ob = (
+        hashed.where(F.col("kind") == "orig")
+        .select(F.col("src_id").alias("b_src"), F.posexplode(bands).alias("band", "key"))
+    )
+    cb = (
+        hashed.where(F.col("kind") == "copy")
+        .select(F.col("src_id").alias("b_src"), F.posexplode(bands).alias("band", "key"))
+    )
+    blocked = (
+        ob.alias("x")
+        .join(
+            cb.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.b_src") == F.col("y.b_src")),
+        )
+        .select(F.col("x.b_src").alias("src"))
+        .distinct()
+    )
+    stats = hashed.agg(F.count(F.lit(1)).alias("n_assets"))
+    n_orig = o.agg(F.count(F.lit(1)).alias("n_originals"))
+    n_expected = c.agg(F.count(F.lit(1)).alias("n_copy_pairs_expected"))
+    n_equal = copy_pairs.where(F.col("o_hash") == F.col("c_hash")).agg(
+        F.count(F.lit(1)).alias("n_copy_pairs_hash_equal")
+    )
+    n_blocked = blocked.agg(F.count(F.lit(1)).alias("n_copy_pairs_band_blocked"))
+    margin = perturb_pairs.agg(
+        (F.max("hamming") <= _PHASH_HAMMING_MARGIN).alias("perturbed_within_margin")
+    )
+    # six 1-row aggregates; every cross join broadcasts one row
+    return (
+        stats.crossJoin(n_orig)
+        .crossJoin(n_expected)
+        .crossJoin(n_equal)
+        .crossJoin(n_blocked)
+        .crossJoin(margin)
+    )

@@ -77,6 +77,11 @@ GATE_WINDOW = [
     "stringagg_top_customers_per_nation",
     "corpus_temperature_sample",
     "neardup_graph_stats",
+    "decontaminate_embedding",
+    "embedding_centroid_cohesion",
+    "sim_knn_pq",
+    "dedup_containment",
+    "multimodal_phash_dedup",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -92,12 +97,18 @@ GATE_WINDOW = [
     # DISTINCT shape recurs in fact_star_left_joins, in-window)
     # (embedding_array_stats yielded its slot: the same L2 math is
     # hash-proven via its mapInArrow twin embedding_norms_arrow, r4)
+    # (graf2, graf6, tpch_q6, setop_union_nations, and
+    # sample_stratified_customers yielded their slots to the five
+    # round-5 additions above: all r1-green and their shapes stay
+    # represented — round(avg)-per-group by embedding_centroid_cohesion
+    # and tpch_q14, count-per-group top-k by graf1/3/5, conjunctive
+    # range filters by tpch_q14/q19, union by multimodal_phash_dedup's
+    # three-way asset union, sampling by corpus_temperature_sample and
+    # corpus_balanced_sample, all in-window)
     "fuzzy_part_name_match",
     "graf1_orders_by_priority",
-    "graf2_avg_quantity_by_type",
     "graf3_top10_customers",
     "graf5_top10_suppliers_by_items",
-    "graf6_customers_by_nation",
     # (having_frequent_customers yielded its slot too: HAVING stays
     # covered in-window by tpch_q18_large_volume)
     "merge_scd1_vip_segment",
@@ -109,11 +120,8 @@ GATE_WINDOW = [
     # are re-proven every round inside approx_quantiles_price)
     "rollup_orders_status_priority",
     # (salted_agg_by_priority yielded its slot: the salting family is
-    # re-proven by skew_join_salted_events' r4 green)
-    "sample_stratified_customers",
-    # (semi_join_big_spenders yielded its slot: J8 semi-join stays
-    # covered in-window by graf4 and tpch_q18)
-    "setop_union_nations",
+    # re-proven by skew_join_salted_events' r4 green; semi_join_big_
+    # spenders likewise — J8 semi-join stays covered by tpch_q18)
     "tpch_q10_returned_items",
     "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
@@ -122,7 +130,6 @@ GATE_WINDOW = [
     "tpch_q19_discounted_revenue",
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "window_suite_customer_orders",
     # -- round-3-vintage query over a code path touched this round

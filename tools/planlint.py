@@ -39,6 +39,7 @@ ALLOW = {
     ("range_join_price_bands", "cartesian"): "band table is a broadcast constant (tens of rows)",
     ("fuzzy_part_name_match", "cartesian"): "small dim x small probe set, bounded both sides",
     ("sim_knn_ivf", "cartesian"): "broadcast of the k-row centroid table for inverted-list assignment, bounded by k not corpus",
+    ("decontaminate_embedding", "cartesian"): "broadcast of the eval vector set (bounded by construction) x corpus scan — map-side, corpus-linear",
 }
 
 
