@@ -457,3 +457,95 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("repetition_ok"),
     ).orderBy("doc_id")
+
+
+_SPAN_K = 5  # tokens per span fingerprint
+
+_DUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - {_SPAN_K} + 2)) AS i,
+         t
+  FROM toks WHERE len(t) >= {_SPAN_K}
+),
+grams AS (
+  SELECT doc_id, i,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+           AS gram
+  FROM pos
+),
+gd AS (SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram),
+per AS (
+  SELECT g.doc_id,
+         COUNT(*) AS n_positions,
+         COUNT(*) FILTER (gd.n_docs >= 2) AS n_dup_positions
+  FROM grams g JOIN gd USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_positions AS BIGINT) AS n_positions,
+       CAST(n_dup_positions AS BIGINT) AS n_dup_positions,
+       CAST((1000 * n_dup_positions) // n_positions AS BIGINT) AS dup_permille
+FROM per
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_duplicate_spans",
+    _DUP_SPANS_SQL,
+    doc=f"Exact-substring duplication profile (the dedup signal of Lee "
+    "et al., 'Deduplicating Training Data Makes Language Models "
+    f"Better', ACL 2022): every {_SPAN_K}-token span is fingerprinted "
+    "positionally; a span is duplicated when the same token sequence "
+    "occurs in >= 2 distinct documents, and each doc reports the "
+    "fraction of its span positions that are duplicated (integer "
+    "permille). Suffix-array-free formulation that distributes: "
+    "map-side positional n-gram explode, one gram-keyed shuffle for "
+    "corpus span frequencies, one hash join back, one doc-keyed agg. "
+    "At 100 TB the gram key is hashed (fixed width) and the "
+    "frequency table is heavy-hitter skewed — AQE skew-join handles "
+    "the head; the 'the quick brown'-style stopword runs that "
+    "dominate it are exactly what the operator is built to surface.",
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("t")
+    )
+    grams = (
+        toks.where(F.size("t") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SPAN_K} + 1),"
+                    " i -> concat_ws(' ', element_at(t, i),"
+                    " element_at(t, i + 1), element_at(t, i + 2),"
+                    " element_at(t, i + 3), element_at(t, i + 4)))"
+                )
+            ).alias("gram"),
+        )
+    )
+    gd = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    per = (
+        grams.join(gd, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup_positions"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_positions",
+        "n_dup_positions",
+        ((1000 * F.col("n_dup_positions")) / F.col("n_positions"))
+        .cast("long")
+        .alias("dup_permille"),
+    ).orderBy("doc_id")

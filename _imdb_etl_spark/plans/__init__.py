@@ -82,6 +82,8 @@ GATE_WINDOW = [
     "sim_knn_pq",
     "dedup_containment",
     "multimodal_phash_dedup",
+    "events_funnel_analysis",
+    "text_duplicate_spans",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -122,10 +124,13 @@ GATE_WINDOW = [
     # (salted_agg_by_priority yielded its slot: the salting family is
     # re-proven by skew_join_salted_events' r4 green; semi_join_big_
     # spenders likewise — J8 semi-join stays covered by tpch_q18)
+    # (tpch_q13 and tpch_q17 yielded their slots to events_funnel_
+    # analysis and text_duplicate_spans: both r1-green; q13's stacked
+    # agg recurs in the in-window funnel's per-user-then-global agg,
+    # q17's correlated per-group threshold in lateral_top_orders_per_
+    # customer, in-window)
     "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
     "tpch_q14_promo_effect",
-    "tpch_q17_small_quantity",
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
     "tpch_q4_order_priority",

@@ -388,3 +388,121 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_bucket")
     )
+
+
+_FUNNEL_SQL = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) OVER w AS fv_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+staged AS (
+  SELECT user_id, ts, event_type, fv_run,
+         MIN(CASE WHEN event_type = 'click' AND fv_run IS NOT NULL
+                   AND fv_run < ts THEN ts END) OVER w AS fc_run
+  FROM seq
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+per_user AS (
+  SELECT user_id,
+         MAX(fv_run) IS NOT NULL AS did_view,
+         MAX(fc_run) IS NOT NULL AS did_click_after_view,
+         MAX(CASE WHEN event_type = 'purchase' AND fc_run IS NOT NULL
+                   AND fc_run < ts THEN 1 ELSE 0 END) = 1
+           AS did_purchase_after_click
+  FROM staged
+  GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (did_view) AS BIGINT) AS n_view,
+       CAST(COUNT(*) FILTER (did_click_after_view) AS BIGINT) AS n_click_after_view,
+       CAST(COUNT(*) FILTER (did_purchase_after_click) AS BIGINT)
+         AS n_purchase_after_click,
+       CAST((1000 * COUNT(*) FILTER (did_purchase_after_click))
+            // GREATEST(COUNT(*) FILTER (did_view), 1) AS BIGINT)
+         AS view_to_purchase_permille
+FROM per_user
+"""
+
+
+@register(
+    "events_funnel_analysis",
+    _FUNNEL_SQL,
+    doc="Ordered conversion funnel (view -> click strictly after the "
+    "first view -> purchase strictly after that click), the sequence "
+    "analytics every product-event pipeline runs. One pass: running "
+    "per-user MIN-over-window (user-keyed sort, deterministic "
+    "(ts, event_id) order) establishes each user's first qualifying "
+    "stage timestamp without a per-stage self-join — then a single "
+    "user-level aggregate and a one-row rollup. Exactly one "
+    "user-keyed shuffle for the windows + agg (the per-stage-join "
+    "formulation would shuffle once PER STAGE); conversion emitted as "
+    "integer permille (exact integer division, no float drift).",
+)
+def events_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "fv_run"
+        ),
+    )
+    staged = seq.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "fv_run",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("fv_run").isNotNull()
+                & (F.col("fv_run") < F.col("ts")),
+                F.col("ts"),
+            )
+        )
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("fc_run"),
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("fv_run").isNotNull().alias("did_view"),
+        F.max("fc_run").isNotNull().alias("did_click_after_view"),
+        (
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & F.col("fc_run").isNotNull()
+                    & (F.col("fc_run") < F.col("ts")),
+                    1,
+                ).otherwise(0)
+            )
+            == 1
+        ).alias("did_purchase_after_click"),
+    )
+    cnt = lambda c: F.count(F.when(F.col(c), 1))  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        cnt("did_view").alias("n_view"),
+        cnt("did_click_after_view").alias("n_click_after_view"),
+        cnt("did_purchase_after_click").alias("n_purchase_after_click"),
+        (
+            (1000 * cnt("did_purchase_after_click"))
+            / F.greatest(cnt("did_view"), F.lit(1))
+        )
+        .cast("long")
+        .alias("view_to_purchase_permille"),
+    )

@@ -606,3 +606,23 @@ def test_cohesion_matches_numpy(spark, sf_dir):
         n, mean_c = got[label]
         assert n == len(vecs)
         assert abs(mean_c - np.mean(cos)) < 1e-5
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    r = REGISTRY["events_funnel_analysis"].spark(spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_click_after_view >= r.n_purchase_after_click
+    assert r.n_purchase_after_click > 0, "corpus should convert somewhere"
+
+
+def test_duplicate_spans_flag_planted_neardups(spark, sf_dir, exact_pairs):
+    rows = REGISTRY["text_duplicate_spans"].spark(spark, sf_dir).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert 0 <= r.n_dup_positions <= r.n_positions
+        assert 0 <= r.dup_permille <= 1000
+    # docs in a strong near-dup pair share long token runs -> their
+    # exact-substring duplication must be substantial
+    strong = {d for p, j in exact_pairs.items() if j >= 0.9 for d in p}
+    assert strong
+    for d in strong:
+        assert by_doc[d].dup_permille >= 500, (d, by_doc[d])
