@@ -84,6 +84,7 @@ GATE_WINDOW = [
     "multimodal_phash_dedup",
     "events_funnel_analysis",
     "text_duplicate_spans",
+    "pipeline_pretrain_mix",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -129,7 +130,9 @@ GATE_WINDOW = [
     # agg recurs in the in-window funnel's per-user-then-global agg,
     # q17's correlated per-group threshold in lateral_top_orders_per_
     # customer, in-window)
-    "tpch_q10_returned_items",
+    # (tpch_q10 yielded its slot to pipeline_pretrain_mix: r1-green,
+    # and its multi-join grouped-agg shape recurs in tpch_q5/q7,
+    # in-window)
     "tpch_q14_promo_effect",
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",

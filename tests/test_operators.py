@@ -626,3 +626,13 @@ def test_duplicate_spans_flag_planted_neardups(spark, sf_dir, exact_pairs):
     assert strong
     for d in strong:
         assert by_doc[d].dup_permille >= 500, (d, by_doc[d])
+
+
+def test_pretrain_mix_funnel_monotone(spark, sf_dir):
+    rows = REGISTRY["pipeline_pretrain_mix"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_quality >= r.n_dedup >= r.n_clean >= r.n_sampled
+        assert 0 <= r.keep_permille <= 1000
+    # the temperature quota must bite somewhere (not a pass-through)
+    assert any(r.n_sampled < r.n_clean for r in rows)
