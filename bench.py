@@ -137,6 +137,10 @@ SF1_SPOT = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier_volume",
     "events_hourly_rollup",
+    # round-5 corpus ops whose cost is the gram-keyed shuffle — the
+    # pair that must prove linear growth, not just the join/agg shapes
+    "text_duplicate_spans",
+    "pipeline_pretrain_mix",
 ]
 
 _SF1_SRC = "/root/testdata/sf0.1"
