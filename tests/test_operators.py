@@ -636,3 +636,26 @@ def test_pretrain_mix_funnel_monotone(spark, sf_dir):
         assert 0 <= r.keep_permille <= 1000
     # the temperature quota must bite somewhere (not a pass-through)
     assert any(r.n_sampled < r.n_clean for r in rows)
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    from _imdb_etl_spark.streaming import stateful
+
+    if not stateful._have_protobuf():
+        pytest.skip("protobuf (transformWithState wire format) not installed")
+    got = {
+        r.user_id: (r.n_events, r.max_value, r.min_value)
+        for r in stateful.streaming_tws_query(spark, sf_dir).collect()
+    }
+    exact = {
+        r.user_id: (r.n, float(r.mx), float(r.mn))
+        for r in load_tables(spark, sf_dir, "events")[0]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.col("value").cast("decimal(12,2)")).alias("mx"),
+            F.min(F.col("value").cast("decimal(12,2)")).alias("mn"),
+        )
+        .collect()
+    }
+    assert got == exact
