@@ -85,6 +85,7 @@ GATE_WINDOW = [
     "events_funnel_analysis",
     "text_duplicate_spans",
     "pipeline_pretrain_mix",
+    "zorder_events_locality",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -130,10 +131,10 @@ GATE_WINDOW = [
     # agg recurs in the in-window funnel's per-user-then-global agg,
     # q17's correlated per-group threshold in lateral_top_orders_per_
     # customer, in-window)
-    # (tpch_q10 yielded its slot to pipeline_pretrain_mix: r1-green,
-    # and its multi-join grouped-agg shape recurs in tpch_q5/q7,
-    # in-window)
-    "tpch_q14_promo_effect",
+    # (tpch_q10 yielded its slot to pipeline_pretrain_mix and q14 to
+    # zorder_events_locality: both r1-green; q10's multi-join grouped
+    # agg recurs in tpch_q5/q7 and q14's conditional-agg ratio in
+    # corpus_domain_cap, in-window)
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
     "tpch_q4_order_priority",

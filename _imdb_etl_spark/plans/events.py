@@ -506,3 +506,80 @@ def events_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("view_to_purchase_permille"),
     )
+
+
+# --- z-order (Morton) layout locality -------------------------------
+#
+# Multi-dimensional clustering for data skipping (the technique behind
+# Delta/Iceberg OPTIMIZE ZORDER): interleaving the bits of two scan
+# dimensions gives a 1-D sort key whose contiguous ranges cover small
+# RECTANGLES of the (dim1, dim2) space, so min/max file statistics
+# prune scans filtered on EITHER dimension — a plain sort would only
+# serve its leading column. The interleave is pure integer arithmetic
+# (((x div 2^i) mod 2) * 4^i), bitwise-identical in Spark and DuckDB.
+
+_Z_BITS = 8
+
+
+def _z_terms(a: str, b: str, div: str) -> str:
+    """Engine-portable Morton interleave of two {0..2^bits-1} ints.
+    ``div`` is the integer-division keyword ('div' Spark, '//' DuckDB).
+    """
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(({a} {div} {2**i}) % 2) * {4**i}")
+        terms.append(f"(({b} {div} {2**i}) % 2) * {2 * 4**i}")
+    return " + ".join(terms)
+
+
+_ZORDER_SQL = f"""
+WITH dims AS (
+  SELECT user_id % 256 AS ua,
+         (date_part('day', ts) * 24 + date_part('hour', ts))::BIGINT % 256 AS hb
+  FROM events
+),
+z AS (SELECT ua, hb, {_z_terms('ua', 'hb', '//')} AS zval FROM dims)
+SELECT zval // 4096 AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(ua) - MIN(ua) AS BIGINT) AS user_span,
+       CAST(MAX(hb) - MIN(hb) AS BIGINT) AS hour_span
+FROM z
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
+@register(
+    "zorder_events_locality",
+    _ZORDER_SQL,
+    doc="Z-order (Morton) clustering key over (user bucket, hour "
+    "bucket) with per-z-range locality proof: each of the 16 coarse "
+    "z buckets covers a <= 64x64 rectangle of the 256x256 key space, "
+    "so files written in z order carry tight min/max stats on BOTH "
+    "dimensions and scans filtered on either prune — the "
+    "multi-dimensional data-skipping layout a single-column sort "
+    "cannot give. The interleave is integer arithmetic only; "
+    "tests/test_sinks.py writes the layout to parquet and asserts "
+    "the per-file bounding boxes actually tighten vs hash layout.",
+)
+def zorder_events_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    dims = events.select(
+        (F.col("user_id") % 256).alias("ua"),
+        (
+            (F.dayofmonth("ts").cast("long") * 24 + F.hour("ts").cast("long"))
+            % 256
+        ).alias("hb"),
+    )
+    z = dims.select(
+        "ua", "hb", F.expr(_z_terms("ua", "hb", "div")).alias("zval")
+    )
+    return (
+        z.groupBy(F.expr("zval div 4096").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("ua") - F.min("ua")).alias("user_span"),
+            (F.max("hb") - F.min("hb")).alias("hour_span"),
+        )
+        .orderBy("z_bucket")
+    )

@@ -176,3 +176,47 @@ def test_partitioned_overwrite_is_dynamic(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     # partition a replaced, partition b intact
     assert got == [(2, "b"), (9, "a")]
+
+
+def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
+    """Z-ordered files must carry tighter per-file bounding boxes on
+    BOTH clustering dimensions than a hash layout — the min/max
+    footer-stat property that lets scans filtered on either dimension
+    prune files (the point of OPTIMIZE ZORDER)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from _imdb_etl_spark.plans.events import _z_terms
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    dims = events.select(
+        (F.col("user_id") % 256).alias("ua"),
+        (
+            (F.dayofmonth("ts").cast("long") * 24 + F.hour("ts").cast("long"))
+            % 256
+        ).alias("hb"),
+    ).withColumn("zval", F.expr(_z_terms("ua", "hb", "div")))
+
+    def avg_box_area(path: str) -> float:
+        areas = []
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            stats = (
+                spark.read.parquet(f)
+                .agg(
+                    F.max("ua") - F.min("ua"), F.max("hb") - F.min("hb")
+                )
+                .collect()[0]
+            )
+            areas.append((stats[0] + 1) * (stats[1] + 1))
+        assert len(areas) >= 4
+        return sum(areas) / len(areas)
+
+    zpath, hpath = str(tmp_path / "zorder"), str(tmp_path / "hash")
+    dims.repartitionByRange(8, "zval").write.parquet(zpath)
+    dims.repartition(8).write.parquet(hpath)
+    z_area, h_area = avg_box_area(zpath), avg_box_area(hpath)
+    # hash layout sees the full 256x256 space per file; z-order files
+    # must cover a materially smaller rectangle on average
+    assert z_area < h_area / 2, (z_area, h_area)
