@@ -272,3 +272,117 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- split leakage audit ---------------------------------------------
+#
+# Near-dup pairs that STRADDLE a train/val/test boundary are silent
+# eval contamination: the doc in train teaches the model the doc in
+# val. The audit joins the near-dup pair set (word-3-gram Jaccard >=
+# 0.6, dedup_ngram_jaccard's exact semantics) against the
+# content-stable split assignment (split_train_val_test's md5-prefix
+# rule) and reports the pair count per (split, split) cell — the
+# off-diagonal cells are the leakage. At 100 TB the pair set comes
+# from the MinHash-LSH candidate stage instead of the exact self-join;
+# the audit itself is two broadcast-friendly key joins + a tiny agg.
+
+
+def _leakage_sql() -> str:
+    from _imdb_etl_spark.operators.dedup import _SHINGLE_SQL
+
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+),
+assigned AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+cells AS (
+  SELECT LEAST(pa.split, pb.split) AS split_lo,
+         GREATEST(pa.split, pb.split) AS split_hi,
+         COUNT(*) AS n_pairs
+  FROM pairs
+  JOIN assigned pa ON doc_a = pa.doc_id
+  JOIN assigned pb ON doc_b = pb.doc_id
+  GROUP BY 1, 2
+)
+SELECT split_lo, split_hi,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       (split_lo <> split_hi) AS is_leakage
+FROM cells
+ORDER BY split_lo, split_hi
+"""
+
+
+@register(
+    "split_leakage_audit",
+    None,  # oracle installed below (needs the dedup module's shingle SQL)
+    doc="Train/val/test leakage audit: the near-dup pair set (3-gram "
+    "Jaccard >= 0.6) joined against the content-stable split "
+    "assignment; off-diagonal (split, split) cells are eval "
+    "contamination a random split inevitably creates — the reason "
+    "production pipelines split by near-dup CLUSTER, not by document. "
+    "Two key joins + tiny agg on top of the pair stage (exact "
+    "self-join here; LSH candidates at scale).",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    assigned = docs.select(
+        "doc_id",
+        F.when(h < "c", "train").when(h < "e", "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    pa = assigned.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    pb = assigned.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .groupBy(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_lo",
+            "split_hi",
+            "n_pairs",
+            (F.col("split_lo") != F.col("split_hi")).alias("is_leakage"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )
+
+
+from _imdb_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["split_leakage_audit"] = _REG["split_leakage_audit"].__class__(
+    name="split_leakage_audit",
+    spark=_REG["split_leakage_audit"].spark,
+    oracle=_leakage_sql(),
+    doc=_REG["split_leakage_audit"].doc,
+)

@@ -86,6 +86,7 @@ GATE_WINDOW = [
     "text_duplicate_spans",
     "pipeline_pretrain_mix",
     "zorder_events_locality",
+    "split_leakage_audit",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -137,7 +138,8 @@ GATE_WINDOW = [
     # corpus_domain_cap, in-window)
     "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue",
-    "tpch_q4_order_priority",
+    # (tpch_q4 yielded its slot to split_leakage_audit: r1-green, and
+    # its correlated-EXISTS shape recurs in tpch_q21/q22's r3 greens)
     "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
     "window_suite_customer_orders",
