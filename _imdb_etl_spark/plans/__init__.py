@@ -87,6 +87,8 @@ GATE_WINDOW = [
     "pipeline_pretrain_mix",
     "zorder_events_locality",
     "split_leakage_audit",
+    "events_retention_cohorts",
+    "events_value_drift_daily",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -137,12 +139,17 @@ GATE_WINDOW = [
     # agg recurs in tpch_q5/q7 and q14's conditional-agg ratio in
     # corpus_domain_cap, in-window)
     "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
+    # (tpch_q19 yielded its slot to events_retention_cohorts: r1-green
+    # disjunctive mixed-table predicate, structurally adjacent to the
+    # in-window tpch_q18/q7 join+filter shapes)
     # (tpch_q4 yielded its slot to split_leakage_audit: r1-green, and
     # its correlated-EXISTS shape recurs in tpch_q21/q22's r3 greens)
     "tpch_q5_local_supplier_volume",
     "tpch_q7_volume_shipping",
-    "window_suite_customer_orders",
+    # (window_suite_customer_orders yielded its slot to events_value_
+    # drift_daily: r1-green, and the analytic-window family stays
+    # in-window via window_range_trailing_30d, scd2_point_in_time_join,
+    # and the new drift monitor's month-partitioned lag)
     # -- round-3-vintage query over a code path touched this round
     # (the spread() rewrite)
     "vocab_top_words",

@@ -583,3 +583,138 @@ def zorder_events_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bucket")
     )
+
+
+_COHORT_SQL = """
+WITH anchor AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', MIN(ts)::DATE) // 7 AS cohort_wk
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', ts::DATE) // 7 AS wk
+  FROM events
+),
+cells AS (
+  SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM activity a JOIN anchor c USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_wk, n_active AS cohort_size FROM cells WHERE week_offset = 0)
+SELECT c.cohort_wk, c.week_offset,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST((1000 * c.n_active) // s.cohort_size AS BIGINT) AS retention_permille
+FROM cells c JOIN sizes s USING (cohort_wk)
+ORDER BY c.cohort_wk, c.week_offset
+"""
+
+
+@register(
+    "events_retention_cohorts",
+    _COHORT_SQL,
+    doc="Weekly retention cohort matrix: users anchored to their "
+    "first-activity week, each later active week a (cohort, offset) "
+    "cell with distinct-user counts and retention permille vs the "
+    "cohort's own week-0 size. Two user-keyed aggregations (anchor + "
+    "distinct activity reuse the same shuffle key) and one "
+    "cohort-keyed rollup; the week-0 size join is |cohorts| rows — "
+    "broadcast at any scale. Integer date arithmetic only, so the "
+    "matrix is engine-exact.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    wk = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7).cast(
+        "long"
+    )
+    anchor = events.groupBy("user_id").agg(
+        (
+            F.datediff(F.min(F.to_date("ts")), F.lit("2024-01-01").cast("date"))
+            / 7
+        )
+        .cast("long")
+        .alias("cohort_wk")
+    )
+    activity = events.select("user_id", wk.alias("wk")).distinct()
+    cells = (
+        activity.join(anchor, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    sizes = cells.where(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(1000 * n_active) div cohort_size").alias(
+                "retention_permille"
+            ),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+_DRIFT_SQL = """
+WITH daily AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS n_events,
+         quantile_disc(value, 0.5) AS p50,
+         quantile_disc(value, 0.9) AS p90
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT day, n_events, p50, p90,
+       lag(p50) OVER w AS p50_prev,
+       COALESCE(abs(p50 - lag(p50) OVER w) > 5.0, FALSE) AS drift_flag
+FROM daily
+WINDOW w AS (PARTITION BY month ORDER BY day)
+ORDER BY day
+"""
+
+
+@register(
+    "events_value_drift_daily",
+    _DRIFT_SQL,
+    doc="Data-quality drift monitor: exact per-day value quantiles "
+    "(percentile_disc picks a real element — no interpolation drift "
+    "between engines) compared day-over-day with a lag window, "
+    "flagging |p50 - prev| > 5. The lag partitions by MONTH, not "
+    "globally: the post-aggregation frame is one row per day, and a "
+    "month-keyed exchange keeps the plan free of single-partition "
+    "funnels at any timeline length (first-of-month rows compare "
+    "within their month — the per-partition restart every "
+    "partitioned monitor accepts).",
+)
+def events_value_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").alias("p90"),
+    )
+    w = Window.partitionBy("month").orderBy("day")
+    prev = F.lag("p50").over(w)
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            "p50",
+            "p90",
+            prev.alias("p50_prev"),
+            F.coalesce(F.abs(F.col("p50") - prev) > 5.0, F.lit(False)).alias(
+                "drift_flag"
+            ),
+        )
+        .orderBy("day")
+    )
