@@ -196,19 +196,21 @@ _SEED_FILTER = "vec_id % 7 = 1"
 
 _SUB_SLICE = "list_slice({v}, {s} * {sd} + 1, {s} * {sd} + {sd})"
 
+_SUB_DOT_T = (
+    f"list_sum(list_transform(range(1, {_SUB_DIM} + 1),"
+    " j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)))"
+)
+_SUB_L2_T = (
+    f"list_sum(list_transform(range(1, {_SUB_DIM} + 1),"
+    " j -> (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
+    " * (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))))"
+)
 
-def _pq_sql() -> str:
-    sub_dot = (
-        f"list_sum(list_transform(range(1, {_SUB_DIM} + 1),"
-        " j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)))"
-    )
-    sub_l2 = (
-        f"list_sum(list_transform(range(1, {_SUB_DIM} + 1),"
-        " j -> (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))"
-        " * (CAST({a}[j] AS DOUBLE) - CAST({b}[j] AS DOUBLE))))"
-    )
-    return f"""
-WITH seeds AS (
+# shared encode/LUT CTE block: the PQ codebook (deterministic seeds x
+# subspace slices), per-vector code assignment, and the per-query
+# dot-product lookup table — used verbatim by sim_knn_pq and sim_knn_ivfpq
+_PQ_CTES = f"""
+seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code_id, embedding
   FROM embeddings WHERE {_SEED_FILTER}
   ORDER BY vec_id LIMIT {_N_CODES}
@@ -229,17 +231,22 @@ encoded AS (
     SELECT v.vec_id, v.s, cb.code_id,
            ROW_NUMBER() OVER (
              PARTITION BY v.vec_id, v.s
-             ORDER BY ROUND({sub_l2.format(a='v.vs', b='cb.cs')}, 6), cb.code_id
+             ORDER BY ROUND({_SUB_L2_T.format(a='v.vs', b='cb.cs')}, 6), cb.code_id
            ) AS rnk
     FROM vec_subs v JOIN codebook cb ON v.s = cb.s
   ) WHERE rnk = 1
 ),
 lut AS (
   SELECT q.vec_id AS query_id, cb.s, cb.code_id,
-         ROUND({sub_dot.format(a='q.vs', b='cb.cs')}, 6) AS part
+         ROUND({_SUB_DOT_T.format(a='q.vs', b='cb.cs')}, 6) AS part
   FROM vec_subs q JOIN codebook cb ON q.s = cb.s
   WHERE q.vec_id < {_N_QUERIES}
-),
+)"""
+
+
+def _pq_sql() -> str:
+    return f"""
+WITH {_PQ_CTES},
 scored AS (
   SELECT l.query_id, e.vec_id AS neighbor_id,
          ROUND(SUM(part), 6) AS approx_dot
@@ -341,3 +348,202 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_rank") <= _PQ_TOP_K)
         .orderBy("query_id", "neighbor_rank")
     )
+
+
+# --- IVF + PQ: the production ANN index shape ------------------------
+
+_IVFPQ_TOP_K = 5
+
+
+def _ivfpq_sql() -> str:
+    from _imdb_etl_spark.operators.similarity import (
+        _CENTROID_FILTER,
+        _N_CENTROIDS,
+        _N_PROBE,
+    )
+
+    return f"""
+WITH {_PQ_CTES},
+n AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT_SQL_FULL.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id AS centroid_id, embedding AS ce,
+         sqrt({_DOT_SQL_FULL.format(a='embedding', b='embedding')}) AS cnrm
+  FROM embeddings WHERE {_CENTROID_FILTER}
+  ORDER BY vec_id LIMIT {_N_CENTROIDS}
+),
+assign AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY sim DESC, centroid_id) AS arnk
+  FROM (
+    SELECT n.vec_id, c.centroid_id,
+           ROUND(({_DOT_SQL_FULL.format(a='n.embedding', b='c.ce')})
+                 / (n.nrm * c.cnrm), 6) AS sim
+    FROM n CROSS JOIN c
+  )
+),
+lists AS (SELECT vec_id, centroid_id FROM assign WHERE arnk = 1),
+probes AS (SELECT vec_id AS query_id, centroid_id
+           FROM assign WHERE vec_id < {_N_QUERIES} AND arnk <= {_N_PROBE}),
+cand AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id
+  FROM probes p JOIN lists l ON p.centroid_id = l.centroid_id
+  WHERE l.vec_id <> p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(SUM(lt.part), 6) AS approx_dot
+  FROM cand cd
+  JOIN encoded e ON e.vec_id = cd.neighbor_id
+  JOIN lut lt ON lt.query_id = cd.query_id
+             AND lt.s = e.s AND lt.code_id = e.code_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_dot, rnk AS neighbor_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_IVFPQ_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+_DOT_SQL_FULL = (
+    f"list_sum(list_transform(range(1, {_DIM} + 1),"
+    " j -> CAST({a}[j] AS DOUBLE) * CAST({b}[j] AS DOUBLE)))"
+)
+
+
+@register(
+    "sim_knn_ivfpq",
+    None,  # oracle installed below (_ivfpq_sql imports from similarity)
+    doc="IVF+PQ composed index — the FAISS-style production ANN shape: "
+    "IVF inverted lists prune the candidate set to the probed lists "
+    "(pair work corpus/centroids per probe), then PQ asymmetric "
+    "distance ranks candidates from 16-byte codes via the broadcast "
+    "lookup table — raw corpus floats are never touched at query "
+    "time. Memory per vector: 16 code bytes + a list id; both the "
+    "coarse quantizer and the codebooks are deterministic picks so "
+    "the whole index is oracle-checkable; recall-vs-exact floor "
+    "pinned in pytest.",
+)
+def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.operators.similarity import (
+        _CENTROID_FILTER,
+        _N_CENTROIDS,
+        _N_PROBE,
+    )
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    cents = (
+        normed.where(F.expr(_CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    sim_to_c = F.round(
+        _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    assign = (
+        normed.crossJoin(F.broadcast(cents))
+        .select("vec_id", "centroid_id", sim_to_c.alias("sim"))
+        .withColumn("arnk", F.row_number().over(assign_w))
+    )
+    lists = assign.where(F.col("arnk") == 1).select("centroid_id", "vec_id")
+    probes = assign.where(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("arnk") <= _N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("probe_centroid_id"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(lists, F.col("probe_centroid_id") == F.col("centroid_id"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    # PQ side: reuse the exact encode/LUT builders from sim_knn_pq
+    subs = F.explode(F.array(*[F.lit(s) for s in range(_N_SUB)])).alias("s")
+    seed_w = Window.orderBy("vec_id")
+    seeds = (
+        emb.where(F.expr(_SEED_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CODES)
+        .withColumn("code_id", F.row_number().over(seed_w) - 1)
+    )
+    sub_slice = lambda v: F.slice(v, F.col("s") * _SUB_DIM + 1, _SUB_DIM)  # noqa: E731
+    codebook = seeds.select("code_id", "embedding", subs).select(
+        "s", "code_id", sub_slice(F.col("embedding")).alias("cs")
+    )
+    vec_subs = emb.select("vec_id", "embedding", subs).select(
+        "vec_id", "s", sub_slice(F.col("embedding")).alias("vs")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("vs"),
+            F.col("cs"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    enc_w = Window.partitionBy("vec_id", "s").orderBy("d", "code_id")
+    encoded = (
+        vec_subs.join(F.broadcast(codebook), "s")
+        .select("vec_id", "s", "code_id", F.round(l2, 6).alias("d"))
+        .withColumn("rnk", F.row_number().over(enc_w))
+        .where(F.col("rnk") == 1)
+        .select(F.col("vec_id").alias("neighbor_id"), "s", "code_id")
+    )
+    lut = (
+        vec_subs.where(F.col("vec_id") < _N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "code_id",
+            F.round(_dot(F.col("vs"), F.col("cs")), 6).alias("part"),
+        )
+    )
+    scored = (
+        cand.join(encoded, "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 6).alias("approx_dot"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(rank_w))
+        .where(F.col("neighbor_rank") <= _IVFPQ_TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )
+
+
+from _imdb_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["sim_knn_ivfpq"] = _REG["sim_knn_ivfpq"].__class__(
+    name="sim_knn_ivfpq",
+    spark=_REG["sim_knn_ivfpq"].spark,
+    oracle=_ivfpq_sql(),
+    doc=_REG["sim_knn_ivfpq"].doc,
+)

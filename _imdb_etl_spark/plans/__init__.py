@@ -89,6 +89,7 @@ GATE_WINDOW = [
     "split_leakage_audit",
     "events_retention_cohorts",
     "events_value_drift_daily",
+    "sim_knn_ivfpq",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -118,7 +119,9 @@ GATE_WINDOW = [
     "graf5_top10_suppliers_by_items",
     # (having_frequent_customers yielded its slot too: HAVING stays
     # covered in-window by tpch_q18_large_volume)
-    "merge_scd1_vip_segment",
+    # (merge_scd1_vip_segment yielded its slot to sim_knn_ivfpq:
+    # r1-green, and the MERGE family keeps its in-window row via
+    # merge_scd2_customer_history plus scd2_point_in_time_join)
     # (p1_projection_rename and p2_distinct_projection yielded their
     # slots: bare projection+rename is exercised by virtually every
     # in-window query, and DISTINCT by fact_star_left_joins)
