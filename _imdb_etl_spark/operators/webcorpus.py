@@ -500,3 +500,68 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(kept.cast("long")).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+# --- token-budget / epoch planning -----------------------------------
+
+_PLAN_BUDGET = 200_000  # total training-token budget
+
+
+_BUDGET_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (SELECT lang, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wt
+      FROM counts),
+tot AS (SELECT CAST(GREATEST(SUM(wt), 1) AS BIGINT) AS total_wt FROM w)
+SELECT lang, n_tokens,
+       CAST(wt AS BIGINT) AS weight,
+       CAST({_PLAN_BUDGET} * wt // total_wt AS BIGINT) AS alloc_tokens,
+       CAST(({_PLAN_BUDGET} * wt // total_wt) * 1000000 // n_tokens AS BIGINT)
+         AS epochs_micro
+FROM w, tot
+ORDER BY lang
+"""
+
+
+@register(
+    "corpus_token_budget_plan",
+    _BUDGET_SQL,
+    doc=f"Token-budget epoch planner: splits a {_PLAN_BUDGET}-token "
+    "training budget across languages by temperature (sqrt) weights "
+    "and reports each language's allocation and repeat factor "
+    "(epochs, exact integer micro-units) — the data-constrained "
+    "mixing plan of Muennighoff et al., 'Scaling Data-Constrained "
+    "Language Models' (2023), where low-resource sources run multiple "
+    "epochs while web-scale sources run < 1. One language-keyed "
+    "aggregation; the weight table is |languages| rows — driver-free "
+    "and broadcastable at any corpus size.",
+)
+def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    counts = (
+        spread(docs)
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = w.agg(
+        F.greatest(F.sum("weight"), F.lit(1).cast("long")).alias("total_wt")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_tokens",
+            "weight",
+            F.expr(f"{_PLAN_BUDGET} * weight div total_wt").alias("alloc_tokens"),
+            F.expr(
+                f"({_PLAN_BUDGET} * weight div total_wt) * 1000000 div n_tokens"
+            ).alias("epochs_micro"),
+        )
+        .orderBy("lang")
+    )

@@ -90,6 +90,7 @@ GATE_WINDOW = [
     "events_retention_cohorts",
     "events_value_drift_daily",
     "sim_knn_ivfpq",
+    "corpus_token_budget_plan",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -127,8 +128,10 @@ GATE_WINDOW = [
     # in-window query, and DISTINCT by fact_star_left_joins)
     "p3_degenerate_dim",
     # (quantiles_price_by_flag yielded its slot: its exact quantiles
-    # are re-proven every round inside approx_quantiles_price)
-    "rollup_orders_status_priority",
+    # are re-proven every round inside approx_quantiles_price;
+    # rollup_orders_status_priority yielded its slot to corpus_token_
+    # budget_plan — the grouping-sets family keeps r3-green coverage
+    # via grouping_sets_mixed)
     # (salted_agg_by_priority yielded its slot: the salting family is
     # re-proven by skew_join_salted_events' r4 green; semi_join_big_
     # spenders likewise — J8 semi-join stays covered by tpch_q18)
