@@ -717,3 +717,98 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_blocked)
         .crossJoin(margin)
     )
+
+
+# --- audio feature extraction (loudness / energy) --------------------
+#
+# The audio sibling of multimodal_features: REAL RIFF/WAV parsing
+# (stdlib wave) then int16 sample statistics — the loudness/energy
+# screen an audio-corpus pipeline runs before transcription. The PCM
+# payload is the deterministic ASCII chain, and every sample is a
+# little-endian pair of ASCII bytes, so the DuckDB twin rebuilds the
+# exact sample values with substr/ascii arithmetic and the stats are
+# value-hashed, not just shape-checked. All stats are integers (peak,
+# amplitude sum, energy = sum of squares) — no float policy needed.
+
+_AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak", LongType()),
+        StructField("sum_amp", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _audio_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in _AUDIO_STATS_SCHEMA}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                frames = w.readframes(w.getnframes())
+            v = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            rows["asset_id"].append(asset_id)
+            rows["n_samples"].append(len(v))
+            rows["peak"].append(int(np.abs(v).max()))
+            rows["sum_amp"].append(int(np.abs(v).sum()))
+            rows["energy"].append(int((v * v).sum()))
+        yield pd.DataFrame(rows)
+
+
+_AUDIO_STATS_SQL = """
+WITH geom AS (
+  SELECT doc_id AS asset_id,
+         1 + doc_id % 2 AS ch,
+         800 + (doc_id % 5) * 160 AS nf
+  FROM documents
+),
+pcm AS (
+  SELECT asset_id, ch, nf,
+         substr(repeat(md5(CAST(asset_id AS VARCHAR)),
+                       CAST((nf * ch * 2) // 32 + 1 AS INT)),
+                1, CAST(nf * ch * 2 AS INT)) AS s
+  FROM geom
+),
+samp AS (
+  SELECT asset_id, ch, nf,
+         list_transform(range(0, nf * ch),
+           i -> ascii(substr(s, CAST(2 * i + 1 AS INT), 1))
+                + 256 * ascii(substr(s, CAST(2 * i + 2 AS INT), 1))) AS v
+  FROM pcm
+)
+SELECT asset_id,
+       CAST(nf * ch AS BIGINT) AS n_samples,
+       CAST(list_max(v) AS BIGINT) AS peak,
+       CAST(list_sum(v) AS BIGINT) AS sum_amp,
+       CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy
+FROM samp
+ORDER BY asset_id
+"""
+
+
+@register(
+    "multimodal_audio_stats",
+    _AUDIO_STATS_SQL,
+    doc="Audio loudness/energy screen over REAL WAV payloads: stdlib "
+    "RIFF parse, little-endian int16 samples, per-asset peak / "
+    "amplitude sum / energy as exact integers. The ASCII PCM chain "
+    "lets the DuckDB twin recompute every sample value, so a "
+    "byte-order or width bug in the decode path flips the hash. "
+    "(Synthetic samples are positive by construction — ASCII hex "
+    "bytes < 128 — so abs() on the Spark side is the identity here "
+    "while staying correct for real signed audio.) One mapInPandas "
+    "pass, stats ride out as integers; map-side only.",
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assets = docs.select(F.col("doc_id").alias("asset_id"))
+    payloads = assets.mapInPandas(_encode_wavs, _PNG_SCHEMA)
+    return payloads.mapInPandas(_audio_stats, _AUDIO_STATS_SCHEMA).orderBy(
+        "asset_id"
+    )

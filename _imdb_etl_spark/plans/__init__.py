@@ -91,6 +91,7 @@ GATE_WINDOW = [
     "events_value_drift_daily",
     "sim_knn_ivfpq",
     "corpus_token_budget_plan",
+    "multimodal_audio_stats",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -114,7 +115,9 @@ GATE_WINDOW = [
     # range filters by tpch_q14/q19, union by multimodal_phash_dedup's
     # three-way asset union, sampling by corpus_temperature_sample and
     # corpus_balanced_sample, all in-window)
-    "fuzzy_part_name_match",
+    # (fuzzy_part_name_match yielded its slot to multimodal_audio_
+    # stats: r1-green bounded fuzzy join; approximate-matching stays
+    # represented in-window by the dedup/similarity families)
     "graf1_orders_by_priority",
     "graf3_top10_customers",
     "graf5_top10_suppliers_by_items",
