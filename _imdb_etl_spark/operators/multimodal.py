@@ -812,3 +812,115 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(_audio_stats, _AUDIO_STATS_SCHEMA).orderBy(
         "asset_id"
     )
+
+
+# --- shot-boundary detection (video analysis) ------------------------
+#
+# The analysis stage after frame sampling: consecutive-frame byte
+# difference with a relative threshold — the standard hard-cut
+# detector shape (per-frame work is a histogram/SSIM in production;
+# byte hamming here, the payload being deterministic ASCII so the
+# DuckDB twin recomputes every per-position comparison exactly).
+
+_SHOT_THRESH_PERMILLE = 500
+
+
+def _shot_boundaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "asset_id": [],
+            "n_transitions": [],
+            "n_boundaries": [],
+            "max_diff": [],
+            "sum_diff": [],
+        }
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            payload = bytes(payload)
+            step = max(len(payload) // _N_FRAMES, 1)
+            frames = [
+                payload[f * step : (f + 1) * step] for f in range(_N_FRAMES)
+            ]
+            diffs = []
+            bounds = 0
+            for cur, nxt in zip(frames, frames[1:]):
+                k = min(len(cur), len(nxt))
+                a = np.frombuffer(cur[:k], dtype=np.uint8)
+                b = np.frombuffer(nxt[:k], dtype=np.uint8)
+                diff = int((a != b).sum()) + abs(len(cur) - len(nxt))
+                span = max(len(cur), len(nxt))
+                diffs.append(diff)
+                if diff * 1000 > span * _SHOT_THRESH_PERMILLE:
+                    bounds += 1
+            rows["asset_id"].append(asset_id)
+            rows["n_transitions"].append(len(diffs))
+            rows["n_boundaries"].append(bounds)
+            rows["max_diff"].append(max(diffs))
+            rows["sum_diff"].append(sum(diffs))
+        yield pd.DataFrame(rows)
+
+
+_SHOT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_transitions", LongType()),
+        StructField("n_boundaries", LongType()),
+        StructField("max_diff", LongType()),
+        StructField("sum_diff", LongType()),
+    ]
+)
+
+_SHOT_SQL = f"""
+WITH v AS (
+  SELECT doc_id AS asset_id, text,
+         GREATEST(length(text) // {_N_FRAMES}, 1) AS step
+  FROM documents WHERE doc_id % 3 = 2
+),
+fr AS (
+  SELECT asset_id, f,
+         substr(text, CAST(f * step AS INT) + 1, CAST(step AS INT)) AS cur,
+         substr(text, CAST((f + 1) * step AS INT) + 1, CAST(step AS INT)) AS nxt
+  FROM v CROSS JOIN (SELECT unnest(range({_N_FRAMES} - 1)) AS f)
+),
+d AS (
+  SELECT asset_id, f,
+         len(list_filter(range(1, LEAST(length(cur), length(nxt)) + 1),
+             i -> substr(cur, CAST(i AS INT), 1) <> substr(nxt, CAST(i AS INT), 1)))
+           + abs(length(cur) - length(nxt)) AS diff,
+         GREATEST(length(cur), length(nxt)) AS span
+  FROM fr
+)
+SELECT asset_id,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN diff * 1000 > span * {_SHOT_THRESH_PERMILLE}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boundaries,
+       CAST(MAX(diff) AS BIGINT) AS max_diff,
+       CAST(SUM(diff) AS BIGINT) AS sum_diff
+FROM d
+GROUP BY asset_id
+ORDER BY asset_id
+"""
+
+
+@register(
+    "multimodal_shot_boundaries",
+    _SHOT_SQL,
+    doc="Shot-boundary (hard-cut) detection over the sampled frames: "
+    "consecutive-frame byte hamming plus length penalty, boundary "
+    f"when the difference exceeds {_SHOT_THRESH_PERMILLE} permille of "
+    "the frame span. One mapInPandas pass per asset (frames never "
+    "leave the batch); the DuckDB twin recomputes every per-position "
+    "byte comparison from the deterministic ASCII payload, so the "
+    "stats are value-exact. Completes the video pipeline: sample "
+    "(multimodal_frame_sample) -> analyze (this) -> dedup "
+    "(multimodal_phash_dedup on the image side).",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assets = make_assets(docs).where(F.col("modality") == "video")
+    return (
+        assets.select("asset_id", "payload")
+        .mapInPandas(_shot_boundaries, _SHOT_SCHEMA)
+        .orderBy("asset_id")
+    )
