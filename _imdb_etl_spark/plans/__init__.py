@@ -93,6 +93,7 @@ GATE_WINDOW = [
     "corpus_token_budget_plan",
     "multimodal_audio_stats",
     "multimodal_shot_boundaries",
+    "embedding_pca_top_component",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -123,7 +124,7 @@ GATE_WINDOW = [
     "graf3_top10_customers",
     "graf5_top10_suppliers_by_items",
     # (having_frequent_customers yielded its slot too: HAVING stays
-    # covered in-window by tpch_q18_large_volume)
+    # covered in-window by pipeline_pretrain_mix's contamination CTE)
     # (merge_scd1_vip_segment yielded its slot to sim_knn_ivfpq:
     # r1-green, and the MERGE family keeps its in-window row via
     # merge_scd2_customer_history plus scd2_point_in_time_join)
@@ -149,7 +150,9 @@ GATE_WINDOW = [
     # zorder_events_locality: both r1-green; q10's multi-join grouped
     # agg recurs in tpch_q5/q7 and q14's conditional-agg ratio in
     # corpus_domain_cap, in-window)
-    "tpch_q18_large_volume",
+    # (tpch_q18 yielded its slot to embedding_pca_top_component:
+    # r1-green; its HAVING-over-agg semi-join shape recurs in
+    # pipeline_pretrain_mix and graf4's r4 green)
     # (tpch_q19 yielded its slot to events_retention_cohorts: r1-green
     # disjunctive mixed-table predicate, structurally adjacent to the
     # in-window tpch_q18/q7 join+filter shapes)

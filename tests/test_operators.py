@@ -683,3 +683,29 @@ def test_ivfpq_recall_and_candidate_bound(spark, sf_dir):
     }
     assert ivfpq, "composed index returned no pairs"
     assert len(ivf & ivfpq) > 0
+
+
+def test_pca_power_iteration_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from _imdb_etl_spark.operators.semantic import _pca_top_component
+
+    v, eig, n, _trace = _pca_top_component(spark, sf_dir)
+    X = np.array(
+        [
+            r.e
+            for r in load_tables(spark, sf_dir, "embeddings")[0]
+            .select(F.col("embedding").cast("array<double>").alias("e"))
+            .collect()
+        ]
+    )
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / len(X)
+    vals, vecs = np.linalg.eigh(cov)
+    top_val, top_vec = vals[-1], vecs[:, -1]
+    # direction agreement up to sign; the 500 local rounds on the
+    # driver-side dim x dim matrix converge past this corpus's 0.987
+    # eigengap ratio
+    cos = abs(float(np.dot(v, top_vec)))
+    assert cos > 0.95, f"PCA direction cosine {cos}"
+    assert abs(eig - top_val) / top_val < 0.02, (eig, top_val)
