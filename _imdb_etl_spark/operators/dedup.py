@@ -801,3 +801,106 @@ def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes", "n_edges", "n_triangles", "max_degree"
     )
     return out
+
+
+# --- PageRank over the near-dup graph --------------------------------
+#
+# Centrality on the duplicate graph ranks the "hub" documents a dedup
+# keep-policy should prefer (keep the most-connected representative,
+# drop satellites). Fixed-iteration PageRank with per-round rounding
+# to 9 decimals in BOTH engines: float sums are order-sensitive at
+# ~1e-15 while the rounding grid is 1e-9, so each round re-quantizes
+# to identical values cross-engine and the hashes stay exact. The
+# oracle replays all rounds in one recursive CTE (aggregation in the
+# recursive step — DuckDB supports it; every float literal cast to
+# DOUBLE because bare decimals parse as DECIMAL and truncate).
+
+_PR_DAMP = 0.85
+_PR_ITERS = 10
+_PR_TOP = 20
+
+
+def _pagerank_sql() -> str:
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ({_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")})
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM ({_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")})
+),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+pr(iter, node, rank) AS (
+  SELECT 0, node, ROUND(CAST(1.0 AS DOUBLE) / nn.n, 9) FROM nodes, nn
+  UNION ALL
+  SELECT iter + 1, e.dst,
+         ROUND(CAST((1.0 - {_PR_DAMP}) AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({_PR_DAMP} AS DOUBLE) * SUM(pr.rank / deg.d), 9)
+  FROM pr
+  JOIN edges e ON pr.node = e.src
+  JOIN deg ON pr.node = deg.src
+  WHERE iter < {_PR_ITERS}
+  GROUP BY iter + 1, e.dst
+)
+SELECT node AS doc_id, ROUND(rank, 6) AS pagerank,
+       rnk AS rank_order
+FROM (
+  SELECT node, rank,
+         ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS rnk
+  FROM pr WHERE iter = {_PR_ITERS}
+)
+WHERE rnk <= {_PR_TOP}
+ORDER BY rank_order
+"""
+
+
+@register(
+    "neardup_pagerank",
+    _pagerank_sql(),
+    doc=f"PageRank (d={_PR_DAMP}, {_PR_ITERS} fixed rounds) over the "
+    "near-dup graph: ranks the hub documents a cluster keep-policy "
+    "prefers as representatives. Each round is one node-keyed "
+    "shuffle (edges join ranks, sum by destination) with per-round "
+    "1e-9 re-quantization making the float iteration engine-exact; "
+    "lineage is localCheckpoint-truncated every 5 rounds (the "
+    "connected-components discipline). The oracle replays the exact "
+    "iteration in one recursive CTE with aggregation in the "
+    "recursive step.",
+)
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    edges = edges.localCheckpoint()  # pair stage runs once, not per round
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / n, 9).alias("rank")
+    )
+    for i in range(_PR_ITERS):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+        )
+        ranks = contrib.groupBy("node").agg(
+            F.round(
+                F.lit((1.0 - _PR_DAMP) / n) + _PR_DAMP * F.sum("c"), 9
+            ).alias("rank")
+        )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint()
+    w = Window.orderBy(F.desc("rank"), F.asc("node"))
+    # global window over the top-k only would still need the sort; the
+    # orderBy+limit collapses to TakeOrderedAndProject and the final
+    # row_number runs over exactly <= _PR_TOP rows — benign
+    top = ranks.orderBy(F.desc("rank"), F.asc("node")).limit(_PR_TOP)
+    return top.select(
+        F.col("node").alias("doc_id"),
+        F.round("rank", 6).alias("pagerank"),
+        F.row_number().over(w).alias("rank_order"),
+    ).orderBy("rank_order")

@@ -94,6 +94,8 @@ GATE_WINDOW = [
     "multimodal_audio_stats",
     "multimodal_shot_boundaries",
     "embedding_pca_top_component",
+    "events_markov_transitions",
+    "neardup_pagerank",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -158,8 +160,10 @@ GATE_WINDOW = [
     # in-window tpch_q18/q7 join+filter shapes)
     # (tpch_q4 yielded its slot to split_leakage_audit: r1-green, and
     # its correlated-EXISTS shape recurs in tpch_q21/q22's r3 greens)
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
+    # (tpch_q5 and q7 yielded their slots to events_markov_transitions
+    # and neardup_pagerank: both r1-green multi-join grouped aggs,
+    # structurally covered by tpch_q8/q9's r3 greens and the in-window
+    # graf3/graf5 join+agg shapes)
     # (window_suite_customer_orders yielded its slot to events_value_
     # drift_daily: r1-green, and the analytic-window family stays
     # in-window via window_range_trailing_30d, scd2_point_in_time_join,

@@ -718,3 +718,62 @@ def events_value_drift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS row_total FROM trans GROUP BY prev_type)
+SELECT t.prev_type, t.next_type,
+       CAST(t.n AS BIGINT) AS n_transitions,
+       CAST((1000 * t.n) // tot.row_total AS BIGINT) AS prob_permille
+FROM trans t JOIN tot USING (prev_type)
+ORDER BY t.prev_type, t.next_type
+"""
+
+
+@register(
+    "events_markov_transitions",
+    _MARKOV_SQL,
+    doc="First-order behavior model: the event-type transition matrix "
+    "from per-user consecutive event pairs (lag over the user-keyed "
+    "deterministic (ts, event_id) order), with row-normalized "
+    "probabilities in exact integer permille. One user-keyed window "
+    "shuffle + a |types|^2-cell aggregate; the row-total join is "
+    "|types| rows — broadcast at any scale.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot = trans.groupBy("prev_type").agg(
+        F.sum("n_transitions").alias("row_total")
+    )
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            F.expr("(1000 * n_transitions) div row_total").alias(
+                "prob_permille"
+            ),
+        )
+        .orderBy("prev_type", "next_type")
+    )
