@@ -96,6 +96,7 @@ GATE_WINDOW = [
     "embedding_pca_top_component",
     "events_markov_transitions",
     "neardup_pagerank",
+    "events_session_window_native",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -124,7 +125,9 @@ GATE_WINDOW = [
     # represented in-window by the dedup/similarity families)
     "graf1_orders_by_priority",
     "graf3_top10_customers",
-    "graf5_top10_suppliers_by_items",
+    # (graf5 yielded its slot to events_session_window_native:
+    # r1-green; the reference-Graf family keeps graf1/graf3 in-window
+    # and graf4's r4 green)
     # (having_frequent_customers yielded its slot too: HAVING stays
     # covered in-window by pipeline_pretrain_mix's contamination CTE)
     # (merge_scd1_vip_segment yielded its slot to sim_knn_ivfpq:

@@ -777,3 +777,62 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+_SESSION_NATIVE_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS BIGINT) AS duration_ms
+FROM islands
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "events_session_window_native",
+    _SESSION_NATIVE_SQL,
+    doc="Native session_window aggregation (the built-in Spark "
+    "session-gap operator, batch form): groupBy(user, "
+    "session_window(ts, '30 minutes')) — Spark merges overlapping "
+    "gap-extended intervals inside the aggregate, one user-keyed "
+    "shuffle, no window-function pass at all. The oracle derives the "
+    "identical sessions with the classic gaps-and-islands form "
+    "(lag -> new-session flag -> running sum), proving the built-in "
+    "operator's semantics against the manual formulation it "
+    "replaces. Emitted per session: start, event count, exact "
+    "epoch-ms duration.",
+)
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias(
+                "duration_ms"
+            ),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+        )
+        .select("user_id", "session_start", "n_events", "duration_ms")
+        .orderBy("user_id", "session_start")
+    )
