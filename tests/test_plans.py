@@ -336,3 +336,30 @@ def test_corpus_line_dedup_has_no_pair_blowup(spark, sf_dir):
     # segment hashing is map-side fan-out: the frequency agg and the
     # join back key on the hash; only keyed exchanges appear
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_session_window_native_has_no_window_exec(spark, sf_dir):
+    """The point of the native session aggregate: sessions merge inside
+    ONE hash aggregate on the user key — no window-function pass, no
+    second shuffle for the islands running sum."""
+    plan = _explain(REGISTRY["events_session_window_native"].spark(spark, sf_dir))
+    assert "session_window" in plan
+    assert "Window" not in plan.replace("session_window", "")
+    assert plan.count("hashpartitioning(") <= 2  # agg key + presentation
+
+
+def test_ivfpq_stays_broadcast_no_cartesian(spark, sf_dir):
+    """The composed index must inherit both parents' scale shapes: the
+    candidate stage joins broadcast probes to keyed lists, the scoring
+    stage joins a broadcast LUT — never an all-pairs product."""
+    plan = _explain(REGISTRY["sim_knn_ivfpq"].spark(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """The running-MIN funnel formulation exists to avoid one join per
+    stage: everything keys on user_id exactly once."""
+    plan = _explain(REGISTRY["events_funnel_analysis"].spark(spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") <= 2  # windows + agg reuse
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
