@@ -288,24 +288,16 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_sql() -> str:
-    from _imdb_etl_spark.operators.dedup import _SHINGLE_SQL
+    # the pair stage is dedup_ngram_jaccard's canonical SQL, embedded
+    # verbatim as a subquery (the neardup_pagerank convention) — one
+    # definition of the 0.6-threshold shingle-join semantics, never a
+    # hand-copied drift-prone duplicate
+    from _imdb_etl_spark.operators.dedup import _JACCARD_SQL
 
+    pair_subq = _JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")
     return f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
-pairs AS (
-  SELECT doc_a, doc_b
-  FROM inter
-  JOIN sizes sa ON doc_a = sa.doc_id
-  JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({pair_subq})
 ),
 assigned AS (
   SELECT doc_id,

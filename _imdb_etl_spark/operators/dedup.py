@@ -876,16 +876,23 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.localCheckpoint()  # pair stage runs once, not per round
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # fold degree into the edge table once — otherwise every round's
+    # lazy plan re-aggregates edges and does a second join
+    wedges = edges.join(deg, "src").localCheckpoint()
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
+    if n == 0:
+        # no near-dup pairs -> empty graph; mirror the oracle's empty
+        # result instead of dividing by zero below
+        return spark.createDataFrame(
+            [], "doc_id bigint, pagerank double, rank_order int"
+        )
     ranks = nodes.select(
         "node", F.round(F.lit(1.0) / n, 9).alias("rank")
     )
     for i in range(_PR_ITERS):
-        contrib = (
-            ranks.join(edges, ranks.node == edges.src)
-            .join(deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c"))
+        contrib = ranks.join(wedges, ranks.node == wedges.src).select(
+            F.col("dst").alias("node"), (F.col("rank") / F.col("d")).alias("c")
         )
         ranks = contrib.groupBy("node").agg(
             F.round(

@@ -244,7 +244,9 @@ FROM documents
 ORDER BY asset_id
 """
 
-_PNG_SCHEMA = StructType(
+# (asset_id, payload) — the schema of every encode pass (PNG and WAV
+# alike); the name reflects the shape, not a specific codec
+_PAYLOAD_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),
         StructField("payload", BinaryType()),
@@ -324,7 +326,7 @@ def _decode_pngs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = docs.select(F.col("doc_id").alias("asset_id"))
-    payloads = assets.mapInPandas(_encode_pngs, _PNG_SCHEMA)
+    payloads = assets.mapInPandas(_encode_pngs, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(_decode_pngs, _PNG_DECODE_SCHEMA).orderBy(
         "asset_id"
     )
@@ -638,10 +640,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("perturbed").alias("kind"),
     )
     assets = orig.unionByName(copies).unionByName(perturbed)
-    # payload = the genuine PNG encoding of the source doc's pixels
-    # (copies re-encode the same pixels -> byte-identical payloads)
-    with_payload = assets.withColumn("payload", F.lit(None).cast("binary"))
 
+    # payload = the genuine PNG encoding of the source doc's pixels
+    # (copies re-encode the same pixels -> byte-identical payloads);
+    # the payload column is created inside the pandas batch — the
+    # mapInPandas output is schema-driven, so no placeholder column
+    # needs to ride through Arrow
     def encode_and_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from _imdb_etl_spark.operators.png_codec import encode_png
 
@@ -659,7 +663,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         yield from _phash_batch(add_payload(p) for p in batches)
 
-    hashed = with_payload.mapInPandas(encode_and_hash, _PHASH_SCHEMA)
+    # the scorecard fans out into six aggregate branches below; without
+    # truncation each branch would re-run the PNG encode + DCT pHash of
+    # every asset, so materialize the hash table exactly once
+    hashed = assets.mapInPandas(encode_and_hash, _PHASH_SCHEMA).localCheckpoint()
     o = hashed.where(F.col("kind") == "orig").select(
         F.col("src_id").alias("o_src"), F.col("phash").alias("o_hash")
     )
@@ -808,7 +815,7 @@ ORDER BY asset_id
 def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = docs.select(F.col("doc_id").alias("asset_id"))
-    payloads = assets.mapInPandas(_encode_wavs, _PNG_SCHEMA)
+    payloads = assets.mapInPandas(_encode_wavs, _PAYLOAD_SCHEMA)
     return payloads.mapInPandas(_audio_stats, _AUDIO_STATS_SCHEMA).orderBy(
         "asset_id"
     )

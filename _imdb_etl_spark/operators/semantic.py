@@ -265,27 +265,14 @@ ORDER BY query_id, neighbor_rank
 """
 
 
-@register(
-    "sim_knn_pq",
-    _pq_sql(),
-    doc=f"Product-quantization ANN with asymmetric distance computation "
-    f"(Jégou et al. 2011): {_N_SUB} subspaces x {_N_CODES}-entry "
-    "codebooks; every corpus vector compresses to "
-    f"{_N_SUB} code ids ({_N_SUB} bytes vs {_DIM * 4} for fp32 — the "
-    "RAM-side compression that complements IVF's partition pruning; "
-    "recall@5 = 0.55 vs brute force at sf0.01, above trained IVF's "
-    "0.38). "
-    "Queries precompute a dot-product lookup table against the "
-    "codebook (queries x subspaces x codes rows — broadcastable by "
-    "construction), scoring is a broadcast-LUT join + per-(query, "
-    "vector) partial-agg sum, never touching raw corpus floats. The "
-    "encode argmin is expressed as a windowed rank keyed (vec_id, "
-    "subspace) for oracle parity; the production path fuses it into "
-    "one Arrow-batched mapInPandas pass (see tests for the "
-    "recall-vs-exact floor).",
-)
-def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    (emb,) = load_tables(spark, sf_dir, "embeddings")
+def _pq_encode_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared PQ build: (encoded, lut) — the Spark twin of _PQ_CTES.
+
+    encoded: (vec_id, s, code_id) — every vector's nearest code per
+    subspace. lut: (query_id, s, code_id, part) — each query's dot
+    product against every codebook entry. Used verbatim by sim_knn_pq
+    and sim_knn_ivfpq so their quantization semantics can never drift
+    apart (the SQL side shares the same block for the same reason)."""
     # subspace fan-out via explode of a literal index array — a narrow
     # map-side op, NOT a join: no nested-loop node ever enters the plan
     subs = F.explode(F.array(*[F.lit(s) for s in range(_N_SUB)])).alias("s")
@@ -334,6 +321,32 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dot(F.col("vs"), F.col("cs")), 6).alias("part"),
         )
     )
+    return encoded, lut
+
+
+
+@register(
+    "sim_knn_pq",
+    _pq_sql(),
+    doc=f"Product-quantization ANN with asymmetric distance computation "
+    f"(Jégou et al. 2011): {_N_SUB} subspaces x {_N_CODES}-entry "
+    "codebooks; every corpus vector compresses to "
+    f"{_N_SUB} code ids ({_N_SUB} bytes vs {_DIM * 4} for fp32 — the "
+    "RAM-side compression that complements IVF's partition pruning; "
+    "recall@5 = 0.55 vs brute force at sf0.01, above trained IVF's "
+    "0.38). "
+    "Queries precompute a dot-product lookup table against the "
+    "codebook (queries x subspaces x codes rows — broadcastable by "
+    "construction), scoring is a broadcast-LUT join + per-(query, "
+    "vector) partial-agg sum, never touching raw corpus floats. The "
+    "encode argmin is expressed as a windowed rank keyed (vec_id, "
+    "subspace) for oracle parity; the production path fuses it into "
+    "one Arrow-batched mapInPandas pass (see tests for the "
+    "recall-vs-exact floor).",
+)
+def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    encoded, lut = _pq_encode_lut(emb)
     scored = (
         encoded.join(F.broadcast(lut), ["s", "code_id"])
         .where(F.col("vec_id") != F.col("query_id"))
@@ -478,51 +491,9 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    # PQ side: reuse the exact encode/LUT builders from sim_knn_pq
-    subs = F.explode(F.array(*[F.lit(s) for s in range(_N_SUB)])).alias("s")
-    seed_w = Window.orderBy("vec_id")
-    seeds = (
-        emb.where(F.expr(_SEED_FILTER))
-        .orderBy("vec_id")
-        .limit(_N_CODES)
-        .withColumn("code_id", F.row_number().over(seed_w) - 1)
-    )
-    sub_slice = lambda v: F.slice(v, F.col("s") * _SUB_DIM + 1, _SUB_DIM)  # noqa: E731
-    codebook = seeds.select("code_id", "embedding", subs).select(
-        "s", "code_id", sub_slice(F.col("embedding")).alias("cs")
-    )
-    vec_subs = emb.select("vec_id", "embedding", subs).select(
-        "vec_id", "s", sub_slice(F.col("embedding")).alias("vs")
-    )
-    l2 = F.aggregate(
-        F.zip_with(
-            F.col("vs"),
-            F.col("cs"),
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    enc_w = Window.partitionBy("vec_id", "s").orderBy("d", "code_id")
-    encoded = (
-        vec_subs.join(F.broadcast(codebook), "s")
-        .select("vec_id", "s", "code_id", F.round(l2, 6).alias("d"))
-        .withColumn("rnk", F.row_number().over(enc_w))
-        .where(F.col("rnk") == 1)
-        .select(F.col("vec_id").alias("neighbor_id"), "s", "code_id")
-    )
-    lut = (
-        vec_subs.where(F.col("vec_id") < _N_QUERIES)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(codebook), "s")
-        .select(
-            "query_id",
-            "s",
-            "code_id",
-            F.round(_dot(F.col("vs"), F.col("cs")), 6).alias("part"),
-        )
-    )
+    # PQ side: the exact shared encode/LUT builder from sim_knn_pq
+    encoded, lut = _pq_encode_lut(emb)
+    encoded = encoded.withColumnRenamed("vec_id", "neighbor_id")
     scored = (
         cand.join(encoded, "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "s", "code_id"])

@@ -545,7 +545,8 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_positions",
         "n_dup_positions",
-        ((1000 * F.col("n_dup_positions")) / F.col("n_positions"))
-        .cast("long")
-        .alias("dup_permille"),
+        # exact integer div, matching the oracle's // at every scale
+        F.expr("(1000 * n_dup_positions) div n_positions").alias(
+            "dup_permille"
+        ),
     ).orderBy("doc_id")

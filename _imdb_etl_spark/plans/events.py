@@ -494,17 +494,22 @@ def events_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_purchase_after_click"),
     )
     cnt = lambda c: F.count(F.when(F.col(c), 1))  # noqa: E731
+    # exact integer division (div), not double '/' + cast: at large
+    # counts an IEEE-rounded quotient can cross an integer boundary
+    # and truncate differently than the oracle's floor division
     return per_user.agg(
         F.count(F.lit(1)).alias("n_users"),
         cnt("did_view").alias("n_view"),
         cnt("did_click_after_view").alias("n_click_after_view"),
         cnt("did_purchase_after_click").alias("n_purchase_after_click"),
-        (
-            (1000 * cnt("did_purchase_after_click"))
-            / F.greatest(cnt("did_view"), F.lit(1))
-        )
-        .cast("long")
-        .alias("view_to_purchase_permille"),
+    ).select(
+        "n_users",
+        "n_view",
+        "n_click_after_view",
+        "n_purchase_after_click",
+        F.expr(
+            "(1000 * n_purchase_after_click) div greatest(n_view, 1L)"
+        ).alias("view_to_purchase_permille"),
     )
 
 
@@ -626,11 +631,14 @@ ORDER BY c.cohort_wk, c.week_offset
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
-    wk = (F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7).cast(
-        "long"
-    )
+    # floor(), not cast('long'): the cast truncates toward zero, which
+    # diverges from the oracle's // for any event before the epoch
+    # anchor (floor(-3/7) = -1, trunc = 0)
+    wk = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
     anchor = events.groupBy("user_id").agg(
-        (
+        F.floor(
             F.datediff(F.min(F.to_date("ts")), F.lit("2024-01-01").cast("date"))
             / 7
         )
@@ -781,7 +789,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_NATIVE_SQL = """
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
                 OR lag(ts) OVER w IS NULL
               THEN 1 ELSE 0 END AS new_session
@@ -790,7 +798,7 @@ WITH gaps AS (
 ),
 islands AS (
   SELECT user_id, ts,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_no
   FROM gaps
 )
