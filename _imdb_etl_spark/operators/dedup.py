@@ -911,3 +911,139 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rank", 6).alias("pagerank"),
         F.row_number().over(w).alias("rank_order"),
     ).orderBy("rank_order")
+
+
+# --- Bloom-filter decontamination ------------------------------------
+#
+# decontaminate_vs_eval broadcasts the eval shingle SET; at 100 TB the
+# eval suite itself can be huge (every benchmark ever published), and
+# what broadcasts then is a BLOOM FILTER of the shingles — constant
+# bits per element, no false negatives, FP-rate-tunable. The filter
+# here is md5-derived bit positions (k=3 seeds into a 2^16 space)
+# realized as a broadcast hash set of set positions: the membership
+# test is bit-identical to a bloom probe, stays fully declarative
+# (JVM md5 + join, no UDF), and the DuckDB twin rebuilds the exact
+# same filter, so even the false positives hash-match. The output
+# carries exact-overlap accounting so the FP cost of the filter is
+# auditable per flagged doc.
+
+_BLOOM_SEEDS = 3
+_BLOOM_MIN_HITS = 3  # same >= 3-shared rule as decontaminate_vs_eval
+
+
+def _pos4_sql(expr: str) -> str:
+    """Value of the first 4 md5 hex chars (0..65535) — the bit position."""
+    return (
+        "(("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + "))"
+    )
+
+
+_BLOOM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id < {_N_EVAL_DOCS}),
+seeds AS (SELECT unnest(range(0, {_BLOOM_SEEDS})) AS k),
+bits AS (
+  SELECT DISTINCT {_pos4_sql("CAST(k AS VARCHAR) || ':' || sh")} AS pos
+  FROM ev CROSS JOIN seeds
+),
+probe AS (
+  SELECT s.doc_id, s.sh,
+         SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_set
+  FROM (SELECT doc_id, sh FROM sh WHERE doc_id >= {_N_EVAL_DOCS}) s
+  CROSS JOIN seeds
+  LEFT JOIN bits b ON b.pos = {_pos4_sql("CAST(seeds.k AS VARCHAR) || ':' || s.sh")}
+  GROUP BY s.doc_id, s.sh
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_bloom_hits
+  FROM probe WHERE n_set = {_BLOOM_SEEDS}
+  GROUP BY doc_id
+),
+exact AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM sh JOIN ev USING (sh)
+  WHERE doc_id >= {_N_EVAL_DOCS}
+  GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CAST(h.n_bloom_hits AS BIGINT) AS n_bloom_hits,
+       CAST(COALESCE(e.n_shared, 0) AS BIGINT) AS n_exact_shared,
+       (COALESCE(e.n_shared, 0) < {_BLOOM_MIN_HITS}) AS bloom_only
+FROM hits h LEFT JOIN exact e USING (doc_id)
+WHERE h.n_bloom_hits >= {_BLOOM_MIN_HITS}
+ORDER BY h.doc_id
+"""
+
+
+@register(
+    "decontaminate_bloom",
+    _BLOOM_SQL,
+    doc=f"Bloom-filter decontamination: the eval shingle set compresses "
+    f"to {_BLOOM_SEEDS} md5-derived bit positions per shingle in a "
+    "2^16 space, broadcast as a position set; the corpus probe is a "
+    "map-side join against it (no false negatives — every doc "
+    "decontaminate_vs_eval flags is flagged here too, pinned in "
+    "pytest). This is the filter that still broadcasts when the eval "
+    "suite outgrows an exact set at 100 TB. Exact-overlap accounting "
+    "rides along, so bloom-only rows ARE the filter's false "
+    "positives; the oracle rebuilds the identical filter, making even "
+    "those hash-checked.",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    ev = sh.where(F.col("doc_id") < _N_EVAL_DOCS).select("sh").distinct()
+    seeds = F.explode(
+        F.array(*[F.lit(k) for k in range(_BLOOM_SEEDS)])
+    ).alias("k")
+
+    def pos4(prefix, shc):
+        return F.conv(
+            F.substring(F.md5(F.concat(prefix, F.lit(":"), shc)), 1, 4), 16, 10
+        ).cast("long")
+
+    bits = (
+        ev.select("sh", seeds)
+        .select(pos4(F.col("k").cast("string"), F.col("sh")).alias("pos"))
+        .distinct()
+        .withColumn("set_bit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") >= _N_EVAL_DOCS)
+    probe = (
+        corpus.select("doc_id", "sh", seeds)
+        .withColumn("pos", pos4(F.col("k").cast("string"), F.col("sh")))
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "sh")
+        .agg(F.sum(F.coalesce("set_bit", F.lit(0))).alias("n_set"))
+    )
+    hits = (
+        probe.where(F.col("n_set") == _BLOOM_SEEDS)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    exact = (
+        corpus.join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(exact, "doc_id", "left")
+        .where(F.col("n_bloom_hits") >= _BLOOM_MIN_HITS)
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            F.coalesce("n_shared", F.lit(0)).alias("n_exact_shared"),
+            (F.coalesce("n_shared", F.lit(0)) < _BLOOM_MIN_HITS).alias(
+                "bloom_only"
+            ),
+        )
+        .orderBy("doc_id")
+    )

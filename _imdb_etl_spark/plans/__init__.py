@@ -97,6 +97,7 @@ GATE_WINDOW = [
     "events_markov_transitions",
     "neardup_pagerank",
     "events_session_window_native",
+    "decontaminate_bloom",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -123,7 +124,9 @@ GATE_WINDOW = [
     # (fuzzy_part_name_match yielded its slot to multimodal_audio_
     # stats: r1-green bounded fuzzy join; approximate-matching stays
     # represented in-window by the dedup/similarity families)
-    "graf1_orders_by_priority",
+    # (graf1 yielded its slot to decontaminate_bloom: r1-green; the
+    # reference-Graf family keeps graf3 in-window plus graf4's r4 green,
+    # and graf1's filter+count shape is in virtually every in-window op)
     "graf3_top10_customers",
     # (graf5 yielded its slot to events_session_window_native:
     # r1-green; the reference-Graf family keeps graf1/graf3 in-window

@@ -709,3 +709,18 @@ def test_pca_power_iteration_matches_numpy(spark, sf_dir):
     cos = abs(float(np.dot(v, top_vec)))
     assert cos > 0.95, f"PCA direction cosine {cos}"
     assert abs(eig - top_val) / top_val < 0.02, (eig, top_val)
+
+
+def test_bloom_decontamination_has_no_false_negatives(spark, sf_dir):
+    exact = {
+        r.doc_id
+        for r in REGISTRY["decontaminate_vs_eval"].spark(spark, sf_dir).collect()
+    }
+    bloom_rows = REGISTRY["decontaminate_bloom"].spark(spark, sf_dir).collect()
+    bloom = {r.doc_id for r in bloom_rows}
+    assert exact, "corpus should contain contaminated docs"
+    # a bloom filter may over-flag, never under-flag
+    assert exact <= bloom, exact - bloom
+    for r in bloom_rows:
+        assert r.n_bloom_hits >= r.n_exact_shared
+        assert r.bloom_only == (r.n_exact_shared < 3)
