@@ -550,3 +550,72 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_permille"
         ),
     ).orderBy("doc_id")
+
+
+_CONFUSION_SQL = f"""
+WITH lex(lang, word) AS (VALUES {_LEX_VALUES}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+hits AS (
+  SELECT doc_id, lang, COUNT(*) AS n_hits
+  FROM tok JOIN lex ON tok = word
+  GROUP BY doc_id, lang
+),
+best AS (
+  SELECT doc_id, lang, n_hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, lang) AS rnk
+  FROM hits
+),
+pred AS (
+  SELECT d.doc_id, d.lang AS true_lang,
+         COALESCE(b.lang, 'und') AS pred_lang
+  FROM documents d
+  LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rnk = 1
+),
+cells AS (
+  SELECT true_lang, pred_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT true_lang, SUM(n_docs) AS row_total FROM cells GROUP BY 1)
+SELECT c.true_lang, c.pred_lang,
+       CAST(c.n_docs AS BIGINT) AS n_docs,
+       (c.true_lang = c.pred_lang) AS is_correct,
+       CAST((1000 * c.n_docs) // t.row_total AS BIGINT) AS rate_permille
+FROM cells c JOIN tot t USING (true_lang)
+ORDER BY c.true_lang, c.pred_lang
+"""
+
+
+@register(
+    "text_lang_id_confusion",
+    _CONFUSION_SQL,
+    doc="Classifier evaluation face for the language-ID heuristic: the "
+    "(true lang, predicted lang) confusion matrix with row-normalized "
+    "rates in exact integer permille — the per-class accuracy audit "
+    "run before any lang-conditioned pipeline stage trusts the "
+    "labels. Same plan as text_lang_id (broadcast lexicon join, "
+    "per-doc argmax) plus a |langs|^2-cell aggregate; the row-total "
+    "join is |langs| rows, broadcast.",
+)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    preds = text_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    cells = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(preds, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = cells.groupBy("true_lang").agg(F.sum("n_docs").alias("row_total"))
+    return (
+        cells.join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            (F.col("true_lang") == F.col("pred_lang")).alias("is_correct"),
+            F.expr("(1000 * n_docs) div row_total").alias("rate_permille"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -98,6 +98,7 @@ GATE_WINDOW = [
     "neardup_pagerank",
     "events_session_window_native",
     "decontaminate_bloom",
+    "text_lang_id_confusion",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -174,9 +175,10 @@ GATE_WINDOW = [
     # drift_daily: r1-green, and the analytic-window family stays
     # in-window via window_range_trailing_30d, scd2_point_in_time_join,
     # and the new drift monitor's month-partitioned lag)
-    # -- round-3-vintage query over a code path touched this round
-    # (the spread() rewrite)
-    "vocab_top_words",
+    # (vocab_top_words yielded its slot to text_lang_id_confusion:
+    # its round-3 green stands, and the rewritten spread() path it was
+    # re-proving is exercised by the in-window shingle/text operators
+    # — dedup_containment, text_duplicate_spans, pipeline_pretrain_mix)
 ]
 # everything below keeps local-only coverage this round (all have
 # green rows from rounds 3-4)
