@@ -378,3 +378,92 @@ _REG["split_leakage_audit"] = _REG["split_leakage_audit"].__class__(
     oracle=_leakage_sql(),
     doc=_REG["split_leakage_audit"].doc,
 )
+
+
+# --- per-source curation profile -------------------------------------
+
+from _imdb_etl_spark.operators.text import _STOPWORDS, _toks  # noqa: E402
+
+_SW_IN = ",".join(f"'{w}'" for w in _STOPWORDS)
+
+_SOURCE_PROFILE_SQL = f"""
+WITH flags AS (
+  SELECT source,
+         n_chars,
+         md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
+         CASE WHEN length(text) >= 100
+               AND len(list_filter(string_split(text, ' '),
+                       x -> x IN ({_SW_IN}))) > 0
+              THEN 1 ELSE 0 END AS qual_ok
+  FROM documents
+),
+per_hash AS (
+  SELECT source, h, MAX(qual_ok) AS qual_ok, COUNT(*) AS n_copies,
+         SUM(n_chars) AS chars_in_group
+  FROM flags GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dup_docs,
+       CAST((1000 * (SUM(n_copies) - COUNT(*))) // SUM(n_copies) AS BIGINT)
+         AS dup_permille,
+       CAST(SUM(CASE WHEN qual_ok = 1 THEN n_copies ELSE 0 END) AS BIGINT)
+         AS n_quality,
+       CAST(SUM(chars_in_group) AS BIGINT) AS total_chars
+FROM per_hash
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "corpus_source_quality_profile",
+    _SOURCE_PROFILE_SQL,
+    doc="Per-source curation scorecard: document counts, within-source "
+    "exact-duplicate rate (normalized-hash groups, integer permille), "
+    "quality-gate pass counts, and char volume — the table a corpus "
+    "owner reads to decide which crawl sources to keep, cap, or "
+    "re-clean. One (source, hash)-keyed aggregation then a source "
+    "rollup; both partial-aggregate map-side.",
+)
+def corpus_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(_toks(), lambda x: F.array_contains(sw, x)))
+    norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
+    flags = docs.select(
+        "source",
+        "n_chars",
+        norm_hash.alias("h"),
+        F.when((F.length("text") >= 100) & (n_stop > 0), 1)
+        .otherwise(0)
+        .alias("qual_ok"),
+    )
+    per_hash = flags.groupBy("source", "h").agg(
+        F.max("qual_ok").alias("qual_ok"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("n_chars").alias("chars_in_group"),
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique"),
+            (F.sum("n_copies") - F.count(F.lit(1))).alias("n_dup_docs"),
+            F.sum(
+                F.when(F.col("qual_ok") == 1, F.col("n_copies")).otherwise(0)
+            ).alias("n_quality"),
+            F.sum("chars_in_group").alias("total_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            "n_dup_docs",
+            F.expr("(1000 * n_dup_docs) div n_docs").alias("dup_permille"),
+            "n_quality",
+            "total_chars",
+        )
+        .orderBy("source")
+    )

@@ -1047,3 +1047,66 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- cluster-size distribution ---------------------------------------
+
+_CLUSTER_HIST_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip().rstrip()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _CLUSTER_HIST_SQL,
+    doc="Duplicate-cluster size distribution: how many clusters of "
+    "each size the near-dup graph produces, with the removable-doc "
+    "count per size (size - 1 per cluster under keep-one) — the "
+    "histogram that tells a corpus owner whether duplication is long "
+    "tail (many pairs) or head-heavy (a few giant mirror farms, the "
+    "case that demands domain caps before dedup). Rides on the same "
+    "pointer-jumping components as dedup_clusters; the extra cost is "
+    "two tiny aggregations over the label table.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = dedup_clusters(spark, sf_dir).select("cluster_id", "cluster_size")
+    sizes = clusters.groupBy("cluster_id", "cluster_size").agg(F.lit(1))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).alias("n_docs"),
+            (F.col("n_clusters") * (F.col("cluster_size") - 1)).alias(
+                "n_removable"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

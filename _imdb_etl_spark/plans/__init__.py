@@ -99,6 +99,7 @@ GATE_WINDOW = [
     "events_session_window_native",
     "decontaminate_bloom",
     "text_lang_id_confusion",
+    "corpus_source_quality_profile",
     # -- (c) implementation or oracle changed this round
     "dedup_simhash",
     "dedup_clusters",
@@ -128,7 +129,10 @@ GATE_WINDOW = [
     # (graf1 yielded its slot to decontaminate_bloom: r1-green; the
     # reference-Graf family keeps graf3 in-window plus graf4's r4 green,
     # and graf1's filter+count shape is in virtually every in-window op)
-    "graf3_top10_customers",
+    # (graf3 yielded its slot to corpus_source_quality_profile: every
+    # Graf holds an r1 green plus the IMDB-faithful DuckDB-hashed
+    # pytest on the reference's own CSVs, which re-proves the Graf
+    # semantics every round)
     # (graf5 yielded its slot to events_session_window_native:
     # r1-green; the reference-Graf family keeps graf1/graf3 in-window
     # and graf4's r4 green)
@@ -183,6 +187,11 @@ GATE_WINDOW = [
 # everything below keeps local-only coverage this round (all have
 # green rows from rounds 3-4)
 _GATE_REST = [
+    # dedup_cluster_size_histogram is the single round-5 addition the
+    # 50-slot window could not fit (round 5 registered 24 new queries);
+    # it leads the spillover so round 6's window picks it up first,
+    # and it passes the local gate replay every round meanwhile
+    "dedup_cluster_size_histogram",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",
