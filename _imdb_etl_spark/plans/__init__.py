@@ -187,11 +187,11 @@ GATE_WINDOW = [
 # everything below keeps local-only coverage this round (all have
 # green rows from rounds 3-4)
 _GATE_REST = [
-    # dedup_cluster_size_histogram is the single round-5 addition the
-    # 50-slot window could not fit (round 5 registered 24 new queries);
-    # it leads the spillover so round 6's window picks it up first,
-    # and it passes the local gate replay every round meanwhile
+    # round-5 registered more new queries than one 50-slot window
+    # holds; these lead the spillover so round 6's window picks them
+    # up first, and they pass the local gate replay every round
     "dedup_cluster_size_histogram",
+    "streaming_corpus_ingest",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

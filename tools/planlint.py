@@ -100,6 +100,7 @@ SKIP = {
     "streaming_enrich_events",
     "streaming_join_view_purchase",
     "streaming_pysource_bucket_counts",
+    "streaming_corpus_ingest",
     "sim_knn_ivf_trained",
     "merge_scd1_vip_segment",  # writes a table, then diffs snapshots
     "merge_scd2_customer_history",
