@@ -382,19 +382,17 @@ _REG["split_leakage_audit"] = _REG["split_leakage_audit"].__class__(
 
 # --- per-source curation profile -------------------------------------
 
-from _imdb_etl_spark.operators.text import _STOPWORDS, _toks  # noqa: E402
-
-_SW_IN = ",".join(f"'{w}'" for w in _STOPWORDS)
+from _imdb_etl_spark.operators.text import (  # noqa: E402
+    QUALITY_GATE_SQL,
+    quality_gate_col,
+)
 
 _SOURCE_PROFILE_SQL = f"""
 WITH flags AS (
   SELECT source,
          n_chars,
          md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h,
-         CASE WHEN length(text) >= 100
-               AND len(list_filter(string_split(text, ' '),
-                       x -> x IN ({_SW_IN}))) > 0
-              THEN 1 ELSE 0 END AS qual_ok
+         CASE WHEN {QUALITY_GATE_SQL} THEN 1 ELSE 0 END AS qual_ok
   FROM documents
 ),
 per_hash AS (
@@ -429,16 +427,12 @@ ORDER BY source
 )
 def corpus_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.filter(_toks(), lambda x: F.array_contains(sw, x)))
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
     flags = docs.select(
         "source",
         "n_chars",
         norm_hash.alias("h"),
-        F.when((F.length("text") >= 100) & (n_stop > 0), 1)
-        .otherwise(0)
-        .alias("qual_ok"),
+        F.when(quality_gate_col(), 1).otherwise(0).alias("qual_ok"),
     )
     per_hash = flags.groupBy("source", "h").agg(
         F.max("qual_ok").alias("qual_ok"),

@@ -1095,8 +1095,11 @@ ORDER BY cluster_size
     "two tiny aggregations over the label table.",
 )
 def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    clusters = dedup_clusters(spark, sf_dir).select("cluster_id", "cluster_size")
-    sizes = clusters.groupBy("cluster_id", "cluster_size").agg(F.lit(1))
+    sizes = (
+        dedup_clusters(spark, sf_dir)
+        .select("cluster_id", "cluster_size")
+        .distinct()
+    )
     return (
         sizes.groupBy("cluster_size")
         .agg(F.count(F.lit(1)).alias("n_clusters"))

@@ -15,18 +15,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from _imdb_etl_spark.operators.text import _STOPWORDS, _toks
+from _imdb_etl_spark.operators.text import (
+    QUALITY_GATE_SQL,
+    _toks,
+    quality_gate_col,
+)
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
-
-_SW_IN = ",".join(f"'{w}'" for w in _STOPWORDS)
 
 _PREP_SQL = f"""
 WITH survivors AS (
   SELECT doc_id, text, lang
   FROM documents
-  WHERE length(text) >= 100
-    AND len(list_filter(string_split(text, ' '), x -> x IN ({_SW_IN}))) > 0
+  WHERE {QUALITY_GATE_SQL}
 ),
 keep AS (
   SELECT MIN(doc_id) AS doc_id
@@ -58,9 +59,7 @@ ORDER BY lang
 )
 def pipeline_docs_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.filter(_toks(), lambda x: F.array_contains(sw, x)))
-    survivors = docs.where((F.length("text") >= 100) & (n_stop > 0)).select(
+    survivors = docs.where(quality_gate_col()).select(
         "doc_id", "text", "lang"
     )
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
@@ -170,9 +169,7 @@ def _mix_sql() -> str:
 WITH corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= {_N_EVAL}),
 flags AS (
   SELECT doc_id, text, lang,
-         (length(text) >= 100
-          AND len(list_filter(string_split(text, ' '), x -> x IN ({_SW_IN}))) > 0)
-           AS qual_ok
+         ({QUALITY_GATE_SQL}) AS qual_ok
   FROM corpus
 ),
 keep AS (
@@ -253,13 +250,11 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load_tables(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") >= _N_EVAL).select("doc_id", "text", "lang")
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(F.filter(_toks(), lambda x: F.array_contains(sw, x)))
     flags = corpus.select(
         "doc_id",
         "text",
         "lang",
-        ((F.length("text") >= 100) & (n_stop > 0)).alias("qual_ok"),
+        quality_gate_col().alias("qual_ok"),
     )
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
     keep = (

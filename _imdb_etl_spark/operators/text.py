@@ -64,6 +64,23 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOPWORDS = ["the", "a", "an", "of", "and", "to", "in", "is"]
 
+# THE quality gate (length >= 100 chars AND >= 1 stopword), defined once
+# and consumed by text_quality, the batch pipelines, the per-source
+# profile, and the streaming ingest — one edit point, five operators.
+_SW_IN = ",".join(f"'{w}'" for w in _STOPWORDS)
+QUALITY_GATE_SQL = (
+    "length(text) >= 100"
+    " AND len(list_filter(string_split(text, ' '),"
+    f" x -> x IN ({_SW_IN}))) > 0"
+)
+
+
+def quality_gate_col():
+    """Spark twin of QUALITY_GATE_SQL (a boolean Column over `text`)."""
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(_toks(), lambda x: F.array_contains(sw, x)))
+    return (F.length("text") >= 100) & (n_stop > 0)
+
 _QUALITY_SQL = f"""
 SELECT
   doc_id,
@@ -72,10 +89,7 @@ SELECT
   ROUND(CAST(len(list_filter(string_split(text, ' '),
                              x -> x IN ({','.join(f"'{w}'" for w in _STOPWORDS)})))
         AS DOUBLE) / len(string_split(text, ' ')), 6) AS stopword_ratio,
-  CASE WHEN length(text) >= 100
-        AND len(list_filter(string_split(text, ' '),
-                x -> x IN ({','.join(f"'{w}'" for w in _STOPWORDS)}))) > 0
-       THEN 1 ELSE 0 END AS quality_flag
+  CASE WHEN {QUALITY_GATE_SQL} THEN 1 ELSE 0 END AS quality_flag
 FROM documents
 ORDER BY doc_id
 """
@@ -100,9 +114,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("punct_ratio"),
         F.round(n_stop.cast("double") / F.size(_toks()), 6).alias("stopword_ratio"),
-        F.when((F.length("text") >= 100) & (n_stop > 0), 1)
-        .otherwise(0)
-        .alias("quality_flag"),
+        F.when(quality_gate_col(), 1).otherwise(0).alias("quality_flag"),
     ).orderBy("doc_id")
 
 

@@ -43,13 +43,14 @@ from _imdb_etl_spark import streaming  # noqa: E402,F401
 # oracle was upgraded from rows-only this round, or newly added; (c)
 # queries whose implementation or oracle SQL changed this round — a
 # prior green row no longer vouches for them; (d) every remaining
-# query whose only green row is from round 1 (the oldest coverage),
-# plus a round-3-vintage query over the rewritten spread() path. Every
-# query registered BEFORE round 5 already has a green row in some
-# round, and every round-5 addition is in this window — so r1 U ... U
-# r5 gives the full registry at least one driver-gate row, every one
-# green or no_oracle-by-design. Everything after the window keeps
-# per-round coverage via tools/check.py + pytest.
+# query whose only green row is from round 1 (the oldest coverage).
+# Every query registered BEFORE round 5 already has a green row in
+# some round; round 5 registered more NEW queries than one 50-slot
+# window holds, so two additions lead _GATE_REST as round-6 spillover
+# (named there) — with those two exceptions, r1 U ... U r5 gives the
+# registry a driver-gate row each, every one green or
+# no_oracle-by-design. Everything after the window keeps per-round
+# coverage via tools/check.py + pytest.
 GATE_WINDOW_SIZE = 50
 GATE_WINDOW = [
     # -- (a) never gated / dropped by round 4's off-by-two

@@ -24,26 +24,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from _imdb_etl_spark.operators.text import _STOPWORDS
+from _imdb_etl_spark.operators.text import QUALITY_GATE_SQL, quality_gate_col
 from _imdb_etl_spark.plans.registry import register
-
-_SW_IN = ",".join(f"'{w}'" for w in _STOPWORDS)
 
 
 def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the documents parquet with a synthetic
-    deterministic event time (epoch + doc_id seconds) — the arrival
-    clock a crawl frontier would stamp."""
-    from _imdb_etl_spark.sources.catalog import _tune
+    """Documents stream with a synthetic deterministic event time
+    (epoch + doc_id seconds) — the arrival clock a crawl frontier
+    would stamp."""
+    from _imdb_etl_spark.streaming.events import read_table_stream
 
-    _tune(spark)
-    path = os.path.join(sf_dir, "documents.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    stream = read_table_stream(spark, sf_dir, "documents")
     return stream.withColumn(
         "ts",
         F.to_timestamp(F.lit("2024-01-01 00:00:00"))
@@ -56,8 +47,7 @@ WITH uniq AS (
   SELECT lang,
          md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h
   FROM documents
-  WHERE length(text) >= 100
-    AND len(list_filter(string_split(text, ' '), x -> x IN ({_SW_IN}))) > 0
+  WHERE {QUALITY_GATE_SQL}
   GROUP BY 1, 2
 )
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_unique_quality_docs
@@ -86,13 +76,9 @@ def streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = read_docs_stream(spark, sf_dir)
     replay = read_docs_stream(spark, sf_dir)
     doubled = first.unionAll(replay)
-    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
-    n_stop = F.size(
-        F.filter(F.split("text", " "), lambda x: F.array_contains(sw, x))
-    )
     norm_h = F.md5(F.trim(F.regexp_replace(F.lower("text"), " +", " ")))
     deduped = (
-        doubled.where((F.length("text") >= 100) & (n_stop > 0))
+        doubled.where(quality_gate_col())
         .select("lang", norm_h.alias("h"), "ts")
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["lang", "h"])

@@ -34,24 +34,30 @@ from _imdb_etl_spark.plans.registry import register
 _counter = itertools.count()
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (schema pinned from a
-    batch read; physical ts type normalized by the shared
-    sources.catalog.normalize_event_ts helper — works whether the file
-    stores TIMESTAMP(NANOS) or timestamp[us])."""
-    from _imdb_etl_spark.sources.catalog import _tune, normalize_event_ts
+def read_table_stream(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over one driver parquet table: schema pinned
+    from a batch read, directory source narrowed to the table's file by
+    pathGlobFilter. The single definition of the stream-source pattern
+    — events and documents streams both build on it."""
+    from _imdb_etl_spark.sources.catalog import _tune
 
     _tune(spark)
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     raw_schema = spark.read.parquet(path).schema
-    # the file source wants a directory; pathGlobFilter narrows it to the
-    # events file among the sibling tables
-    stream = (
+    return (
         spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{table}.parquet")
         .parquet(sf_dir)
     )
-    return normalize_event_ts(stream)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream (physical ts type normalized by the shared
+    sources.catalog.normalize_event_ts helper — works whether the file
+    stores TIMESTAMP(NANOS) or timestamp[us])."""
+    from _imdb_etl_spark.sources.catalog import normalize_event_ts
+
+    return normalize_event_ts(read_table_stream(spark, sf_dir, "events"))
 
 
 def streaming_hourly_rollup(events: DataFrame) -> DataFrame:
