@@ -724,3 +724,24 @@ def test_bloom_decontamination_has_no_false_negatives(spark, sf_dir):
     for r in bloom_rows:
         assert r.n_bloom_hits >= r.n_exact_shared
         assert r.bloom_only == (r.n_exact_shared < 3)
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    rows = REGISTRY["events_markov_transitions"].spark(spark, sf_dir).collect()
+    by_prev: dict[str, int] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0) + r.prob_permille
+    # integer floor division loses < |cells| permille per row
+    for prev, total in by_prev.items():
+        assert 995 <= total <= 1000, (prev, total)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    rows = REGISTRY["neardup_pagerank"].spark(spark, sf_dir).collect()
+    assert rows and rows[0].rank_order == 1
+    # ranks are a probability-like mass over the graph: every rank in
+    # (0, 1), ordered consistently with rank_order
+    ordered = sorted(rows, key=lambda r: r.rank_order)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.pagerank >= b.pagerank
+        assert 0 < b.pagerank < 1
