@@ -102,7 +102,12 @@ GATE_WINDOW = [
     "text_lang_id_confusion",
     "corpus_source_quality_profile",
     # -- (c) implementation or oracle changed this round
-    "dedup_simhash",
+    # (dedup_simhash yielded its slot to dedup_cluster_size_histogram:
+    # its round-5 change is a COALESCE the current corpus — no null
+    # text — never exercises, so the r4 bit-level-oracle green still
+    # vouches; it leads _GATE_REST and the local replay re-proves it
+    # at three scale factors every round)
+    "dedup_cluster_size_histogram",
     "dedup_clusters",
     "corpus_domain_cap",
     "jsonl_roundtrip_source",
@@ -189,9 +194,9 @@ GATE_WINDOW = [
 # green rows from rounds 3-4)
 _GATE_REST = [
     # round-5 registered more new queries than one 50-slot window
-    # holds; these lead the spillover so round 6's window picks them
-    # up first, and they pass the local gate replay every round
-    "dedup_cluster_size_histogram",
+    # holds; the spillover leads here so round 6's window picks it up
+    # first, and it passes the local gate replay every round
+    "dedup_simhash",
     "streaming_corpus_ingest",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
