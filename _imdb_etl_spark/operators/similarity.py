@@ -808,3 +808,67 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- semantic duplicate clusters -------------------------------------
+
+_SEM_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT vec_a, vec_b FROM ({_EMB_IVF_DEDUP_SQL.replace("ORDER BY vec_a, vec_b", "")})
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS vec_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT l.vec_id, l.cluster_id, c.cluster_size
+FROM labels l
+JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+      FROM labels GROUP BY cluster_id) c USING (cluster_id)
+ORDER BY vec_id
+"""
+
+
+@register(
+    "dedup_semantic_clusters",
+    _SEM_CLUSTER_SQL,
+    doc="Semantic duplicate clusters: connected components over the "
+    "embedding near-dup pairs from the IVF candidate pre-filter "
+    "(dedup_embedding_ivf's exact pair semantics) — the step that "
+    "turns pairwise cosine hits into keep-one groups, completing the "
+    "semantic-dedup path the same way dedup_clusters completes the "
+    "MinHash path. Same pointer-jumping propagation (O(log diameter) "
+    "node-keyed rounds); the oracle states the fixpoint as a "
+    "recursive CTE over the identical pair subquery.",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.operators.dedup import connected_components
+
+    pairs = dedup_embedding_ivf(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()  # pair stage (IVF probe + verify) runs once
+    )
+    labels, _ = connected_components(edges)
+    labels = labels.withColumnRenamed("doc_id", "vec_id")
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "cluster_id")
+        .select("vec_id", "cluster_id", "cluster_size")
+        .orderBy("vec_id")
+    )

@@ -198,6 +198,7 @@ _GATE_REST = [
     # first, and it passes the local gate replay every round
     "dedup_simhash",
     "streaming_corpus_ingest",
+    "dedup_semantic_clusters",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",
