@@ -745,3 +745,25 @@ def test_pagerank_mass_conserved(spark, sf_dir):
     for a, b in zip(ordered, ordered[1:]):
         assert a.pagerank >= b.pagerank
         assert 0 < b.pagerank < 1
+
+
+def test_semantic_clusters_consistent_with_pairs(spark, sf_dir):
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in REGISTRY["dedup_embedding_ivf"].spark(spark, sf_dir).collect()
+    ]
+    labels = {
+        r.vec_id: r.cluster_id
+        for r in REGISTRY["dedup_semantic_clusters"].spark(spark, sf_dir).collect()
+    }
+    assert pairs and labels
+    # every near-dup pair lands in one cluster; every labeled vector
+    # appears in some pair; cluster ids are member minima
+    for a, b in pairs:
+        assert labels[a] == labels[b]
+    members: dict[int, list[int]] = {}
+    for v, c in labels.items():
+        members.setdefault(c, []).append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
+        assert len(vs) >= 2
