@@ -767,3 +767,17 @@ def test_semantic_clusters_consistent_with_pairs(spark, sf_dir):
     for c, vs in members.items():
         assert c == min(vs)
         assert len(vs) >= 2
+
+
+def test_ann_index_cardinalities_hold(spark, sf_dir):
+    """The deterministic seed filters must keep yielding full codebooks
+    and centroid sets if the testdata is ever regenerated — a silent
+    shortfall would degrade PQ/IVF recall without failing any oracle
+    (both engines would agree on the smaller index)."""
+    from _imdb_etl_spark.operators import semantic, similarity
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    n_seeds = emb.where(F.expr(semantic._SEED_FILTER)).count()
+    assert n_seeds >= semantic._N_CODES, (n_seeds, semantic._N_CODES)
+    n_cents = emb.where(F.expr(similarity._CENTROID_FILTER)).count()
+    assert n_cents >= similarity._N_CENTROIDS, (n_cents, similarity._N_CENTROIDS)
