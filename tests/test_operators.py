@@ -781,3 +781,10 @@ def test_ann_index_cardinalities_hold(spark, sf_dir):
     assert n_seeds >= semantic._N_CODES, (n_seeds, semantic._N_CODES)
     n_cents = emb.where(F.expr(similarity._CENTROID_FILTER)).count()
     assert n_cents >= similarity._N_CENTROIDS, (n_cents, similarity._N_CENTROIDS)
+
+
+def test_tws_registration_matches_protobuf_presence(spark):
+    from _imdb_etl_spark.streaming import stateful
+
+    registered = "streaming_transform_with_state" in REGISTRY
+    assert registered == stateful._have_protobuf()
