@@ -363,3 +363,15 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     plan = _explain(REGISTRY["events_funnel_analysis"].spark(spark, sf_dir))
     assert plan.count("hashpartitioning(user_id") <= 2  # windows + agg reuse
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bench_lists_reference_registered_queries():
+    """bench.py silently skips unknown names (fault isolation), so a
+    typo in HEADLINE/SF1_SPOT would shrink the bench instead of
+    failing — pin every listed name to a registry entry."""
+    import bench
+
+    for name in bench.HEADLINE:
+        assert name in REGISTRY, f"HEADLINE lists unregistered {name}"
+    for name in bench.SF1_SPOT:
+        assert name in REGISTRY, f"SF1_SPOT lists unregistered {name}"
