@@ -872,3 +872,115 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster_id", "cluster_size")
         .orderBy("vec_id")
     )
+
+
+# --- dedup threshold calibration -------------------------------------
+
+_SWEEP_TAUS = [30, 35, 40, 45, 50, 55]  # cosine in centi-units
+
+_SWEEP_SQL = f"""
+WITH n AS (
+  SELECT vec_id, embedding, sqrt({_NORM_SQL}) AS nrm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm
+  FROM n WHERE {_CENTROID_FILTER} ORDER BY vec_id LIMIT {_N_CENTROIDS}
+),
+assign AS (
+  SELECT n.vec_id, n.embedding, n.nrm, cid,
+         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+           ({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
+             / (n.nrm * cnrm) DESC, cid) AS rnk
+  FROM n CROSS JOIN cents
+),
+lists AS (
+  SELECT cid, vec_id, embedding, nrm FROM assign WHERE rnk <= {_DEDUP_PROBE}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, e.vec_id AS vec_b,
+         ROUND(({_DOT_SQL.format(a='a.embedding', b='e.embedding', dim=_DIM)})
+               / (a.nrm * e.nrm), 6) AS cos
+  FROM lists a JOIN lists e ON a.cid = e.cid AND a.vec_id < e.vec_id
+),
+taus(tau_centi) AS (VALUES {", ".join(f"({t})" for t in _SWEEP_TAUS)})
+SELECT tau_centi,
+       CAST(SUM(CASE WHEN cos * 100 >= tau_centi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pairs,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates
+FROM cand CROSS JOIN taus
+GROUP BY tau_centi
+ORDER BY tau_centi
+"""
+
+
+@register(
+    "dedup_threshold_sweep",
+    _SWEEP_SQL,
+    doc="Semantic-dedup threshold calibration: the IVF candidate pairs "
+    "are scored ONCE and counted against every candidate cosine "
+    "threshold in one conditional aggregation — the pairs-vs-tau "
+    "curve an operator reads before fixing the dedup threshold, at "
+    "the cost of a single pair pass instead of one run per tau. The "
+    "tau table is a handful of constant rows (broadcast); the "
+    "comparison is exact integer centi-units against the 6-decimal-"
+    "rounded cosine, so the curve is engine-exact.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    cents = (
+        normed.where(F.expr(_CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    sim_to_c = F.round(
+        _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    lists = (
+        normed.crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "nrm", "centroid_id", sim_to_c.alias("sim"))
+        .withColumn("rnk", F.row_number().over(assign_w))
+        .where(F.col("rnk") <= _DEDUP_PROBE)
+        .select("centroid_id", "vec_id", "embedding", "nrm")
+    )
+    a = lists.alias("a")
+    e = lists.alias("e")
+    cand = (
+        a.join(
+            e,
+            (F.col("a.centroid_id") == F.col("e.centroid_id"))
+            & (F.col("a.vec_id") < F.col("e.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("e.vec_id").alias("vec_b"),
+            F.round(
+                _dot(F.col("a.embedding"), F.col("e.embedding"))
+                / (F.col("a.nrm") * F.col("e.nrm")),
+                6,
+            ).alias("cos"),
+        )
+        .distinct()
+    )
+    taus = F.explode(F.array(*[F.lit(t) for t in _SWEEP_TAUS])).alias("tau_centi")
+    return (
+        cand.select("cos", taus)
+        .groupBy("tau_centi")
+        .agg(
+            F.sum(
+                (F.col("cos") * 100 >= F.col("tau_centi")).cast("long")
+            ).alias("n_pairs"),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        .orderBy("tau_centi")
+    )

@@ -199,6 +199,7 @@ _GATE_REST = [
     "dedup_simhash",
     "streaming_corpus_ingest",
     "dedup_semantic_clusters",
+    "dedup_threshold_sweep",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",
