@@ -1,6 +1,6 @@
 SF_CHECK ?= /root/testdata/sf0.01
 
-.PHONY: check test bench smoke explain lint verify
+.PHONY: check test bench smoke explain lint verify ledger
 
 check:
 	SPARK_GRAFT_CPUS=16 python tools/check.py $(SF_CHECK)
@@ -24,6 +24,10 @@ lint:
 
 # the full verification battery: oracle gate, pytest, plan lint, smoke
 verify: check test lint smoke
+
+# cross-round driver-gate coverage ledger
+ledger:
+	python tools/ledger.py
 
 # make explain Q=tpch_q1_pricing_summary
 explain:
