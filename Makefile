@@ -25,9 +25,11 @@ lint:
 # the full verification battery: oracle gate, pytest, plan lint, smoke
 verify: check test lint smoke
 
-# cross-round driver-gate coverage ledger
+# cross-round driver-gate coverage ledger (informational: the tool
+# exits 1 while any query lacks a driver row, which is expected
+# mid-cycle — the leading '-' keeps make from calling that an error)
 ledger:
-	python tools/ledger.py
+	-python tools/ledger.py
 
 # make explain Q=tpch_q1_pricing_summary
 explain:
