@@ -1113,3 +1113,71 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# --- canonical-representative selection ------------------------------
+#
+# The step AFTER clustering in a production dedup pipeline: each
+# near-dup cluster keeps exactly one canonical document and drops the
+# rest. Keep-policy: longest document wins (n_chars, the quality proxy
+# available without a scorer), ties break to the smallest doc_id so
+# re-runs are stable. Per-cluster argmax is a window ROW_NUMBER
+# partitioned by cluster_id — never a global window; cluster sizes are
+# bounded by the LSH band structure, so no partition explodes. At
+# 100 TB the labels table is the materialized output of the clustering
+# job and this selection is one labels-keyed join + one partitioned
+# window — linear, shuffle-bounded by the clustered (not total) docs.
+
+_KEEP_BEST_SQL = f"""
+WITH clusters AS (
+  SELECT doc_id, cluster_id, cluster_size FROM ({_CLUSTER_SQL.strip()})
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, c.cluster_size, d.n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, c.doc_id
+         ) AS rn
+  FROM clusters c
+  JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, n_chars,
+       (rn = 1) AS keep
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_keep_best",
+    _KEEP_BEST_SQL,
+    doc="Canonical-representative selection, the step after clustering: "
+    "each near-dup cluster keeps its longest document (n_chars, tie "
+    "to smallest doc_id) and marks the rest droppable. One "
+    "labels-keyed join + one cluster-partitioned window ROW_NUMBER "
+    "(cluster sizes are LSH-band-bounded, so no partition explodes); "
+    "at 100 TB this runs over the materialized clustering output, "
+    "linear in the clustered docs.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "n_chars",
+            (F.col("rn") == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

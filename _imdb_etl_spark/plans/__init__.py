@@ -25,6 +25,7 @@ from _imdb_etl_spark.operators import pipeline  # noqa: E402,F401
 from _imdb_etl_spark.operators import corpus  # noqa: E402,F401
 from _imdb_etl_spark.operators import webcorpus  # noqa: E402,F401
 from _imdb_etl_spark.operators import semantic  # noqa: E402,F401
+from _imdb_etl_spark.operators import retrieval  # noqa: E402,F401
 from _imdb_etl_spark.sources import pysource  # noqa: E402,F401
 from _imdb_etl_spark.sources import jsonl  # noqa: E402,F401
 from _imdb_etl_spark.sources import xml  # noqa: E402,F401
@@ -200,6 +201,9 @@ _GATE_REST = [
     "streaming_corpus_ingest",
     "dedup_semantic_clusters",
     "dedup_threshold_sweep",
+    "text_bm25_search",
+    "text_bigram_lm_score",
+    "dedup_keep_best",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

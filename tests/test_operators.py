@@ -788,3 +788,65 @@ def test_tws_registration_matches_protobuf_presence(spark):
 
     registered = "streaming_transform_with_state" in REGISTRY
     assert registered == stateful._have_protobuf()
+
+
+def test_bm25_ranks_term_dense_docs(spark, sf_dir):
+    """BM25 invariants: scores positive, sorted desc, and the top doc
+    carries a higher query-term density than the corpus median."""
+    rows = REGISTRY["text_bm25_search"].spark(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    dens = docs.select(
+        F.col("doc_id"),
+        (
+            F.size(
+                F.filter(
+                    F.split("text", " "),
+                    lambda w: w.isin("vector", "merge", "scan"),
+                )
+            )
+            / F.size(F.split("text", " "))
+        ).alias("density"),
+    )
+    top_density = dens.where(F.col("doc_id") == rows[0].doc_id).first().density
+    med = dens.agg(F.expr("percentile(density, 0.5)").alias("m")).first().m
+    assert top_density > med
+
+
+def test_bigram_lm_scores_bounded_and_total(spark, sf_dir):
+    """Every doc is scored; mean log-prob is negative and above the
+    uniform-vocabulary floor ln(k/(max_c1+k*V))."""
+    out = REGISTRY["text_bigram_lm_score"].spark(spark, sf_dir)
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assert out.count() == docs.count()
+    r = out.agg(
+        F.max("avg_bigram_logprob").alias("mx"),
+        F.min("avg_bigram_logprob").alias("mn"),
+    ).first()
+    assert r.mx < 0
+    toks = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    v = toks.select("w").distinct().count()
+    max_c1 = (
+        toks.groupBy("w").count().agg(F.max("count").alias("m")).first().m
+    )
+    floor = float(np.log(0.5 / (max_c1 + 0.5 * v)))
+    assert r.mn >= floor
+
+
+def test_keep_best_one_canonical_per_cluster(spark, sf_dir):
+    """Exactly one keep per cluster; the kept doc has the cluster-max
+    n_chars (ties to smallest doc_id)."""
+    rows = REGISTRY["dedup_keep_best"].spark(spark, sf_dir).collect()
+    assert rows, "near-dup clusters exist in the fixture corpus"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1, f"cluster {cid} kept {len(keeps)}"
+        assert len(members) == members[0].cluster_size
+        best = max(members, key=lambda r: (r.n_chars, -r.doc_id))
+        assert keeps[0].doc_id == best.doc_id
