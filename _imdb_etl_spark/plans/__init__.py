@@ -29,6 +29,7 @@ from _imdb_etl_spark.operators import retrieval  # noqa: E402,F401
 from _imdb_etl_spark.sources import pysource  # noqa: E402,F401
 from _imdb_etl_spark.sources import jsonl  # noqa: E402,F401
 from _imdb_etl_spark.sources import xml  # noqa: E402,F401
+from _imdb_etl_spark.sources import orc  # noqa: E402,F401
 from _imdb_etl_spark.operators import quality  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
 
@@ -204,6 +205,10 @@ _GATE_REST = [
     "text_bm25_search",
     "text_bigram_lm_score",
     "dedup_keep_best",
+    "events_anomaly_mad",
+    "sql_pipe_revenue",
+    "sketch_heavy_users_cms",
+    "orc_roundtrip_source",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

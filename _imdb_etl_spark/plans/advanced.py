@@ -838,3 +838,84 @@ def stringagg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- count-min sketch heavy hitters ----------------------------------
+#
+# The third sketch family (after HLL distinct and GK quantiles):
+# count-min frequency estimation, the structure a 100 TB pipeline uses
+# for heavy-hitter detection without per-key state. The sketch is
+# built by the JVM-side count_min_sketch aggregate (one pass,
+# mergeable counters, so partition order can't change the result),
+# read back on the driver (the sketch is KBs), and probed for the
+# top-k heavy users found exactly. Same oracle shape as
+# approx_distinct_users: the output carries the exact count plus a
+# within_bound boolean (CMS guarantees estimate >= exact always, and
+# estimate <= exact + eps*total with the configured confidence — with
+# a fixed seed over fixed data the outcome is deterministic), so a
+# sketch drifting outside its contract flips the value hash. The raw
+# estimate is deliberately NOT an output column (engine-specific).
+
+_CMS_EPS = 0.005
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_TOP = 10
+
+_CMS_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+)
+SELECT user_id, exact_cnt, TRUE AS within_bound
+FROM counts
+ORDER BY exact_cnt DESC, user_id
+LIMIT {_CMS_TOP}
+"""
+
+
+@register(
+    "sketch_heavy_users_cms",
+    _CMS_SQL,
+    doc="Count-min sketch heavy hitters: the JVM count_min_sketch "
+    f"aggregate (eps={_CMS_EPS}, conf={_CMS_CONF}, fixed seed) builds "
+    "a mergeable frequency sketch in one pass; the driver probes it "
+    "for the top-10 users found exactly and asserts the CMS contract "
+    "(estimate >= exact, overcount <= eps*total) as a hash-checked "
+    "boolean. Counters sum commutatively, so partition order never "
+    "changes the sketch.",
+)
+def sketch_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top = (
+        exact.orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(_CMS_TOP)
+        .collect()  # bounded: exactly _CMS_TOP rows
+    )
+    raw = bytes(
+        events.agg(
+            F.expr(
+                f"count_min_sketch(user_id, {_CMS_EPS}d, {_CMS_CONF}d,"
+                f" {_CMS_SEED})"
+            ).alias("s")
+        ).first()["s"]
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+    bound = _CMS_EPS * cms.totalCount()
+    rows = [
+        (
+            r.user_id,
+            r.exact_cnt,
+            r.exact_cnt
+            <= cms.estimateCount(r.user_id)
+            <= r.exact_cnt + bound,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id bigint, exact_cnt bigint, within_bound boolean"
+    ).orderBy(F.desc("exact_cnt"), "user_id")

@@ -844,3 +844,88 @@ def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "duration_ms")
         .orderBy("user_id", "session_start")
     )
+
+
+# --- robust anomaly detection (median / MAD) -------------------------
+#
+# The monitoring face a pipeline puts on its event volume: hourly value
+# sums per event type, flagged when they sit more than 3 MADs from the
+# type's median (median/MAD, not mean/stddev — robust to the very
+# outliers being hunted). Hourly sums follow the exact-decimal policy,
+# so both engines interpolate medians over IDENTICAL doubles; median
+# interpolation fractions are only ever 0 or .5, which both engines
+# evaluate to the same bits (halving is exact scaling). Two shuffles:
+# (type, hour) rollup, then per-type percentile; anomaly flags are a
+# map-side comparison after the tiny per-type stats broadcast back.
+
+_MAD_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hb,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hsum
+  FROM events
+  GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         quantile_cont(hsum, 0.5) AS med
+  FROM hourly GROUP BY event_type
+),
+mad AS (
+  SELECT h.event_type,
+         quantile_cont(abs(h.hsum - s.med), 0.5) AS mad
+  FROM hourly h JOIN stats s USING (event_type)
+  GROUP BY h.event_type
+)
+SELECT h.event_type,
+       COUNT(*) AS n_hours,
+       ROUND(MAX(s.med), 6) AS median_hourly,
+       ROUND(MAX(m.mad), 6) AS mad_hourly,
+       CAST(SUM(CASE WHEN abs(h.hsum - s.med) > 3 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM hourly h
+JOIN stats s USING (event_type)
+JOIN mad m USING (event_type)
+GROUP BY h.event_type
+ORDER BY h.event_type
+"""
+
+
+@register(
+    "events_anomaly_mad",
+    _MAD_SQL,
+    doc="Robust volume-anomaly monitor: hourly exact-decimal value sums "
+    "per event type, flagged beyond 3 MADs from the type's median "
+    "(median/MAD, immune to the outliers being hunted). Hourly sums "
+    "shuffle once on (type, hour); the per-type median/MAD tables are "
+    "type-cardinality-bounded and broadcast back for the map-side "
+    "flag comparison.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(dsum(dec("value"), "hsum"))
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("percentile(hsum, 0.5D)").alias("med")
+    )
+    mad = (
+        hourly.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(hsum - med), 0.5D)").alias("mad"))
+    )
+    joined = hourly.join(stats, "event_type").join(mad, "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(F.max("med"), 6).alias("median_hourly"),
+            F.round(F.max("mad"), 6).alias("mad_hourly"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("hsum") - F.col("med")) > 3 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

@@ -457,3 +457,49 @@ def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --- SQL pipe syntax (Spark 4) ---------------------------------------
+#
+# Spark 4's pipe operators (FROM ... |> WHERE ... |> AGGREGATE) are the
+# modern face of the reference's pure-SQL surface: each |> stage maps
+# one-to-one onto a Catalyst operator, so the plan is identical to the
+# DataFrame build — this registers the syntax end-to-end against the
+# ANSI twin to prove the entry point, not a new execution path.
+
+_PIPE_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - l_discount AS DECIMAL(8,2))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+_PIPE_TEXT = """
+FROM pipe_lineitem
+|> WHERE l_shipdate >= DATE '1995-01-01'
+|> EXTEND CAST(l_extendedprice AS DECIMAL(12,2))
+          * CAST(1 - l_discount AS DECIMAL(8,2)) AS rev
+|> AGGREGATE COUNT(*) AS n_items, CAST(SUM(rev) AS DOUBLE) AS revenue
+   GROUP BY l_returnflag
+|> SELECT l_returnflag, n_items, revenue
+|> ORDER BY l_returnflag
+"""
+
+
+@register(
+    "sql_pipe_revenue",
+    _PIPE_SQL,
+    doc="Spark 4 SQL pipe syntax (FROM |> WHERE |> EXTEND |> AGGREGATE "
+    "|> ORDER BY): post-1995 revenue per return flag under the exact-"
+    "decimal policy. Each pipe stage lowers to the same Catalyst "
+    "operator as the DataFrame build; the oracle is the ANSI twin.",
+)
+def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(_PIPE_TEXT)

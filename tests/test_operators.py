@@ -850,3 +850,38 @@ def test_keep_best_one_canonical_per_cluster(spark, sf_dir):
         assert len(members) == members[0].cluster_size
         best = max(members, key=lambda r: (r.n_chars, -r.doc_id))
         assert keeps[0].doc_id == best.doc_id
+
+
+def test_cms_estimates_dominate_exact(spark, sf_dir):
+    """CMS never undercounts (hard guarantee), and with the configured
+    eps the top-user estimates stay within the additive bound."""
+    rows = REGISTRY["sketch_heavy_users_cms"].spark(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert all(r.within_bound for r in rows)
+    counts = [r.exact_cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_mad_anomaly_counts_bounded(spark, sf_dir):
+    out = REGISTRY["events_anomaly_mad"].spark(spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.mad_hourly >= 0
+        assert 0 <= r.n_anomalies <= r.n_hours
+
+
+def test_orc_roundtrip_preserves_rowcount(spark, sf_dir):
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    out = REGISTRY["orc_roundtrip_source"].spark(spark, sf_dir)
+    assert out.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+
+def test_pipe_syntax_matches_ansi(spark, sf_dir):
+    """The pipe-syntax plan and the ANSI twin return identical rows."""
+    from _imdb_etl_spark.plans.scale import _PIPE_SQL
+
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("lineitem")
+    ansi = spark.sql(_PIPE_SQL).collect()
+    piped = REGISTRY["sql_pipe_revenue"].spark(spark, sf_dir).collect()
+    assert piped == ansi
