@@ -461,3 +461,86 @@ def corpus_source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+# --- closed-form linear probe ----------------------------------------
+#
+# The distributed model-fitting face: per-language ordinary least
+# squares of token count against character count, fit in ONE
+# aggregation pass from exact integer moments (n, Sx, Sy, Sxy, Sxx,
+# Syy) — the normal-equations path every "train a linear probe on
+# corpus features" job takes at 100 TB (no iteration, no driver data
+# movement; the moments are the shuffle). Every moment is an exact
+# BIGINT, so both engines start the closed-form arithmetic from
+# identical doubles and every subsequent IEEE op is deterministic;
+# slope rounds to 1e-6 BEFORE the intercept uses it, so the
+# composition is cross-engine exact too. (Moment magnitudes: n*Sxx
+# needs ~2*log2(n_chars)+log2(n) bits — int64 holds to ~1e9 docs of
+# 1e3 chars; past that the moments would accumulate in DECIMAL(38,0).)
+
+_REG_SQL = """
+WITH m AS (
+  SELECT lang,
+         COUNT(*) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS sx,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sy,
+         CAST(SUM(n_chars * len(string_split(text, ' '))) AS BIGINT) AS sxy,
+         CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx,
+         CAST(SUM(len(string_split(text, ' '))
+                  * len(string_split(text, ' '))) AS BIGINT) AS syy
+  FROM documents GROUP BY lang
+)
+SELECT lang, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         AS r2
+FROM m
+ORDER BY lang
+"""
+
+
+@register(
+    "corpus_chars_tokens_regression",
+    _REG_SQL,
+    doc="Closed-form OLS per language (token count ~ character count) "
+    "from exact integer moments in one aggregation pass — the "
+    "normal-equations linear-probe fit: no iteration, no driver data "
+    "movement, deterministic IEEE arithmetic from identical BIGINT "
+    "moments in both engines. Slope, intercept (computed from the "
+    "rounded slope), and R-squared per language.",
+)
+def corpus_chars_tokens_regression(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    y = F.size(F.split("text", " "))
+    m = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(F.col("n_chars") * y).alias("sxy"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = nd * F.col("sxy") - sxd * syd
+    varx_n = nd * F.col("sxx") - sxd * sxd
+    vary_n = nd * F.col("syy") - syd * syd
+    slope = F.round(cov_n / varx_n, 6)
+    return m.select(
+        "lang",
+        "n",
+        slope.alias("slope"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    ).orderBy("lang")

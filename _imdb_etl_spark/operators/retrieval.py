@@ -225,3 +225,86 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- TF-IDF keyword extraction ---------------------------------------
+#
+# Per-document top-k characteristic terms by tf-idf — the tagging /
+# routing signal next to BM25's ranked retrieval. Ranking happens on
+# the ROUNDED score (quantize-before-rank): raw ln products can differ
+# by 1 ulp across engines, the 1e-6 grid cannot, so tie order is
+# engine-independent (term asc breaks exact ties).
+
+_TFIDF_TOP = 3
+
+_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks GROUP BY doc_id, w
+),
+df AS (
+  SELECT w, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM toks GROUP BY w
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+         ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (w) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, w AS term, tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, w) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term_rank, term, tfidf
+FROM ranked WHERE term_rank <= {_TFIDF_TOP}
+ORDER BY doc_id, term_rank
+"""
+
+
+@register(
+    "text_tfidf_keywords",
+    _TFIDF_SQL,
+    doc=f"Per-document top-{_TFIDF_TOP} keywords by tf-idf: one token "
+    "shuffle feeds both the tf and vocabulary-bounded df tables, the "
+    "scalar N broadcasts, and the per-document ROW_NUMBER window rides "
+    "WindowGroupLimit (rank filter <= k). Scores rank on the rounded "
+    "value so tie order is engine-independent.",
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df = toks.groupBy("w").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(df, "w")
+        .crossJoin(F.broadcast(n))  # 1-row scalar: bounded, safe hint
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.round(F.col("tf") * F.ln(F.col("n") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= _TFIDF_TOP)
+        .select("doc_id", "term_rank", "term", "tfidf")
+        .orderBy("doc_id", "term_rank")
+    )

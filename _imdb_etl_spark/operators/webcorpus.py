@@ -565,3 +565,133 @@ def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- content-defined chunk dedup -------------------------------------
+#
+# dedup_corpus_lines uses FIXED 16-token segments: insert one word at
+# the front of a document and every segment boundary shifts, so a
+# near-identical copy shares zero segment hashes. Content-defined
+# chunking (the rsync/LBFS/FastCDC idea, at word granularity) draws
+# boundaries from the CONTENT — after any word whose md5 starts with
+# '0' or '8' (P=1/8, mean chunk ~8 words) — so an insertion only
+# perturbs the chunk it lands in and duplicate detection re-synchronizes
+# immediately after. Scale shape: boundary marking is map-side, chunk
+# assembly is a per-document window + per-chunk agg (one doc-keyed
+# shuffle), the chunk-hash frequency table is one hash-agg shuffle,
+# and the join back keys on the same hash — linear end to end.
+
+_CDC_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, w, pos FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+),
+marked AS (
+  SELECT doc_id, lang, w, pos,
+         CASE WHEN substr(md5(w), 1, 1) IN ('0', '8') THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+assigned AS (
+  SELECT doc_id, lang, w, pos,
+         COALESCE(SUM(b) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, lang, chunk_id,
+         md5(string_agg(w, ' ' ORDER BY pos)) AS h,
+         COUNT(*) AS n_toks
+  FROM assigned GROUP BY doc_id, lang, chunk_id
+),
+freq AS (SELECT h, COUNT(*) AS c FROM chunks GROUP BY h)
+SELECT c.lang,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(SUM(CASE WHEN f.c > 1 THEN c.n_toks ELSE 0 END) AS BIGINT)
+         AS dup_tokens,
+       CAST((1000 * SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+            AS BIGINT) AS dup_permille
+FROM chunks c JOIN freq f USING (h)
+GROUP BY c.lang
+ORDER BY c.lang
+"""
+
+
+def cdc_chunk_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, chunk_id, h, n_toks) content-defined chunks of
+    ``docs`` (columns doc_id, lang, text) — split out so tests can
+    chunk synthetic documents and assert boundary re-synchronization."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    b = (
+        F.when(F.substring(F.md5("w"), 1, 1).isin("0", "8"), 1)
+        .otherwise(0)
+        .alias("b")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    assigned = toks.select(
+        "doc_id",
+        "lang",
+        "w",
+        "pos",
+        F.coalesce(F.sum(b).over(w_prev), F.lit(0)).alias("chunk_id"),
+    )
+    return assigned.groupBy("doc_id", "lang", "chunk_id").agg(
+        F.md5(
+            F.expr("listagg(w, ' ') WITHIN GROUP (ORDER BY pos)")
+        ).alias("h"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )
+
+
+@register(
+    "dedup_cdc_chunks",
+    _CDC_SQL,
+    doc="Content-defined chunking dedup (rsync/FastCDC at word "
+    "granularity): chunk boundaries fall after words whose md5 starts "
+    "with '0'/'8' (P=1/8, mean ~8-word chunks), so insertions shift "
+    "boundaries only locally and duplicate chunks re-synchronize — "
+    "the robustness fixed-segment dedup (dedup_corpus_lines) lacks. "
+    "Per-language duplicated-chunk accounting; boundary marking is "
+    "map-side, assembly one doc-keyed window shuffle, frequency one "
+    "hash-agg shuffle.",
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    chunks = cdc_chunk_table(spread(docs))
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.col("c") > 1
+    return (
+        chunks.join(freq, "h")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("n_toks")).otherwise(0)).alias(
+                "dup_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_chunks",
+            "n_dup_chunks",
+            "dup_tokens",
+            F.expr("1000 * n_dup_chunks div n_chunks").alias("dup_permille"),
+        )
+        .orderBy("lang")
+    )

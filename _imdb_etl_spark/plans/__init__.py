@@ -209,6 +209,9 @@ _GATE_REST = [
     "sql_pipe_revenue",
     "sketch_heavy_users_cms",
     "orc_roundtrip_source",
+    "dedup_cdc_chunks",
+    "text_tfidf_keywords",
+    "corpus_chars_tokens_regression",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

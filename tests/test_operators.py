@@ -885,3 +885,54 @@ def test_pipe_syntax_matches_ansi(spark, sf_dir):
     ansi = spark.sql(_PIPE_SQL).collect()
     piped = REGISTRY["sql_pipe_revenue"].spark(spark, sf_dir).collect()
     assert piped == ansi
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The CDC property fixed segments lack: inserting one word at the
+    front of a long document leaves most chunk hashes shared."""
+    from _imdb_etl_spark.operators.webcorpus import cdc_chunk_table
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base, "en"), (2, "INSERTED " + base, "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    chunks = cdc_chunk_table(docs).collect()
+    h1 = {r.h for r in chunks if r.doc_id == 1}
+    h2 = {r.h for r in chunks if r.doc_id == 2}
+    assert len(h1) > 10
+    shared = len(h1 & h2) / len(h1)
+    assert shared >= 0.8, f"CDC re-sync too weak: {shared}"
+
+
+def test_tfidf_ranks_contiguous_and_sorted(spark, sf_dir):
+    rows = REGISTRY["text_tfidf_keywords"].spark(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, rs in by_doc.items():
+        ranks = [r.term_rank for r in rs]
+        assert ranks == list(range(1, len(rs) + 1))
+        scores = [r.tfidf for r in rs]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_regression_matches_numpy(spark, sf_dir):
+    rows = (
+        REGISTRY["corpus_chars_tokens_regression"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    pdf = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).alias("y"),
+    ).toPandas()
+    for r in rows:
+        sub = pdf[pdf.lang == r.lang]
+        slope, intercept = np.polyfit(sub.x, sub.y, 1)
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-2
+        assert 0 < r.r2 <= 1
