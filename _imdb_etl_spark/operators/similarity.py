@@ -984,3 +984,141 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau_centi")
     )
+
+
+# --- IVF index persistence (index lifecycle) -------------------------
+#
+# A production ANN index is BUILT once and SERVED many times: the
+# inverted lists and centroid table are materialized to storage, and
+# query-time work touches only the loaded index. This query proves the
+# whole lifecycle — build the sim_knn_ivf index, write it to parquet
+# PARTITIONED BY the list id (so a served probe reads only its lists'
+# partitions; the vector-search analog of partition pruning), reload
+# both artifacts, and answer the standard query set from the stored
+# index alone. The oracle is sim_knn_ivf's: byte-identical results
+# from the persisted index IS the save/load fidelity proof (floats
+# survive parquet round-tripping exactly; any drift flips the hash).
+
+_INDEX_DIR = None  # assigned per-process on first use
+
+
+def _index_dir() -> str:
+    import os
+
+    global _INDEX_DIR
+    if _INDEX_DIR is None:
+        _INDEX_DIR = f"/root/repo/spark-warehouse/ivf_index_{os.getpid()}"
+    return _INDEX_DIR
+
+
+@register(
+    "sim_knn_ivf_persisted",
+    _IVF_SQL,
+    doc="ANN index lifecycle: the IVF inverted lists + centroid table "
+    "are materialized to parquet (lists PARTITIONED BY centroid id — "
+    "a served probe reads only its lists' partitions), reloaded, and "
+    "the standard query set is answered from the stored index alone. "
+    "Shares sim_knn_ivf's oracle: identical results from the persisted "
+    "index prove save/load fidelity bit for bit.",
+)
+def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    base = _index_dir()
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    reap_stale_pid_dirs(os.path.dirname(base), "ivf_index")
+
+    # -- build phase (the offline indexing job)
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    cents = (
+        normed.where(F.expr(_CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    sim_to_c = F.round(
+        _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("centroid_id")
+    )
+    lists = (
+        normed.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "nrm", "centroid_id", sim_to_c.alias("sim")
+        )
+        .withColumn("arnk", F.row_number().over(assign_w))
+        .where(F.col("arnk") == 1)
+        .select("centroid_id", "vec_id", "embedding", "nrm")
+    )
+    lists.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{base}/lists"
+    )
+    cents.write.mode("overwrite").parquet(f"{base}/centroids")
+
+    # -- serve phase (query-time work against the stored index only)
+    # the orderBy+limit is a semantic no-op (the table holds exactly
+    # _N_CENTROIDS rows, ids unique) that states the bound IN THE PLAN
+    # as a TakeOrderedAndProject — no single-partition funnel, and the
+    # broadcast nested-loop join below is provably tiny-build-side
+    loaded_cents = (
+        spark.read.parquet(f"{base}/centroids")
+        .orderBy("centroid_id")
+        .limit(_N_CENTROIDS)
+    )
+    loaded_lists = spark.read.parquet(f"{base}/lists")
+    queries = loaded_lists.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    probe_sim = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("psim"), F.asc("centroid_id")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(loaded_cents))
+        .select("query_id", "qe", "qnrm", "centroid_id", probe_sim.alias("psim"))
+        .withColumn("prnk", F.row_number().over(probe_w))
+        .where(F.col("prnk") <= _N_PROBE)
+        .select(
+            "query_id", "qe", "qnrm",
+            F.col("centroid_id").alias("probe_centroid_id"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            loaded_lists,
+            (F.col("probe_centroid_id") == F.col("centroid_id"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(w))
+        .where(F.col("neighbor_rank") <= _TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )

@@ -212,6 +212,8 @@ _GATE_REST = [
     "dedup_cdc_chunks",
     "text_tfidf_keywords",
     "corpus_chars_tokens_regression",
+    "events_rollup_incremental",
+    "sim_knn_ivf_persisted",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -929,3 +929,68 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- incremental rollup maintenance ----------------------------------
+#
+# Incremental view maintenance, the warehouse capability behind every
+# streaming foreachBatch sink: a materialized daily rollup is NOT
+# recomputed when a new day arrives — the delta day aggregates alone
+# and MERGES into the base by summing partials (count and decimal-sum
+# are self-mergeable; that is exactly why the rollup stores them
+# rather than averages). This query states the maintenance invariant
+# the sink relies on: base-rollup ⊎ delta-rollup == full recompute,
+# with the full recompute as the oracle. At 100 TB the base rollup is
+# a stored table and only the delta day's partition is read — the
+# merge shuffles rollup-sized (days x types) data, never event-sized.
+
+_INCR_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day_bucket, event_type
+"""
+
+
+@register(
+    "events_rollup_incremental",
+    _INCR_ROLLUP_SQL,
+    doc="Incremental view maintenance: the daily rollup is maintained "
+    "by aggregating ONLY the newest day and merging partial "
+    "aggregates (count + exact decimal sum, both self-mergeable) "
+    "into the base rollup built from prior days — never touching "
+    "base events again. The oracle is the full recompute, so the "
+    "hash check IS the maintenance-invariant proof. The merge "
+    "shuffles rollup-sized data only.",
+)
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    # scalar split point: newest day = the arriving delta partition
+    cutoff = events.agg(F.max(day).alias("cut"))
+    tagged = events.crossJoin(F.broadcast(cutoff))  # 1-row scalar
+    base = tagged.where(day < F.col("cut"))
+    delta = tagged.where(day >= F.col("cut"))
+
+    def rollup(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            F.date_format(day, "yyyy-MM-dd").alias("day_bucket"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).alias("value_dec"),  # mergeable partial
+        )
+
+    return (
+        rollup(base)
+        .unionByName(rollup(delta))
+        .groupBy("day_bucket", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_dec").cast("double").alias("total_value"),
+        )
+        .orderBy("day_bucket", "event_type")
+    )

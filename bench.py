@@ -141,6 +141,10 @@ SF1_SPOT = [
     # pair that must prove linear growth, not just the join/agg shapes
     "text_duplicate_spans",
     "pipeline_pretrain_mix",
+    # continuation additions: the CDC chunk pipeline (window + two
+    # hash-agg shuffles) and BM25 (token agg + filtered postings)
+    "dedup_cdc_chunks",
+    "text_bm25_search",
 ]
 
 _SF1_SRC = "/root/testdata/sf0.1"

@@ -936,3 +936,26 @@ def test_regression_matches_numpy(spark, sf_dir):
         assert abs(r.slope - slope) < 1e-4
         assert abs(r.intercept - intercept) < 1e-2
         assert 0 < r.r2 <= 1
+
+
+def test_ivf_persisted_matches_in_memory_index(spark, sf_dir):
+    """Serving from the stored index returns exactly the in-memory
+    IVF results, and the lists land partitioned by centroid id."""
+    import os
+
+    from _imdb_etl_spark.operators.similarity import _index_dir
+
+    mem = REGISTRY["sim_knn_ivf"].spark(spark, sf_dir).collect()
+    stored = REGISTRY["sim_knn_ivf_persisted"].spark(spark, sf_dir).collect()
+    assert stored == mem
+    parts = os.listdir(f"{_index_dir()}/lists")
+    assert any(p.startswith("centroid_id=") for p in parts)
+
+
+def test_incremental_rollup_merges_delta(spark, sf_dir):
+    """The merged incremental rollup covers every event exactly once."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    out = REGISTRY["events_rollup_incremental"].spark(spark, sf_dir)
+    assert out.agg(F.sum("n_events")).first()[0] == events.count()
+    n_days = out.select("day_bucket").distinct().count()
+    assert n_days >= 2, "fixture should span multiple days"
