@@ -214,6 +214,8 @@ _GATE_REST = [
     "corpus_chars_tokens_regression",
     "events_rollup_incremental",
     "sim_knn_ivf_persisted",
+    "events_sliding_distinct_hll",
+    "events_welch_ttest",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -994,3 +994,189 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_bucket", "event_type")
     )
+
+
+# --- mergeable-sketch sliding distinct -------------------------------
+#
+# The sketch-MERGE capability exact COUNT(DISTINCT) can never have: a
+# 7-day rolling distinct-user count where each day is scanned ONCE
+# into a Datasketches HLL sketch and every window is answered by
+# UNIONING seven daily sketches — at 100 TB the daily sketches are a
+# stored table of KB-sized blobs and the rolling series never rereads
+# an event (re-scan cost -> zero; HLL bucket-max updates are
+# order-independent, so the estimate is deterministic). The oracle
+# pins the exact rolling distinct plus the HLL error contract as a
+# hash-checked boolean (the approx_distinct_users pattern).
+
+_HLL_LGK = 12  # ~1.6% rsd; bound below uses 3x + small-count floor
+
+_SLIDING_HLL_SQL = """
+WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS d FROM events),
+pairs AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+)
+SELECT strftime(a.d, '%Y-%m-%d') AS day_bucket,
+       COUNT(DISTINCT p.user_id) AS exact_users_7d,
+       TRUE AS within_bound
+FROM days a
+JOIN pairs p ON p.d BETWEEN a.d - INTERVAL 6 DAY AND a.d
+GROUP BY a.d
+ORDER BY day_bucket
+"""
+
+
+@register(
+    "events_sliding_distinct_hll",
+    _SLIDING_HLL_SQL,
+    doc="Rolling 7-day distinct users from MERGED daily HLL sketches "
+    "(hll_sketch_agg per day once, hll_union_agg per window) — the "
+    "mergeable-sketch rollup that answers every window without "
+    "rereading events; daily sketches are KB-sized blobs. The exact "
+    "rolling distinct is computed alongside and the HLL error "
+    "contract (<= max(5%, 5) at lgK=12) is the hash-checked boolean.",
+)
+def events_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("d")
+    daily_sk = events.groupBy(day).agg(
+        F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk")
+    )
+    pairs = events.select(day, "user_id").distinct()
+    # sliding window as EQUI-joins: each day fans out to the <= 7
+    # target windows it contributes to (a range join would compile to
+    # a nested-loop; the 7x fan-out of KB sketches / distinct pairs is
+    # the standard shuffle-keyed sliding-window shape), then a semi
+    # join keeps only observed target days
+    fan = F.explode(
+        F.sequence(
+            F.col("d"),
+            F.col("d") + F.expr("INTERVAL 6 DAY"),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    ).alias("tgt")
+    spine = daily_sk.select("d")
+    est = (
+        daily_sk.select(fan, "sk")
+        .join(spine, F.col("tgt") == F.col("d"), "left_semi")
+        .groupBy("tgt")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+        )
+    )
+    exact = (
+        pairs.select(fan, "user_id")
+        .join(spine, F.col("tgt") == F.col("d"), "left_semi")
+        .withColumnRenamed("tgt", "tgt2")
+        .groupBy("tgt2")
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    bound = F.greatest(F.col("exact_users_7d") * 0.05, F.lit(5.0))
+    return (
+        est.join(exact, est["tgt"] == exact["tgt2"])
+        .select(
+            F.date_format("tgt", "yyyy-MM-dd").alias("day_bucket"),
+            "exact_users_7d",
+            (
+                F.abs(F.col("est") - F.col("exact_users_7d")) <= bound
+            ).alias("within_bound"),
+        )
+        .orderBy("day_bucket")
+    )
+
+
+# --- Welch's t-test --------------------------------------------------
+#
+# The experimentation face: per event type, Welch's unequal-variance
+# t-test of the type's event values against all OTHER events. Group
+# and complement moments (n, sum, sum of squares) are EXACT decimals —
+# the complement is the global moment minus the group moment, also
+# exact — so both engines enter the closed-form t/df arithmetic with
+# identical doubles and every subsequent IEEE op is deterministic.
+# One scan, one tiny per-type aggregate; the test itself is map-side
+# arithmetic on a type-cardinality-bounded table.
+
+_TTEST_SQL = """
+WITH g AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(12,2))) AS s,
+         SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)))
+           AS ss
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS tn, SUM(s) AS ts, SUM(ss) AS tss FROM g
+),
+m AS (
+  SELECT g.event_type,
+         CAST(g.n AS BIGINT) AS n,
+         CAST(g.s AS DOUBLE) / g.n AS m1,
+         (CAST(g.ss AS DOUBLE) - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE) / g.n)
+           / (g.n - 1) AS v1,
+         (t.tn - g.n) AS n0,
+         (CAST(t.ts AS DOUBLE) - CAST(g.s AS DOUBLE)) / (t.tn - g.n) AS m0,
+         ((CAST(t.tss AS DOUBLE) - CAST(g.ss AS DOUBLE))
+          - (CAST(t.ts AS DOUBLE) - CAST(g.s AS DOUBLE))
+            * (CAST(t.ts AS DOUBLE) - CAST(g.s AS DOUBLE)) / (t.tn - g.n))
+           / (t.tn - g.n - 1) AS v0
+  FROM g CROSS JOIN tot t
+)
+SELECT event_type, n,
+       ROUND(m1, 6) AS mean_value,
+       ROUND((m1 - m0) / sqrt(v1 / n + v0 / n0), 6) AS t_stat,
+       ROUND((v1 / n + v0 / n0) * (v1 / n + v0 / n0)
+             / ((v1 / n) * (v1 / n) / (n - 1)
+                + (v0 / n0) * (v0 / n0) / (n0 - 1)), 2) AS welch_df,
+       (abs((m1 - m0) / sqrt(v1 / n + v0 / n0)) > 1.96) AS significant
+FROM m
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_welch_ttest",
+    _TTEST_SQL,
+    doc="Welch's unequal-variance t-test per event type against the "
+    "complement (the A/B experimentation primitive): group moments "
+    "are exact decimal sums, the complement is global-minus-group "
+    "(also exact), and the closed-form t statistic and "
+    "Welch-Satterthwaite df are deterministic IEEE arithmetic from "
+    "identical inputs in both engines. One scan, one "
+    "type-cardinality-bounded aggregate.",
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    vdec = dec("value")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).alias("s"),
+        F.sum(vdec * vdec).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts"), F.sum("ss").alias("tss")
+    )
+    j = g.crossJoin(F.broadcast(tot))  # 1-row scalar: bounded, safe hint
+    n = F.col("n")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    tsd = F.col("ts").cast("double")
+    tssd = F.col("tss").cast("double")
+    n0 = F.col("tn") - n
+    m1 = sd / n
+    v1 = (ssd - sd * sd / n) / (n - F.lit(1))
+    m0 = (tsd - sd) / n0
+    v0 = ((tssd - ssd) - (tsd - sd) * (tsd - sd) / n0) / (n0 - F.lit(1))
+    se2 = v1 / n + v0 / n0
+    t = (m1 - m0) / F.sqrt(se2)
+    df_w = (se2 * se2) / (
+        (v1 / n) * (v1 / n) / (n - F.lit(1))
+        + (v0 / n0) * (v0 / n0) / (n0 - F.lit(1))
+    )
+    return j.select(
+        "event_type",
+        n.alias("n"),
+        F.round(m1, 6).alias("mean_value"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df_w, 2).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant"),
+    ).orderBy("event_type")

@@ -959,3 +959,44 @@ def test_incremental_rollup_merges_delta(spark, sf_dir):
     assert out.agg(F.sum("n_events")).first()[0] == events.count()
     n_days = out.select("day_bucket").distinct().count()
     assert n_days >= 2, "fixture should span multiple days"
+
+
+def test_sliding_hll_bounds_and_monotone_vs_daily(spark, sf_dir):
+    """Every window passes the HLL contract, and a 7-day window never
+    has fewer distinct users than its own single day."""
+    rows = (
+        REGISTRY["events_sliding_distinct_hll"].spark(spark, sf_dir).collect()
+    )
+    assert rows and all(r.within_bound for r in rows)
+    (events,) = load_tables(spark, sf_dir, "events")
+    daily = {
+        r.day_bucket: r.n
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day_bucket"
+            )
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.exact_users_7d >= daily[r.day_bucket]
+
+
+def test_welch_ttest_matches_scipy_formula(spark, sf_dir):
+    """t statistic and Welch df agree with a numpy recomputation."""
+    rows = REGISTRY["events_welch_ttest"].spark(spark, sf_dir).collect()
+    (events,) = load_tables(spark, sf_dir, "events")
+    pdf = events.select("event_type", "value").toPandas()
+    for r in rows:
+        a = pdf[pdf.event_type == r.event_type].value.to_numpy()
+        b = pdf[pdf.event_type != r.event_type].value.to_numpy()
+        v1, v0 = a.var(ddof=1), b.var(ddof=1)
+        se2 = v1 / len(a) + v0 / len(b)
+        t = (a.mean() - b.mean()) / np.sqrt(se2)
+        df_w = se2**2 / (
+            (v1 / len(a)) ** 2 / (len(a) - 1)
+            + (v0 / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(r.t_stat - t) < 1e-4
+        assert abs(r.welch_df - df_w) < 0.5
