@@ -277,8 +277,6 @@ ORDER BY doc_id, term_rank
     "value so tie order is engine-independent.",
 )
 def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     (docs,) = load_tables(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")

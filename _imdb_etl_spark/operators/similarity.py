@@ -378,37 +378,32 @@ def sim_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_search(normed, cents)
 
 
-def _ivf_search(normed: DataFrame, cents: DataFrame) -> DataFrame:
-    """Shared IVF probe/score stage: assign every vector to its nearest
-    centroid (inverted lists), probe each query's _N_PROBE nearest
-    lists, rank by cosine within the probed lists only. ``cents`` must
-    have (centroid_id, ce, cnrm) and is bounded by the centroid count,
-    so broadcasting it is safe at any corpus size."""
+def _ivf_assign(normed: DataFrame, cents: DataFrame) -> DataFrame:
+    """Rank every vector's centroids by rounded cosine: (vec_id,
+    embedding, nrm, centroid_id, arnk). ``cents`` must have
+    (centroid_id, ce, cnrm) and is bounded by the centroid count, so
+    broadcasting it is safe at any corpus size."""
     sim_to_c = F.round(
         _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
     )
     assign_w = Window.partitionBy("vec_id").orderBy(
         F.desc("sim"), F.asc("centroid_id")
     )
-    assign = (
+    return (
         normed.crossJoin(F.broadcast(cents))
         .select("vec_id", "embedding", "nrm", "centroid_id", sim_to_c.alias("sim"))
         .withColumn("arnk", F.row_number().over(assign_w))
     )
-    lists = assign.where(F.col("arnk") == 1).select(
-        "centroid_id", "vec_id", "embedding", "nrm"
-    )
-    # probes alias their centroid column so the join predicate references
-    # two distinct attributes (same-lineage equality on centroid_id would
-    # otherwise rely on fragile dataset-id disambiguation)
-    probes = assign.where(
-        (F.col("vec_id") < _N_QUERIES) & (F.col("arnk") <= _N_PROBE)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-        F.col("centroid_id").alias("probe_centroid_id"),
-    )
+
+
+def _ivf_probe_score(probes: DataFrame, lists: DataFrame) -> DataFrame:
+    """Score each query against its probed inverted lists and keep the
+    per-query top-k. ``probes`` needs (query_id, qe, qnrm,
+    probe_centroid_id) — the centroid column pre-aliased so the join
+    predicate references two distinct attributes (same-lineage equality
+    on centroid_id would otherwise rely on fragile dataset-id
+    disambiguation); ``lists`` needs (centroid_id, vec_id, embedding,
+    nrm)."""
     scored = (
         F.broadcast(probes)
         .join(
@@ -433,6 +428,25 @@ def _ivf_search(normed: DataFrame, cents: DataFrame) -> DataFrame:
         .where(F.col("neighbor_rank") <= _TOP_K)
         .orderBy("query_id", "neighbor_rank")
     )
+
+
+def _ivf_search(normed: DataFrame, cents: DataFrame) -> DataFrame:
+    """Shared IVF probe/score stage: assign every vector to its nearest
+    centroid (inverted lists), probe each query's _N_PROBE nearest
+    lists, rank by cosine within the probed lists only."""
+    assign = _ivf_assign(normed, cents)
+    lists = assign.where(F.col("arnk") == 1).select(
+        "centroid_id", "vec_id", "embedding", "nrm"
+    )
+    probes = assign.where(
+        (F.col("vec_id") < _N_QUERIES) & (F.col("arnk") <= _N_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+        F.col("centroid_id").alias("probe_centroid_id"),
+    )
+    return _ivf_probe_score(probes, lists)
 
 
 def sim_knn_ivf_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1030,7 +1044,10 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(os.path.dirname(base), exist_ok=True)
     reap_stale_pid_dirs(os.path.dirname(base), "ivf_index")
 
-    # -- build phase (the offline indexing job)
+    # -- build phase (the offline indexing job): sim_knn_ivf's centroid
+    # selection and assignment stages, shared via _ivf_assign so a
+    # policy change can never unpair this builder from the oracle both
+    # queries share
     (emb,) = load_tables(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
@@ -1045,18 +1062,8 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
-    sim_to_c = F.round(
-        _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
-    )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("centroid_id")
-    )
     lists = (
-        normed.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id", "embedding", "nrm", "centroid_id", sim_to_c.alias("sim")
-        )
-        .withColumn("arnk", F.row_number().over(assign_w))
+        _ivf_assign(normed, cents)
         .where(F.col("arnk") == 1)
         .select("centroid_id", "vec_id", "embedding", "nrm")
     )
@@ -1069,7 +1076,7 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the orderBy+limit is a semantic no-op (the table holds exactly
     # _N_CENTROIDS rows, ids unique) that states the bound IN THE PLAN
     # as a TakeOrderedAndProject — no single-partition funnel, and the
-    # broadcast nested-loop join below is provably tiny-build-side
+    # centroid cross join stays provably tiny-build-side
     loaded_cents = (
         spark.read.parquet(f"{base}/centroids")
         .orderBy("centroid_id")
@@ -1077,48 +1084,16 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     loaded_lists = spark.read.parquet(f"{base}/lists")
     queries = loaded_lists.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("nrm").alias("qnrm"),
-    )
-    probe_sim = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (F.col("qnrm") * F.col("cnrm")), 6
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("psim"), F.asc("centroid_id")
+        "vec_id", "embedding", "nrm"
     )
     probes = (
-        queries.crossJoin(F.broadcast(loaded_cents))
-        .select("query_id", "qe", "qnrm", "centroid_id", probe_sim.alias("psim"))
-        .withColumn("prnk", F.row_number().over(probe_w))
-        .where(F.col("prnk") <= _N_PROBE)
+        _ivf_assign(queries, loaded_cents)
+        .where(F.col("arnk") <= _N_PROBE)
         .select(
-            "query_id", "qe", "qnrm",
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qnrm"),
             F.col("centroid_id").alias("probe_centroid_id"),
         )
     )
-    scored = (
-        F.broadcast(probes)
-        .join(
-            loaded_lists,
-            (F.col("probe_centroid_id") == F.col("centroid_id"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot(F.col("qe"), F.col("embedding"))
-                / (F.col("qnrm") * F.col("nrm")),
-                6,
-            ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("neighbor_rank", F.row_number().over(w))
-        .where(F.col("neighbor_rank") <= _TOP_K)
-        .orderBy("query_id", "neighbor_rank")
-    )
+    return _ivf_probe_score(probes, loaded_lists)

@@ -627,8 +627,6 @@ def cdc_chunk_table(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, chunk_id, h, n_toks) content-defined chunks of
     ``docs`` (columns doc_id, lang, text) — split out so tests can
     chunk synthetic documents and assert boundary re-synchronization."""
-    from pyspark.sql import Window
-
     toks = docs.select(
         "doc_id",
         "lang",

@@ -861,6 +861,46 @@ _CMS_CONF = 0.99
 _CMS_SEED = 42
 _CMS_TOP = 10
 
+# Java's DataOutputStream layout for CountMinSketchImpl.writeTo (all
+# big-endian): int version=1, long totalCount, int depth, int width,
+# depth longs hashA, depth*width longs table.
+_CMS_PRIME = (1 << 31) - 1
+_M64 = (1 << 64) - 1
+
+
+def cms_decode(raw: bytes):
+    """Parse a serialized Spark CountMinSketch into
+    (total_count, estimate_fn) with NO JVM gateway (Connect-safe; the
+    only other option is sparkContext._jvm). Bit-equality with the JVM
+    estimateCount is pinned in tests/test_operators.py."""
+    import struct
+
+    ver, total, depth, width = struct.unpack_from(">iqii", raw, 0)
+    if ver != 1:  # pragma: no cover - future Spark format bump
+        raise ValueError(f"unsupported CountMinSketch version {ver}")
+    off = 20
+    hash_a = struct.unpack_from(f">{depth}q", raw, off)
+    off += 8 * depth
+    table = []
+    for _ in range(depth):
+        table.append(struct.unpack_from(f">{width}q", raw, off))
+        off += 8 * width
+
+    def estimate(item: int) -> int:
+        # (a*item + (a*item >> 32)) masked to the low 31 bits, mod
+        # width — Java's signed wrap/shift and this unsigned emulation
+        # agree exactly because & PRIME keeps only the low 31 bits,
+        # which neither the 2^64 wrap nor the sign-extension reaches
+        r = None
+        for i in range(depth):
+            h = (hash_a[i] * item) & _M64
+            h = (h + (h >> 32)) & _CMS_PRIME
+            v = table[i][h % width]
+            r = v if r is None else min(r, v)
+        return r
+
+    return total, estimate
+
 _CMS_SQL = f"""
 WITH counts AS (
   SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
@@ -901,18 +941,13 @@ def sketch_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         ).first()["s"]
     )
-    jvm = spark.sparkContext._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(raw)
-    )
-    bound = _CMS_EPS * cms.totalCount()
+    total, estimate = cms_decode(raw)
+    bound = _CMS_EPS * total
     rows = [
         (
             r.user_id,
             r.exact_cnt,
-            r.exact_cnt
-            <= cms.estimateCount(r.user_id)
-            <= r.exact_cnt + bound,
+            r.exact_cnt <= estimate(r.user_id) <= r.exact_cnt + bound,
         )
         for r in top
     ]

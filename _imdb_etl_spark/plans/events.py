@@ -972,7 +972,10 @@ def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar split point: newest day = the arriving delta partition
     cutoff = events.agg(F.max(day).alias("cut"))
     tagged = events.crossJoin(F.broadcast(cutoff))  # 1-row scalar
-    base = tagged.where(day < F.col("cut"))
+    # NULL-ts rows belong to the base branch (day < cut is NULL for
+    # them, so a bare where() would drop them from BOTH branches while
+    # the oracle's full recompute keeps a NULL day_bucket group)
+    base = tagged.where((day < F.col("cut")) | day.isNull())
     delta = tagged.where(day >= F.col("cut"))
 
     def rollup(part: DataFrame) -> DataFrame:

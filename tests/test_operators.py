@@ -1000,3 +1000,32 @@ def test_welch_ttest_matches_scipy_formula(spark, sf_dir):
         )
         assert abs(r.t_stat - t) < 1e-4
         assert abs(r.welch_df - df_w) < 0.5
+
+
+def test_cms_decode_matches_jvm(spark, sf_dir):
+    """The Connect-safe pure-Python CountMinSketch reader is
+    bit-identical to the JVM estimateCount (classic mode only)."""
+    from _imdb_etl_spark.plans.advanced import (
+        _CMS_CONF,
+        _CMS_EPS,
+        _CMS_SEED,
+        cms_decode,
+    )
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    raw = bytes(
+        events.agg(
+            F.expr(
+                f"count_min_sketch(user_id, {_CMS_EPS}d, {_CMS_CONF}d,"
+                f" {_CMS_SEED})"
+            ).alias("s")
+        ).first()["s"]
+    )
+    total, estimate = cms_decode(raw)
+    assert total == events.count()
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+    users = [r.user_id for r in events.select("user_id").distinct().collect()]
+    assert all(estimate(u) == cms.estimateCount(u) for u in users)
