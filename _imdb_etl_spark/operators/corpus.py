@@ -544,3 +544,69 @@ def corpus_chars_tokens_regression(
         F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
         F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
     ).orderBy("lang")
+
+
+# --- BPE merge-candidate table ---------------------------------------
+#
+# The first iteration of byte-pair-encoding tokenizer TRAINING,
+# distributed: count every adjacent character pair inside every token
+# occurrence and rank the merge candidates — the table BPE's first
+# merge rule is read from (the full trainer repeats this count-merge
+# loop; each round is exactly this shuffle shape over a shrinking
+# symbol stream). Pair extraction is map-side fan-out (one row per
+# character position), the count is one hash-agg shuffle, and the
+# top-k is TakeOrderedAndProject. Integer counts only.
+
+_BPE_TOP = 20
+
+_BPE_SQL = f"""
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS cnt,
+       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair) AS merge_rank
+FROM pairs
+GROUP BY pair
+ORDER BY merge_rank
+LIMIT {_BPE_TOP}
+"""
+
+
+@register(
+    "tokenizer_bpe_first_merges",
+    _BPE_SQL,
+    doc=f"Distributed BPE tokenizer training, iteration one: adjacent "
+    "character-pair counts over every token occurrence ranked into "
+    f"the top-{_BPE_TOP} merge-candidate table (the table the first "
+    "merge rule is read from; a full trainer repeats this count-merge "
+    "shuffle over a shrinking symbol stream). Map-side pair fan-out, "
+    "one hash-agg shuffle, TakeOrderedAndProject top-k; the "
+    "row_number runs over exactly the post-limit rows — bounded.",
+)
+def tokenizer_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(_BPE_TOP)
+    # global window over exactly <= _BPE_TOP post-limit rows — bounded
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.select(
+        "pair", "cnt", F.row_number().over(w).alias("merge_rank")
+    ).orderBy("merge_rank")

@@ -306,3 +306,155 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term_rank", "term", "tfidf")
         .orderBy("doc_id", "term_rank")
     )
+
+
+# --- n-gram novelty scoring ------------------------------------------
+#
+# Memorization/novelty audit: how much of each document's trigram mass
+# appeared EARLIER in the corpus (by doc_id ingestion order)? The
+# per-trigram first-seen table (min doc_id) is one hash-agg shuffle,
+# joined back onto the trigram stream; a trigram is novel for the doc
+# that introduced it. High repeated-mass docs are the templated /
+# boilerplate tail a curation pass down-weights. Exact integer
+# permille — no float drift.
+
+_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, w, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+),
+grams AS (
+  SELECT doc_id,
+         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS g
+  FROM toks
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY g IS NOT NULL
+),
+first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen_before,
+       CAST((1000 * SUM(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS repeated_permille
+FROM grams gr JOIN first_seen f USING (g)
+GROUP BY gr.doc_id
+ORDER BY gr.doc_id
+"""
+
+
+@register(
+    "corpus_ngram_novelty",
+    _NOVELTY_SQL,
+    doc="Trigram novelty audit in ingestion order: the per-trigram "
+    "first-seen table (one hash-agg shuffle, MIN(doc_id)) joins back "
+    "onto the trigram stream, and each document reports how much of "
+    "its trigram mass appeared in earlier documents — the "
+    "memorization / templated-boilerplate signal. Exact integer "
+    "permille, no float.",
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    g = F.concat_ws(
+        " ", F.col("w"), F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+    )
+    # concat_ws skips NULLs, so guard on the last lead being present
+    grams = (
+        toks.select(
+            "doc_id", g.alias("g"), F.lead("w", 2).over(win).alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+        .drop("w2")
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(seen).alias("n_seen_before"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_seen_before",
+            F.expr("1000 * n_seen_before div n_grams").alias(
+                "repeated_permille"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- unigram entropy profile -----------------------------------------
+#
+# Per-document Shannon entropy of the doc's OWN unigram distribution —
+# the compressibility proxy: low entropy flags repetitive/templated
+# text, high entropy flags word salad; both tails get filtered. One
+# (doc, word) aggregation, then a per-doc sum — entropy terms
+# accumulate in float64 and round(6) absorbs summation-order drift
+# (established policy).
+
+_ENTROPY_SQL = """
+WITH tf AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY doc_id, w
+),
+dl AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM tf GROUP BY doc_id)
+SELECT tf.doc_id,
+       CAST(dl.n AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       ROUND(-SUM((tf.c / dl.n) * ln(tf.c / dl.n)), 6) AS entropy_nats
+FROM tf JOIN dl USING (doc_id)
+GROUP BY tf.doc_id, dl.n
+ORDER BY tf.doc_id
+"""
+
+
+@register(
+    "corpus_entropy_profile",
+    _ENTROPY_SQL,
+    doc="Per-document unigram Shannon entropy (nats) — the "
+    "compressibility proxy whose low tail is templated text and high "
+    "tail is word salad. One (doc, word) count shuffle reused for "
+    "doc length; entropy terms sum in float64 under round(6).",
+)
+def corpus_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(p * F.ln(p)), 6).alias("entropy_nats"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "n_distinct",
+            "entropy_nats",
+        )
+        .orderBy("doc_id")
+    )

@@ -216,6 +216,10 @@ _GATE_REST = [
     "sim_knn_ivf_persisted",
     "events_sliding_distinct_hll",
     "events_welch_ttest",
+    "corpus_ngram_novelty",
+    "corpus_entropy_profile",
+    "events_cusum_changepoint",
+    "tokenizer_bpe_first_merges",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

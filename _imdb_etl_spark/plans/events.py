@@ -1183,3 +1183,94 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df_w, 2).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant"),
     ).orderBy("event_type")
+
+
+# --- CUSUM change-point detection ------------------------------------
+#
+# Drift localization, the step after events_anomaly_mad's outlier
+# counting: the CUSUM statistic (running sum of deviations from the
+# series mean) peaks AT a level shift, so its arg-max localizes the
+# change point. Hourly sums follow the exact-decimal policy and the
+# running sum is order-defined (window ROWS UNBOUNDED PRECEDING inside
+# a per-type partition), so both engines accumulate identical doubles
+# in identical order — bitwise-equal CUSUM paths. Two shuffles: the
+# (type, hour) rollup and the per-type window; per-type stats broadcast.
+
+_CUSUM_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         date_trunc('hour', ts) AS hb,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hsum
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, SUM(hsum) / COUNT(*) AS mu, COUNT(*) AS n_hours
+  FROM hourly GROUP BY event_type
+),
+path AS (
+  SELECT h.event_type, h.hb, m.n_hours,
+         SUM(h.hsum - m.mu) OVER (
+           PARTITION BY h.event_type ORDER BY h.hb
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM hourly h JOIN m USING (event_type)
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       strftime(hb, '%Y-%m-%d %H:00:00') AS changepoint_hour,
+       ROUND(abs(cusum), 6) AS max_abs_cusum
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY abs(cusum) DESC, hb) AS rnk
+  FROM path
+)
+WHERE rnk = 1
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_cusum_changepoint",
+    _CUSUM_SQL,
+    doc="CUSUM change-point localization per event type: the running "
+    "sum of deviations from the series mean peaks at a level shift, "
+    "so its arg-max hour is the change point. The running sum is "
+    "order-defined inside a per-type window over exact-decimal hourly "
+    "sums — bitwise-equal paths in both engines. Two shuffles total.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hb")
+    ).agg(dsum(dec("value"), "hsum"))
+    m = hourly.groupBy("event_type").agg(
+        (F.sum("hsum") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    path = hourly.join(m, "event_type").select(
+        "event_type",
+        "hb",
+        "n_hours",
+        F.sum(F.col("hsum") - F.col("mu")).over(run).alias("cusum"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cusum"))), F.asc("hb")
+    )
+    return (
+        path.withColumn("rnk", F.row_number().over(pick))
+        .where(F.col("rnk") == 1)
+        .select(
+            "event_type",
+            F.col("n_hours").cast("bigint").alias("n_hours"),
+            F.date_format("hb", "yyyy-MM-dd HH:00:00").alias(
+                "changepoint_hour"
+            ),
+            F.round(F.abs(F.col("cusum")), 6).alias("max_abs_cusum"),
+        )
+        .orderBy("event_type")
+    )

@@ -1029,3 +1029,69 @@ def test_cms_decode_matches_jvm(spark, sf_dir):
     )
     users = [r.user_id for r in events.select("user_id").distinct().collect()]
     assert all(estimate(u) == cms.estimateCount(u) for u in users)
+
+
+def test_novelty_first_introducer_is_novel(spark, sf_dir):
+    """A trigram's introducing document never counts it as seen-before,
+    and permille stays in [0, 1000]."""
+    rows = REGISTRY["corpus_ngram_novelty"].spark(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.repeated_permille <= 1000 for r in rows)
+    assert all(r.n_seen_before <= r.n_grams for r in rows)
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.n_seen_before == 0  # nothing precedes the first doc
+
+
+def test_entropy_bounded_by_log_distinct(spark, sf_dir):
+    """0 <= H <= ln(n_distinct) for every document."""
+    rows = REGISTRY["corpus_entropy_profile"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_nats <= float(np.log(r.n_distinct)) + 1e-6
+
+
+def test_cusum_peak_localizes_planted_shift(spark):
+    """CUSUM arg-max lands on (or next to) a planted level shift."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        val = 10.0 if h < 24 else 50.0  # shift at hour 24
+        rows.append((h, base + dt.timedelta(hours=h), 1, "a", val, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = (
+            REGISTRY["events_cusum_changepoint"].spark(spark, d).collect()
+        )
+    assert len(out) == 1
+    # |CUSUM| is maximal at the last pre-shift hour (23:00)
+    assert out[0].changepoint_hour == "2024-01-01 23:00:00"
+
+
+def test_bpe_merges_count_positions_exactly(spark, sf_dir):
+    """Total pair mass equals sum(len(w)-1) over all tokens, and the
+    top merge beats every other returned pair."""
+    rows = (
+        REGISTRY["tokenizer_bpe_first_merges"].spark(spark, sf_dir).collect()
+    )
+    assert [r.merge_rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    total_positions = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 2)
+        .agg(F.sum(F.length("w") - 1))
+        .first()[0]
+    )
+    # top-20 mass can never exceed the full pair mass
+    assert sum(counts) <= total_positions
