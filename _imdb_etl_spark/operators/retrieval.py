@@ -27,6 +27,9 @@ the ROUNDED score then doc_id so tie order is engine-independent.
 
 from __future__ import annotations
 
+from collections.abc import Iterator  # module-level: pandas_udf
+import pandas as pd  # resolves postponed type hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -455,6 +458,105 @@ def corpus_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_tokens"),
             "n_distinct",
             "entropy_nats",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- batch-inference embedding (iterator pandas UDF) -----------------
+#
+# The batch-inference serving pattern every embedding/classifier
+# pipeline runs at 100 TB: a SCALAR_ITER pandas UDF receives an
+# iterator of Arrow batches per task, so the model loads ONCE per task
+# and amortizes across every batch (the per-row/per-batch reload is
+# the classic Python-UDF performance bug). The "model" here is a
+# deterministic md5-derived 8-dim encoder, so DuckDB can replay the
+# exact floats and the whole inference path — Arrow transfer, batch
+# iteration, array column assembly — is value-hash-checked, not just
+# smoke-tested. Real deployments swap _load_encoder for the real
+# checkpoint; the Spark-side plumbing is identical.
+
+_EMBED_DIM = 8
+
+
+def _hex4_int_sql(expr: str) -> str:
+    """DuckDB integer value of the first 4 md5 hex chars of ``expr``."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+            f" * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        + ")"
+    )
+
+
+def _embed_component_sql(j: int) -> str:
+    salted = f"text || '_{j}'"
+    return f"(CAST({_hex4_int_sql(salted)} AS DOUBLE) / 65535 - 0.5)"
+
+
+_EMBED_SQL = f"""
+WITH e AS (
+  SELECT doc_id,
+         {", ".join(f"{_embed_component_sql(j)} AS e{j}" for j in range(_EMBED_DIM))}
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(sqrt({" + ".join(f"e{j} * e{j}" for j in range(_EMBED_DIM))}), 6)
+         AS emb_norm,
+       ROUND(e0, 6) AS e0,
+       ROUND(e1, 6) AS e1
+FROM e
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_embed_batch_inference",
+    _EMBED_SQL,
+    doc="Batch-inference embedding via a SCALAR_ITER pandas UDF: the "
+    "encoder loads once per task and amortizes across every Arrow "
+    "batch (the serving pattern for model inference over a corpus; "
+    "per-batch reload is the classic Python-UDF bug). The encoder is "
+    "md5-derived so the oracle replays the exact floats — the Arrow "
+    "transfer and batch iteration are value-hash-checked end to end.",
+)
+def text_embed_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def embed(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # "model load" happens HERE — once per task, not per batch/row
+        import hashlib
+
+        def encode(text: str) -> list[float]:
+            out = []
+            for j in range(_EMBED_DIM):
+                h = hashlib.md5(f"{text}_{j}".encode()).hexdigest()
+                out.append(int(h[:4], 16) / 65535 - 0.5)
+            return out
+
+        for s in batches:
+            yield s.map(encode)
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    e = F.col("emb")
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with(e, e, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        docs.select("doc_id", embed("text").alias("emb"))
+        .select(
+            "doc_id",
+            F.round(norm, 6).alias("emb_norm"),
+            F.round(e[0], 6).alias("e0"),
+            F.round(e[1], 6).alias("e1"),
         )
         .orderBy("doc_id")
     )

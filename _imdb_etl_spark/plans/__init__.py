@@ -220,6 +220,8 @@ _GATE_REST = [
     "corpus_entropy_profile",
     "events_cusum_changepoint",
     "tokenizer_bpe_first_merges",
+    "text_embed_batch_inference",
+    "events_conversion_latency",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

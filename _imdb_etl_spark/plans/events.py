@@ -1274,3 +1274,88 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- conversion latency ----------------------------------------------
+#
+# Funnel TIMING, the question events_funnel_analysis's counts don't
+# answer: how long from a user's first view to their first subsequent
+# purchase? First-touch extraction is one user-keyed aggregate (min ts
+# per side with the purchase filtered to >= first view via a
+# conditional min), latencies are exact integer milliseconds, and the
+# percentile interpolation runs over those exact integers. One row
+# out; the percentile state is per-group bounded.
+
+_CONVERSION_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT f.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= f.first_view
+                  THEN epoch_ms(e.ts) - epoch_ms(f.first_view) END)
+           AS latency_ms
+  FROM firsts f
+  JOIN events e USING (user_id)
+  WHERE f.first_view IS NOT NULL
+  GROUP BY f.user_id
+)
+SELECT COUNT(*) AS n_viewers,
+       CAST(SUM(CASE WHEN latency_ms IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_converted,
+       CAST((1000 * SUM(CASE WHEN latency_ms IS NOT NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS conversion_permille,
+       ROUND(quantile_cont(latency_ms, 0.5) / 60000, 6) AS p50_minutes,
+       ROUND(quantile_cont(latency_ms, 0.9) / 60000, 6) AS p90_minutes
+FROM conv
+"""
+
+
+@register(
+    "events_conversion_latency",
+    _CONVERSION_SQL,
+    doc="Funnel timing: first-view -> first-subsequent-purchase latency "
+    "per user (conditional-min first-touch extraction, one user-keyed "
+    "shuffle), summarized as conversion permille and p50/p90 minutes "
+    "over exact integer-millisecond latencies.",
+)
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("first_view")
+    )
+    conv = (
+        firsts.where(F.col("first_view").isNotNull())
+        .join(events, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("first_view")),
+                    F.unix_millis("ts") - F.unix_millis("first_view"),
+                )
+            ).alias("latency_ms")
+        )
+    )
+    converted = F.sum(
+        F.when(F.col("latency_ms").isNotNull(), 1).otherwise(0)
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        converted.alias("n_converted"),
+        F.expr(
+            "1000 * sum(CASE WHEN latency_ms IS NOT NULL THEN 1 ELSE 0 END)"
+            " div count(1)"
+        ).alias("conversion_permille"),
+        F.round(F.expr("percentile(latency_ms, 0.5D)") / 60000, 6).alias(
+            "p50_minutes"
+        ),
+        F.round(F.expr("percentile(latency_ms, 0.9D)") / 60000, 6).alias(
+            "p90_minutes"
+        ),
+    )

@@ -1095,3 +1095,32 @@ def test_bpe_merges_count_positions_exactly(spark, sf_dir):
     )
     # top-20 mass can never exceed the full pair mass
     assert sum(counts) <= total_positions
+
+
+def test_embed_inference_matches_local_encoder(spark, sf_dir):
+    """The iterator-UDF path reproduces a driver-local recomputation of
+    the md5 encoder exactly (Arrow transfer is lossless)."""
+    import hashlib
+
+    rows = (
+        REGISTRY["text_embed_batch_inference"].spark(spark, sf_dir).collect()
+    )
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert len(rows) == len(texts)
+    for r in rows[:25]:
+        e = [
+            int(hashlib.md5(f"{texts[r.doc_id]}_{j}".encode()).hexdigest()[:4], 16)
+            / 65535
+            - 0.5
+            for j in range(8)
+        ]
+        assert abs(r.e0 - round(e[0], 6)) < 1e-9
+        assert abs(r.emb_norm - round(float(np.sqrt(sum(x * x for x in e))), 6)) < 1e-6
+
+
+def test_conversion_latency_invariants(spark, sf_dir):
+    r = REGISTRY["events_conversion_latency"].spark(spark, sf_dir).first()
+    assert 0 < r.n_converted <= r.n_viewers
+    assert 0 <= r.conversion_permille <= 1000
+    assert 0 <= r.p50_minutes <= r.p90_minutes
