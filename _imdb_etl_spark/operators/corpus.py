@@ -610,3 +610,98 @@ def tokenizer_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "pair", "cnt", F.row_number().over(w).alias("merge_rank")
     ).orderBy("merge_rank")
+
+
+# --- supervised quality model (distributed training scorecard) -------
+#
+# The supervised half of the ML-training family (KMeans and PCA cover
+# the unsupervised side): a pyspark.ml LogisticRegression learns the
+# quality gate from surface features on a content-stable train split
+# and is scored on the held-out quarter. The gate IS a function of the
+# features (length and stopword presence), so a correctly-wired
+# trainer separates it almost perfectly — the scorecard asserts
+# accuracy floors with wide margins rather than raw floats because
+# LBFGS gradient sums depend on partition order (the oracle-checkable
+# face for iterative float training established by
+# sim_knn_ivf_trained). Training is distributed; only the coefficient
+# vector reaches the driver.
+
+from _imdb_etl_spark.operators.webcorpus import _BUCKET_SQL  # noqa: E402
+
+_LR_TEST_PERMILLE = 250
+_LR_ACC_FLOORS = (0.75, 0.90)
+
+_LOGREG_SQL = f"""
+WITH split AS (
+  SELECT CASE WHEN {_BUCKET_SQL} < {_LR_TEST_PERMILLE}
+              THEN 1 ELSE 0 END AS is_test
+  FROM documents
+)
+SELECT CAST(SUM(1 - is_test) AS BIGINT) AS n_train,
+       CAST(SUM(is_test) AS BIGINT) AS n_test,
+       TRUE AS acc_ge_750,
+       TRUE AS acc_ge_900
+FROM split
+"""
+
+
+@register(
+    "quality_logreg_scorecard",
+    _LOGREG_SQL,
+    doc="Distributed supervised training scorecard: pyspark.ml "
+    "LogisticRegression learns the shared quality gate from surface "
+    "features (chars, tokens, stopword count) on the content-stable "
+    "md5 train split and is scored on the held-out quarter. The gate "
+    "is feature-determined, so held-out accuracy floors (0.75/0.90) "
+    "hold with wide margin; floors rather than raw floats because "
+    "LBFGS gradient sums are partition-order-dependent. Only the "
+    "coefficient vector reaches the driver.",
+)
+def quality_logreg_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from _imdb_etl_spark.operators.text import _STOPWORDS, quality_gate_col
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    toks = F.split(F.col("text"), " ")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    feats = docs.select(
+        "doc_id",
+        array_to_vector(
+            F.array(
+                F.length("text").cast("double"),
+                F.size(toks).cast("double"),
+                n_stop.cast("double"),
+            )
+        ).alias("features"),
+        F.when(quality_gate_col(), 1.0).otherwise(0.0).alias("label"),
+        (bucket < _LR_TEST_PERMILLE).alias("is_test"),
+    )
+    train = feats.where(~F.col("is_test"))
+    test = feats.where(F.col("is_test"))
+    model = LogisticRegression(
+        maxIter=25, regParam=0.01, featuresCol="features", labelCol="label"
+    ).fit(train)
+    scored = model.transform(test)
+    acc = F.sum(
+        F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
+    ) / F.count(F.lit(1))
+    counts = feats.agg(
+        F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
+    )
+    accs = scored.agg(acc.alias("acc"))
+    return counts.crossJoin(F.broadcast(accs)).select(
+        "n_train",
+        "n_test",
+        (F.col("acc") >= _LR_ACC_FLOORS[0]).alias("acc_ge_750"),
+        (F.col("acc") >= _LR_ACC_FLOORS[1]).alias("acc_ge_900"),
+    )

@@ -222,6 +222,7 @@ _GATE_REST = [
     "tokenizer_bpe_first_merges",
     "text_embed_batch_inference",
     "events_conversion_latency",
+    "quality_logreg_scorecard",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -1124,3 +1124,11 @@ def test_conversion_latency_invariants(spark, sf_dir):
     assert 0 < r.n_converted <= r.n_viewers
     assert 0 <= r.conversion_permille <= 1000
     assert 0 <= r.p50_minutes <= r.p90_minutes
+
+
+def test_logreg_scorecard_floors_and_raw_accuracy(spark, sf_dir):
+    """Scorecard booleans hold, and the raw held-out accuracy is
+    genuinely high (the gate is feature-determined)."""
+    r = REGISTRY["quality_logreg_scorecard"].spark(spark, sf_dir).first()
+    assert r.acc_ge_750 and r.acc_ge_900
+    assert r.n_train > r.n_test > 0
