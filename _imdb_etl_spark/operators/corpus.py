@@ -629,7 +629,8 @@ def tokenizer_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 from _imdb_etl_spark.operators.webcorpus import _BUCKET_SQL  # noqa: E402
 
 _LR_TEST_PERMILLE = 250
-_LR_ACC_FLOORS = (0.75, 0.90)
+_LR_ACC_FLOOR = 0.75
+_LR_NEGRECALL_FLOOR = 0.25
 
 _LOGREG_SQL = f"""
 WITH split AS (
@@ -640,7 +641,7 @@ WITH split AS (
 SELECT CAST(SUM(1 - is_test) AS BIGINT) AS n_train,
        CAST(SUM(is_test) AS BIGINT) AS n_test,
        TRUE AS acc_ge_750,
-       TRUE AS acc_ge_900
+       TRUE AS neg_recall_ge_250
 FROM split
 """
 
@@ -694,14 +695,19 @@ def quality_logreg_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     acc = F.sum(
         F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
     ) / F.count(F.lit(1))
+    neg_recall = F.sum(
+        F.when((F.col("label") == 0) & (F.col("prediction") == 0), 1).otherwise(0)
+    ) / F.sum(F.when(F.col("label") == 0, 1).otherwise(0))
     counts = feats.agg(
         F.sum(F.when(~F.col("is_test"), 1).otherwise(0)).alias("n_train"),
         F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
     )
-    accs = scored.agg(acc.alias("acc"))
+    accs = scored.agg(acc.alias("acc"), neg_recall.alias("neg_recall"))
     return counts.crossJoin(F.broadcast(accs)).select(
         "n_train",
         "n_test",
-        (F.col("acc") >= _LR_ACC_FLOORS[0]).alias("acc_ge_750"),
-        (F.col("acc") >= _LR_ACC_FLOORS[1]).alias("acc_ge_900"),
+        (F.col("acc") >= _LR_ACC_FLOOR).alias("acc_ge_750"),
+        (F.col("neg_recall") >= _LR_NEGRECALL_FLOOR).alias(
+            "neg_recall_ge_250"
+        ),
     )

@@ -1130,5 +1130,5 @@ def test_logreg_scorecard_floors_and_raw_accuracy(spark, sf_dir):
     """Scorecard booleans hold, and the raw held-out accuracy is
     genuinely high (the gate is feature-determined)."""
     r = REGISTRY["quality_logreg_scorecard"].spark(spark, sf_dir).first()
-    assert r.acc_ge_750 and r.acc_ge_900
+    assert r.acc_ge_750 and r.neg_recall_ge_250
     assert r.n_train > r.n_test > 0
