@@ -674,15 +674,15 @@ def quality_logreg_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 1000
     )
+    feat_arr = F.array(
+        F.length("text").cast("double"),
+        F.size(toks).cast("double"),
+        n_stop.cast("double"),
+    )
     feats = docs.select(
         "doc_id",
-        array_to_vector(
-            F.array(
-                F.length("text").cast("double"),
-                F.size(toks).cast("double"),
-                n_stop.cast("double"),
-            )
-        ).alias("features"),
+        feat_arr.alias("feat_arr"),
+        array_to_vector(feat_arr).alias("features"),
         F.when(quality_gate_col(), 1.0).otherwise(0.0).alias("label"),
         (bucket < _LR_TEST_PERMILLE).alias("is_test"),
     )
@@ -691,7 +691,27 @@ def quality_logreg_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = LogisticRegression(
         maxIter=25, regParam=0.01, featuresCol="features", labelCol="label"
     ).fit(train)
-    scored = model.transform(test)
+    # Score with the coefficient vector as literals rather than
+    # model.transform: the model object drags its training summary —
+    # and through it the SparkSession — into the task closure, which
+    # stops serializing the moment any Observation has registered on
+    # the session (ObservationManager is not Serializable). Driver-side
+    # coefficients + a zip_with dot product keep inference entirely
+    # inside codegen, the broadcast-the-weights batch-inference shape.
+    coef = [float(c) for c in model.coefficients]
+    margin = F.aggregate(
+        F.zip_with(
+            F.col("feat_arr"),
+            F.array(*[F.lit(c) for c in coef]),
+            lambda x, w: x * w,
+        ),
+        F.lit(float(model.intercept)),
+        lambda acc, x: acc + x,
+    )
+    scored = test.select(
+        "label",
+        F.when(margin > 0.0, 1.0).otherwise(0.0).alias("prediction"),
+    )
     acc = F.sum(
         F.when(F.col("prediction") == F.col("label"), 1).otherwise(0)
     ) / F.count(F.lit(1))
