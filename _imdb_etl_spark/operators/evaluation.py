@@ -1,0 +1,185 @@
+"""Classifier-evaluation operators — the measurement face of a quality
+pipeline: rank-based AUC (Mann-Whitney) and a precision/recall curve
+for a deterministic document score against the shared quality gate.
+
+A curation stack that trains quality filters (quality_logreg_scorecard)
+needs the evaluation half to be a first-class distributed operator too:
+AUC and PR curves over 100 TB of scored documents, not a scikit call on
+a driver-side sample.
+
+Absent from the reference (its SQL never scores text); part of the
+LLM-data-pipeline surface alongside operators/corpus.py.
+
+Scale posture (100 TB):
+- The score is an integer permille (0..1000), so the per-score
+  aggregation — ONE hash-agg shuffle over the corpus — reduces
+  everything downstream to <= 1001 rows. The cumulative windows run
+  over that bounded table behind an explicit ``orderBy().limit(1001)``
+  (compiles to TakeOrderedAndProject, same pattern as vocab_top_words:
+  the single-task window is benign because its input is bounded by
+  construction, and the limit makes the bound part of the plan).
+- All arithmetic stays in exact integers until the final division
+  (2*U is an integer; so are tp/fp cumulative counts), so the oracle
+  comparison is exact — no float accumulation anywhere.
+
+AUC formula (Mann-Whitney with tie correction): for score groups s with
+pos/neg counts np_s/nn_s and cum_nn_s = negatives strictly below s,
+    U  = sum_s np_s * (cum_nn_s + nn_s / 2)
+    AUC = U / (n_pos * n_neg)
+computed as 2U (integer) / (2 * n_pos * n_neg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from _imdb_etl_spark.operators.text import _STOPWORDS, QUALITY_GATE_SQL
+from _imdb_etl_spark.plans.registry import register
+from _imdb_etl_spark.sources import load_tables
+
+# score domain: integer stopword permille — bounded 0..1000 by
+# construction, which is what keeps every post-aggregation stage tiny
+_MAX_SCORES = 1001
+
+_SW_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+_FEATS_SQL = f"""
+  SELECT 1000 * len(list_filter(string_split(text, ' '), x -> x IN ({_SW_IN})))
+           // len(string_split(text, ' ')) AS score,
+         CASE WHEN {QUALITY_GATE_SQL} THEN 1 ELSE 0 END AS y
+  FROM documents
+"""
+
+_AUC_SQL = f"""
+WITH feats AS ({_FEATS_SQL}),
+g AS (
+  SELECT score, SUM(y) AS np, SUM(1 - y) AS nn FROM feats GROUP BY score
+),
+c AS (
+  SELECT np, nn,
+         COALESCE(SUM(nn) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+  FROM g
+)
+SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       CAST(SUM(nn) AS BIGINT) AS n_neg,
+       COUNT(*) AS n_scores,
+       ROUND(CAST(SUM(np * (2 * cum_nn + nn)) AS DOUBLE)
+             / (2 * SUM(np) * SUM(nn)), 6) AS auc
+FROM c
+"""
+
+
+def _score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, np, nn) per distinct stopword-permille score — the one
+    corpus-wide shuffle both evaluation queries share."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    from _imdb_etl_spark.operators.text import quality_gate_col
+
+    feats = docs.select(
+        n_stop.alias("n_stop"),
+        F.size(toks).alias("n_tok"),
+        F.when(quality_gate_col(), 1).otherwise(0).alias("y"),
+    ).select(F.expr("1000 * n_stop div n_tok").alias("score"), "y")
+    return feats.groupBy("score").agg(
+        F.sum("y").alias("np"), F.sum(F.lit(1) - F.col("y")).alias("nn")
+    )
+
+
+@register(
+    "quality_score_auc",
+    _AUC_SQL,
+    doc="Distributed rank-based AUC (Mann-Whitney with tie correction) "
+    "of the stopword-permille score against the shared quality gate: "
+    "one corpus hash-agg to <= 1001 integer score groups, a cumulative "
+    "window over the bounded group table (explicit limit => "
+    "TakeOrderedAndProject, no exchange funnel), and exact-integer 2U "
+    "until the single final division. The evaluation half of the "
+    "supervised quality family (training: quality_logreg_scorecard).",
+)
+def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _score_groups(spark, sf_dir)
+    # bounded: score is an integer permille, <= 1001 distinct values;
+    # the limit encodes that bound in the plan (TakeOrderedAndProject)
+    bounded = g.orderBy("score").limit(_MAX_SCORES)
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    c = bounded.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn")
+    )
+    return c.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+        F.round(
+            F.sum(
+                F.col("np") * (F.lit(2) * F.col("cum_nn") + F.col("nn"))
+            ).cast("double")
+            / (F.lit(2) * F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_PR_SQL = f"""
+WITH feats AS ({_FEATS_SQL}),
+g AS (
+  SELECT score, SUM(y) AS np, SUM(1 - y) AS nn FROM feats GROUP BY score
+),
+tot AS (SELECT SUM(np) AS total_pos FROM g),
+c AS (
+  SELECT score, np, nn,
+         SUM(np) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(np + nn) OVER (ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred
+  FROM g
+)
+SELECT CAST(c.score AS BIGINT) AS threshold,
+       CAST(c.n_pred AS BIGINT) AS n_pred_pos,
+       CAST(c.tp AS BIGINT) AS tp,
+       CAST(1000 * c.tp // c.n_pred AS BIGINT) AS precision_permille,
+       CAST(1000 * c.tp // t.total_pos AS BIGINT) AS recall_permille
+FROM c CROSS JOIN tot t
+ORDER BY threshold
+"""
+
+
+@register(
+    "quality_pr_curve",
+    _PR_SQL,
+    doc="Precision/recall curve for the stopword-permille score vs the "
+    "quality gate, one point per distinct observed threshold (predict "
+    "positive at score >= t): cumulative tp / predicted-positive "
+    "windows over the <= 1001-row bounded score-group table, total "
+    "positives as a broadcast scalar, exact integer permille — no "
+    "float anywhere. The operating-point picker next to "
+    "quality_score_auc's single ranking number.",
+)
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _score_groups(spark, sf_dir)
+    total = g.agg(F.sum("np").alias("total_pos"))
+    # bounded: integer permille domain, <= 1001 rows (see module doc)
+    bounded = g.orderBy(F.desc("score")).limit(_MAX_SCORES)
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = bounded.select(
+        "score",
+        F.sum("np").over(w).alias("tp"),
+        F.sum(F.col("np") + F.col("nn")).over(w).alias("n_pred"),
+    )
+    return (
+        c.crossJoin(F.broadcast(total))  # 1-row scalar: bounded, safe hint
+        .select(
+            F.col("score").alias("threshold"),
+            F.col("n_pred").alias("n_pred_pos"),
+            "tp",
+            F.expr("1000 * tp div n_pred").alias("precision_permille"),
+            F.expr("1000 * tp div total_pos").alias("recall_permille"),
+        )
+        .orderBy("threshold")
+    )

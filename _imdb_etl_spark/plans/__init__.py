@@ -31,6 +31,7 @@ from _imdb_etl_spark.sources import jsonl  # noqa: E402,F401
 from _imdb_etl_spark.sources import xml  # noqa: E402,F401
 from _imdb_etl_spark.sources import orc  # noqa: E402,F401
 from _imdb_etl_spark.operators import quality  # noqa: E402,F401
+from _imdb_etl_spark.operators import evaluation  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
 
 # Gate priority: the driver's correctness gate evaluates queries in
@@ -223,6 +224,8 @@ _GATE_REST = [
     "text_embed_batch_inference",
     "events_conversion_latency",
     "quality_logreg_scorecard",
+    "quality_score_auc",
+    "quality_pr_curve",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

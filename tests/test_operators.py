@@ -1132,3 +1132,44 @@ def test_logreg_scorecard_floors_and_raw_accuracy(spark, sf_dir):
     r = REGISTRY["quality_logreg_scorecard"].spark(spark, sf_dir).first()
     assert r.acc_ge_750 and r.neg_recall_ge_250
     assert r.n_train > r.n_test > 0
+
+
+def test_auc_matches_bruteforce_pairs(spark, sf_dir):
+    """The windowed Mann-Whitney AUC equals the O(n^2) pair count
+    computed independently in numpy on the collected (score, label)
+    pairs — ties counted as half."""
+    from _imdb_etl_spark.operators.evaluation import _score_groups
+
+    r = REGISTRY["quality_score_auc"].spark(spark, sf_dir).first()
+    assert r.n_pos > 0 and r.n_neg > 0
+    g = _score_groups(spark, sf_dir).collect()
+    scores = np.repeat(
+        [row.score for row in g], [row.np + row.nn for row in g]
+    )
+    labels = np.concatenate(
+        [[1] * row.np + [0] * row.nn for row in g]
+    ).astype(int)
+    pos, neg = scores[labels == 1], scores[labels == 0]
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(r.auc - auc) < 1e-6
+    # stopword permille is half the gate definition, so it must beat
+    # a random ranking with margin
+    assert r.auc > 0.6
+
+
+def test_pr_curve_monotone_and_anchored(spark, sf_dir):
+    rows = (
+        REGISTRY["quality_pr_curve"].spark(spark, sf_dir).collect()
+    )  # ordered by threshold asc
+    assert rows, "no thresholds"
+    # lowest threshold predicts everything positive: full recall
+    assert rows[0].recall_permille == 1000
+    for a, b in zip(rows, rows[1:]):
+        assert a.threshold < b.threshold
+        # raising the threshold can only shrink the predicted set
+        assert a.n_pred_pos >= b.n_pred_pos
+        assert a.tp >= b.tp
+        assert a.recall_permille >= b.recall_permille
+        assert 0 <= a.precision_permille <= 1000
