@@ -560,3 +560,130 @@ def text_embed_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- hybrid retrieval: reciprocal rank fusion -------------------------
+#
+# The retrieval stack's production shape: a lexical ranker (BM25) and a
+# semantic ranker (embedding cosine) each produce a bounded top-k, and
+# reciprocal rank fusion combines them with score
+#   rrf(d) = sum over rankers of 1 / (K + rank_r(d)),   K = 60
+# (Cormack et al.'s constant). Rank fusion needs only the RANKS, so the
+# expensive per-ranker stages stay independent and bounded; the fusion
+# itself is a full outer join of two <= depth-row sets.
+#
+# Scale posture (100 TB): the lexical side is the postings-filtered
+# BM25 pipeline above; the semantic side here is the exact corpus scan
+# (one broadcast query vector, TakeOrderedAndProject top-k) with the
+# ANN routes (sim_knn_lsh / sim_knn_ivf*) as the documented swap-in at
+# corpus scale. Every post-ranker stage operates on <= 2*depth rows.
+# Both ranked lists order by (rounded score, doc_id) so tie order is
+# engine-independent, and rrf ranks on its ROUNDED value likewise.
+
+_RRF_K = 60
+_RRF_QUERY_VEC = 0  # "more like this" anchor: doc/vec id 0
+_RRF_DEPTH = _TOP_K  # per-ranker depth (shares the BM25 top-k)
+_RRF_TOP = 10
+
+
+def _rrf_sql() -> str:
+    from _imdb_etl_spark.operators.similarity import _DIM, _cos_sql
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM ({_BM25_SQL})
+),
+q AS (SELECT embedding AS qe FROM embeddings
+      WHERE vec_id = {_RRF_QUERY_VEC}),
+sem_scored AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND({_cos_sql('q.qe', 'e.embedding')}, 6) AS cos
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> {_RRF_QUERY_VEC}
+),
+sem AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+  FROM sem_scored
+  ORDER BY cos DESC, doc_id
+  LIMIT {_RRF_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.lex_rank, sem.sem_rank,
+         ROUND(COALESCE(1.0 / ({_RRF_K} + lex.lex_rank), 0)
+               + COALESCE(1.0 / ({_RRF_K} + sem.sem_rank), 0), 6)
+           AS rrf_score
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_score,
+       ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS fused_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT {_RRF_TOP}
+"""
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    _rrf_sql(),
+    doc=f"Hybrid retrieval via reciprocal rank fusion (K={_RRF_K}): "
+    f"BM25 top-{_RRF_DEPTH} and embedding-cosine top-{_RRF_DEPTH} "
+    f"(query = vector {_RRF_QUERY_VEC}, broadcast single-row build "
+    "side) fuse through a full outer join of two bounded rank lists; "
+    "rrf = sum 1/(K+rank) over the rankers that returned the doc. "
+    "Every post-ranker stage is <= 2x depth rows; the semantic scan "
+    "swaps for the in-repo ANN routes at corpus scale.",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.operators.similarity import _cosine
+
+    # lexical ranks: window over the bounded post-limit BM25 rows
+    lex = text_bm25_search(spark, sf_dir)
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex.select("doc_id", F.row_number().over(wl).alias("lex_rank"))
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    # single-row broadcast build side; the explicit limit makes the
+    # bound part of the plan (GlobalLimit under the BroadcastExchange)
+    q = (
+        emb.where(F.col("vec_id") == _RRF_QUERY_VEC)
+        .select(F.col("embedding").alias("qe"))
+        .limit(1)
+    )
+    sem_scored = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .where(F.col("vec_id") != _RRF_QUERY_VEC)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    sem_top = sem_scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(
+        _RRF_DEPTH
+    )
+    ws = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(ws).alias("sem_rank")
+    )
+
+    rrf = F.round(
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+        ),
+        6,
+    )
+    fused = lex.join(sem, ["doc_id"], "full_outer").select(
+        "doc_id", "lex_rank", "sem_rank", rrf.alias("rrf_score")
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOP)
+    wf = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return top.withColumn("fused_rank", F.row_number().over(wf)).orderBy(
+        "fused_rank"
+    )

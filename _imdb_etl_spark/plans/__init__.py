@@ -226,6 +226,7 @@ _GATE_REST = [
     "quality_logreg_scorecard",
     "quality_score_auc",
     "quality_pr_curve",
+    "retrieval_hybrid_rrf",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

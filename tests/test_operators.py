@@ -1173,3 +1173,23 @@ def test_pr_curve_monotone_and_anchored(spark, sf_dir):
         assert a.tp >= b.tp
         assert a.recall_permille >= b.recall_permille
         assert 0 <= a.precision_permille <= 1000
+
+
+def test_rrf_fusion_consistent_with_ranks(spark, sf_dir):
+    from _imdb_etl_spark.operators.retrieval import _RRF_K, _RRF_TOP
+
+    rows = REGISTRY["retrieval_hybrid_rrf"].spark(spark, sf_dir).collect()
+    assert [r.fused_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == _RRF_TOP
+    prev = None
+    for r in rows:
+        assert r.lex_rank is not None or r.sem_rank is not None
+        want = 0.0
+        if r.lex_rank is not None:
+            want += 1.0 / (_RRF_K + r.lex_rank)
+        if r.sem_rank is not None:
+            want += 1.0 / (_RRF_K + r.sem_rank)
+        assert abs(r.rrf_score - round(want, 6)) < 1e-9
+        if prev is not None:
+            assert r.rrf_score <= prev  # fused order is by score
+        prev = r.rrf_score

@@ -83,10 +83,12 @@ def _benign_nested_loop(plan: str) -> bool:
     return True
 
 # Nodes directly above a SinglePartition exchange that make it benign:
-# scalar agg (one-row output), global sort of an already-top-k'd or
-# aggregated tiny frame, or the stream materialization boundary.
+# scalar agg (one-row output) or a global limit (Spark places a
+# LocalLimit BELOW the exchange, so each map task ships at most k rows
+# — the shuffle is output-bounded, not a funnel of the input).
 _BENIGN_ABOVE = re.compile(
     r"HashAggregate\(keys=\[\]|SortAggregate\(key=\[\]|ObjectHashAggregate\(keys=\[\]"
+    r"|GlobalLimit \d"
 )
 
 # Operators that cannot be compiled without executing (streaming runs to
