@@ -227,6 +227,7 @@ _GATE_REST = [
     "quality_score_auc",
     "quality_pr_curve",
     "retrieval_hybrid_rrf",
+    "shuffle_skew_profile",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -503,3 +503,78 @@ def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
     lineitem.createOrReplaceTempView("pipe_lineitem")
     return spark.sql(_PIPE_TEXT)
+
+
+# --- shuffle-skew profile ---------------------------------------------
+#
+# The diagnostic that decides WHEN the salting/AQE tools above are
+# needed: distribution of per-key row mass across hash-shuffle buckets.
+# The bucket function is an engine-neutral md5 stand-in for the hash
+# partitioner (both engines compute identical membership, so the
+# profile is oracle-exact); at 100 TB this is two hash-agg shuffles —
+# key counts, then a 32-row bucket rollup — and the total-row scalar
+# broadcasts back. A bucket with load_permille far above 1000/32 = 31,
+# or max_key_rows close to its n_rows, names the key(s) to salt.
+
+_SKEW_BUCKETS = 32
+
+_SKEW_HEX4 = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+    for k in range(4)
+) + ")"
+
+_SKEW_SQL = f"""
+WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+b AS (SELECT ({_SKEW_HEX4} % {_SKEW_BUCKETS}) AS bucket, n FROM k),
+t AS (SELECT SUM(n) AS total FROM b)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows,
+       CAST(1000 * SUM(n) // t.total AS BIGINT) AS load_permille
+FROM b CROSS JOIN t
+GROUP BY bucket, t.total
+ORDER BY bucket
+"""
+
+
+@register(
+    "shuffle_skew_profile",
+    _SKEW_SQL,
+    doc=f"Shuffle-skew diagnostic for events.user_id: per-key row "
+    f"counts rolled up into {_SKEW_BUCKETS} md5 hash buckets (an "
+    "engine-neutral stand-in for the hash partitioner), with each "
+    "bucket's key count, row mass, hottest single key, and integer "
+    "load permille vs the corpus total. The planning input for the "
+    "salted-agg / AQE-skew-join remedies in this module: a bucket far "
+    "above 1000/32 permille, or max_key_rows ~ n_rows, names the keys "
+    "to salt. Two hash-agg shuffles + a broadcast scalar.",
+)
+def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    k = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % _SKEW_BUCKETS
+    )
+    b = k.select(bucket.alias("bucket"), "n")
+    t = b.agg(F.sum("n").alias("total"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(t))  # 1-row scalar: bounded, safe hint
+        .select(
+            "bucket",
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.expr("1000 * n_rows div total").alias("load_permille"),
+        )
+        .orderBy("bucket")
+    )

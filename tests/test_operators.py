@@ -1193,3 +1193,19 @@ def test_rrf_fusion_consistent_with_ranks(spark, sf_dir):
         if prev is not None:
             assert r.rrf_score <= prev  # fused order is by score
         prev = r.rrf_score
+
+
+def test_skew_profile_mass_conserved(spark, sf_dir):
+    from _imdb_etl_spark.plans.scale import _SKEW_BUCKETS
+
+    rows = REGISTRY["shuffle_skew_profile"].spark(spark, sf_dir).collect()
+    (events,) = load_tables(spark, sf_dir, "events")
+    total = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_rows for r in rows) == total
+    assert sum(r.n_keys for r in rows) == n_users
+    assert len(rows) <= _SKEW_BUCKETS
+    for r in rows:
+        assert 0 <= r.bucket < _SKEW_BUCKETS
+        assert r.max_key_rows <= r.n_rows
+        assert r.load_permille == 1000 * r.n_rows // total
