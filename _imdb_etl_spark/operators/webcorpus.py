@@ -693,3 +693,166 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- epoch-plan materialization (deterministic upsampling) -----------
+#
+# corpus_token_budget_plan PLANS repeat factors; this operator
+# MATERIALIZES them — the explode-based cardinality-changing pattern a
+# training-data writer actually runs. Each document gets
+#   n_copies = ep // 1000  +  (bucket(doc_id) < ep % 1000 ? 1 : 0)
+# where ep is the language's planned epochs in permille and bucket is
+# the shared md5 permille hash — so fractional epochs are realized by
+# a deterministic, content-stable subset rather than a random sample,
+# and the realized copy count per language converges to the plan.
+#
+# Scale posture (100 TB): the plan table is |languages| rows
+# (broadcast); the explode is map-side (no shuffle — each task
+# replicates its own rows); only the per-language accounting
+# aggregates. sequence() is guarded by a n_copies >= 1 filter because
+# Spark's sequence(1, 0) steps DOWNWARD ([1, 0]) instead of returning
+# an empty array.
+
+_UPSAMPLE_SQL = f"""
+WITH counts AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+),
+w AS (SELECT lang, n_tokens,
+             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wt
+      FROM counts),
+tot AS (SELECT CAST(GREATEST(SUM(wt), 1) AS BIGINT) AS total_wt FROM w),
+plan AS (
+  SELECT lang,
+         ({_PLAN_BUDGET} * wt // total_wt) * 1000 // n_tokens AS ep
+  FROM w, tot
+),
+d AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks,
+         {_BUCKET_SQL} AS bucket
+  FROM documents
+),
+c AS (
+  SELECT d.lang, d.doc_id, d.n_toks,
+         p.ep,
+         (p.ep // 1000
+          + CASE WHEN d.bucket < p.ep % 1000 THEN 1 ELSE 0 END) AS n_copies
+  FROM d JOIN plan p USING (lang)
+),
+x AS (
+  SELECT lang, n_toks
+  FROM c, unnest(range(1, n_copies + 1))
+  WHERE n_copies >= 1
+),
+src AS (
+  SELECT lang, MAX(ep) AS ep, COUNT(*) AS n_docs FROM c GROUP BY lang
+),
+outp AS (
+  SELECT lang, COUNT(*) AS n_copies_out,
+         CAST(SUM(n_toks) AS BIGINT) AS out_tokens
+  FROM x GROUP BY lang
+)
+SELECT s.lang,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.ep AS BIGINT) AS planned_epochs_permille,
+       CAST(COALESCE(o.n_copies_out, 0) AS BIGINT) AS n_copies_out,
+       CAST(1000 * COALESCE(o.n_copies_out, 0) // s.n_docs AS BIGINT)
+         AS realized_epochs_permille,
+       CAST(COALESCE(o.out_tokens, 0) AS BIGINT) AS out_tokens
+FROM src s LEFT JOIN outp o USING (lang)
+ORDER BY s.lang
+"""
+
+
+@register(
+    "corpus_upsample_epochs",
+    _UPSAMPLE_SQL,
+    doc="Materialize the token-budget epoch plan: each document is "
+    "physically replicated floor(epochs) times plus one fractional "
+    "copy for the content-stable md5-permille subset, via a map-side "
+    "explode (no shuffle — tasks replicate their own rows; the plan "
+    "table broadcasts at |languages| rows). Reports planned vs "
+    "realized epochs per language in exact integer permille. The "
+    "writer-side companion of corpus_token_budget_plan's pure plan.",
+)
+def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    counts = (
+        spread(docs)
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+    w = counts.withColumn(
+        "wt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = w.agg(
+        F.greatest(F.sum("wt"), F.lit(1).cast("long")).alias("total_wt")
+    )
+    plan = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.expr(
+                f"({_PLAN_BUDGET} * wt div total_wt) * 1000 div n_tokens"
+            ).alias("ep"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    c = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.size(F.split("text", " ")).alias("n_toks"),
+            bucket.alias("bucket"),
+        )
+        .join(F.broadcast(plan), "lang")
+        .select(
+            "lang",
+            "doc_id",
+            "n_toks",
+            "ep",
+            (
+                F.expr("ep div 1000")
+                + F.when(F.col("bucket") < F.col("ep") % 1000, 1).otherwise(0)
+            ).alias("n_copies"),
+        )
+    )
+    # guard BEFORE sequence: Spark's sequence(1, 0) steps downward
+    x = (
+        c.where(F.col("n_copies") >= 1)
+        .select(
+            "lang",
+            "n_toks",
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy"),
+        )
+    )
+    src = c.groupBy("lang").agg(
+        F.max("ep").alias("ep"), F.count(F.lit(1)).alias("n_docs")
+    )
+    outp = x.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_copies_out"),
+        F.sum("n_toks").alias("out_tokens"),
+    )
+    return (
+        src.join(outp, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.col("ep").alias("planned_epochs_permille"),
+            F.coalesce("n_copies_out", F.lit(0).cast("long")).alias(
+                "n_copies_out"
+            ),
+            F.expr(
+                "1000 * coalesce(n_copies_out, 0L) div n_docs"
+            ).alias("realized_epochs_permille"),
+            F.coalesce("out_tokens", F.lit(0).cast("long")).alias(
+                "out_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -48,12 +48,13 @@ from _imdb_etl_spark import streaming  # noqa: E402,F401
 # prior green row no longer vouches for them; (d) every remaining
 # query whose only green row is from round 1 (the oldest coverage).
 # Every query registered BEFORE round 5 already has a green row in
-# some round; round 5 registered more NEW queries than one 50-slot
-# window holds, so two additions lead _GATE_REST as round-6 spillover
-# (named there) — with those two exceptions, r1 U ... U r5 gives the
-# registry a driver-gate row each, every one green or
-# no_oracle-by-design. Everything after the window keeps per-round
-# coverage via tools/check.py + pytest.
+# some round; round 5 registered far more NEW queries than one
+# 50-slot window holds, so the additions that didn't fit lead
+# _GATE_REST as round-6+ spillover (in rotation-priority order) —
+# with those exceptions, r1 U ... U r5 gives the registry a
+# driver-gate row each, every one green or no_oracle-by-design.
+# Everything after the window keeps per-round coverage via
+# tools/check.py + pytest.
 GATE_WINDOW_SIZE = 50
 GATE_WINDOW = [
     # -- (a) never gated / dropped by round 4's off-by-two
@@ -228,6 +229,7 @@ _GATE_REST = [
     "quality_pr_curve",
     "retrieval_hybrid_rrf",
     "shuffle_skew_profile",
+    "corpus_upsample_epochs",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -1209,3 +1209,19 @@ def test_skew_profile_mass_conserved(spark, sf_dir):
         assert 0 <= r.bucket < _SKEW_BUCKETS
         assert r.max_key_rows <= r.n_rows
         assert r.load_permille == 1000 * r.n_rows // total
+
+
+def test_upsample_realizes_plan_within_rounding(spark, sf_dir):
+    """Realized epochs track the plan: exact for whole epochs, and the
+    fractional md5 subset lands within hash-uniformity noise."""
+    rows = (
+        REGISTRY["corpus_upsample_epochs"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        whole = r.planned_epochs_permille // 1000
+        assert r.n_copies_out >= whole * r.n_docs
+        assert r.n_copies_out <= (whole + 1) * r.n_docs
+        # permille realization within hash noise of the plan
+        assert abs(r.realized_epochs_permille - r.planned_epochs_permille) \
+            <= 200
