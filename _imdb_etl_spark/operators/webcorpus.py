@@ -856,3 +856,103 @@ def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --- reproducible epoch shuffle --------------------------------------
+#
+# Training-order determinism: an epoch's document order must be a
+# reproducible pseudorandom permutation (re-runs and backfills produce
+# byte-identical shards, and no global sort may appear in the plan).
+# order key = md5(seed || ':' || doc_id); shard = first-4-hex int mod
+# N_SHARDS (a hash split, map-side, no exchange-by-range); position =
+# ROW_NUMBER within the shard (per-shard windows — the only shuffle is
+# the shard hash partition). The manifest emits an order-sensitive
+# exact-integer checksum sum(position * hex4(doc_id)): any dropped,
+# duplicated, or transposed document changes it, so the driver hash
+# proves the whole permutation plumbing without materializing order
+# (no collect_list — the checksum aggregates incrementally at any
+# shard size).
+
+_SHUFFLE_SEED = "epoch0"
+_N_SHARDS = 16
+
+
+def _hex4_sql(expr: str) -> str:
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+            for k in range(4)
+        )
+        + ")"
+    )
+
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_toks,
+         md5('{_SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) AS okey,
+         ({_hex4_sql("'" + _SHUFFLE_SEED + ":' || CAST(doc_id AS VARCHAR)")}
+          % {_N_SHARDS}) AS shard,
+         {_hex4_sql("CAST(doc_id AS VARCHAR)")} AS idh
+  FROM documents
+),
+pos AS (
+  SELECT shard, n_toks, idh,
+         ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey) AS position
+  FROM keyed
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(MAX(position) AS BIGINT) AS max_position,
+       CAST(SUM(position * idh) AS BIGINT) AS order_checksum
+FROM pos
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+@register(
+    "corpus_epoch_shuffle",
+    _EPOCH_SHUFFLE_SQL,
+    doc=f"Reproducible epoch shuffle: md5(seed:doc_id) order keys, "
+    f"hash split into {_N_SHARDS} shards (map-side, never a global "
+    "sort), per-shard ROW_NUMBER positions, and a shard manifest "
+    "whose order-sensitive exact-integer checksum sum(position * "
+    "hex4(doc_id)) flips on any dropped/duplicated/transposed "
+    "document. Re-runs are byte-identical; the only shuffle is the "
+    "shard hash partition.",
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    okey = F.md5(
+        F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+
+    def hex4(col):
+        return F.conv(F.substring(col, 1, 4), 16, 10).cast("long")
+
+    keyed = docs.select(
+        F.size(F.split("text", " ")).alias("n_toks"),
+        okey.alias("okey"),
+        (hex4(okey) % _N_SHARDS).alias("shard"),
+        hex4(F.md5(F.col("doc_id").cast("string"))).alias("idh"),
+    )
+    w = Window.partitionBy("shard").orderBy("okey")
+    pos = keyed.select(
+        "shard", "n_toks", "idh", F.row_number().over(w).alias("position")
+    )
+    return (
+        pos.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.max("position").alias("max_position"),
+            F.sum(F.col("position") * F.col("idh")).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )

@@ -230,6 +230,7 @@ _GATE_REST = [
     "retrieval_hybrid_rrf",
     "shuffle_skew_profile",
     "corpus_upsample_epochs",
+    "corpus_epoch_shuffle",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

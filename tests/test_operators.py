@@ -1225,3 +1225,20 @@ def test_upsample_realizes_plan_within_rounding(spark, sf_dir):
         # permille realization within hash noise of the plan
         assert abs(r.realized_epochs_permille - r.planned_epochs_permille) \
             <= 200
+
+
+def test_epoch_shuffle_partitions_all_docs_reproducibly(spark, sf_dir):
+    from _imdb_etl_spark.operators.webcorpus import _N_SHARDS
+
+    q = REGISTRY["corpus_epoch_shuffle"].spark
+    a = {r.shard: r for r in q(spark, sf_dir).collect()}
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in a.values()) == docs.count()
+    assert set(a) <= set(range(_N_SHARDS))
+    for r in a.values():
+        assert r.max_position == r.n_docs  # positions are contiguous 1..n
+    # a rebuilt plan reproduces the identical manifest (checksums and all)
+    b = {r.shard: r for r in q(spark, sf_dir).collect()}
+    assert {k: tuple(v) for k, v in a.items()} == {
+        k: tuple(v) for k, v in b.items()
+    }
