@@ -231,6 +231,7 @@ _GATE_REST = [
     "shuffle_skew_profile",
     "corpus_upsample_epochs",
     "corpus_epoch_shuffle",
+    "split_temporal_embargo",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

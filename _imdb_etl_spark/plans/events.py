@@ -1359,3 +1359,109 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_minutes"
         ),
     )
+
+
+# --- leakage-safe temporal split -------------------------------------
+#
+# The time-series companion of split_train_val_test (content split) and
+# split_leakage_audit (near-dup leakage): train/test must separate in
+# TIME, with an embargo gap absorbing boundary-straddling correlation
+# (the standard walk-forward evaluation hygiene for event models).
+# The boundary is percentile_disc(0.75) of event time in exact integer
+# milliseconds — a real element, no interpolation float — and the
+# returned scorecard includes the user-overlap count between train and
+# test, the metric that tells you whether a user-level split is needed
+# instead. One event scan + one user-keyed shuffle + broadcast scalars.
+
+_EMBARGO_MS = 3_600_000  # 1 hour
+
+
+_TEMPORAL_SPLIT_SQL = f"""
+WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+b AS (SELECT CAST(quantile_disc(ms, 0.75) AS BIGINT) AS t FROM e),
+lab AS (
+  SELECT user_id,
+         CASE WHEN ms <= t THEN 'train'
+              WHEN ms <= t + {_EMBARGO_MS} THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM e CROSS JOIN b
+),
+l AS (
+  SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+  FROM lab
+),
+pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
+         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
+  FROM lab GROUP BY user_id
+),
+p AS (
+  SELECT CAST(SUM(in_tr) AS BIGINT) AS train_users,
+         CAST(SUM(in_te) AS BIGINT) AS test_users,
+         CAST(SUM(in_tr * in_te) AS BIGINT) AS overlap_users
+  FROM pu
+)
+SELECT b.t AS boundary_ms, l.n_train, l.n_embargo, l.n_test,
+       p.train_users, p.test_users, p.overlap_users
+FROM l CROSS JOIN p CROSS JOIN b
+"""
+
+
+@register(
+    "split_temporal_embargo",
+    _TEMPORAL_SPLIT_SQL,
+    doc="Leakage-safe temporal train/test split with a 1h embargo gap: "
+    "boundary = percentile_disc(0.75) of event time in exact integer "
+    "milliseconds, scorecard = per-split event counts, per-split "
+    "distinct users, and the train/test user overlap (the number that "
+    "says whether a user-level split is required instead). One event "
+    "scan, one user-keyed shuffle, broadcast scalar boundary.",
+)
+def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    e = events.select(
+        F.unix_millis(F.col("ts")).alias("ms"), "user_id"
+    )
+    b = e.agg(
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY ms)")
+        .cast("long")
+        .alias("t")
+    )
+    lab = (
+        e.crossJoin(F.broadcast(b))  # 1-row scalar: bounded, safe hint
+        .select(
+            "user_id",
+            F.when(F.col("ms") <= F.col("t"), "train")
+            .when(F.col("ms") <= F.col("t") + _EMBARGO_MS, "embargo")
+            .otherwise("test")
+            .alias("split"),
+            "t",
+        )
+    )
+    l = lab.agg(
+        F.max("t").alias("boundary_ms"),
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "embargo").cast("long")).alias("n_embargo"),
+        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
+    )
+    pu = lab.groupBy("user_id").agg(
+        F.max((F.col("split") == "train").cast("long")).alias("in_tr"),
+        F.max((F.col("split") == "test").cast("long")).alias("in_te"),
+    )
+    p = pu.agg(
+        F.sum("in_tr").alias("train_users"),
+        F.sum("in_te").alias("test_users"),
+        F.sum(F.col("in_tr") * F.col("in_te")).alias("overlap_users"),
+    )
+    return l.crossJoin(F.broadcast(p)).select(
+        "boundary_ms",
+        "n_train",
+        "n_embargo",
+        "n_test",
+        "train_users",
+        "test_users",
+        "overlap_users",
+    )

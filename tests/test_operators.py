@@ -1242,3 +1242,13 @@ def test_epoch_shuffle_partitions_all_docs_reproducibly(spark, sf_dir):
     assert {k: tuple(v) for k, v in a.items()} == {
         k: tuple(v) for k, v in b.items()
     }
+
+
+def test_temporal_embargo_partitions_and_orders(spark, sf_dir):
+    r = REGISTRY["split_temporal_embargo"].spark(spark, sf_dir).first()
+    (events,) = load_tables(spark, sf_dir, "events")
+    assert r.n_train + r.n_embargo + r.n_test == events.count()
+    # 75th percentile boundary: train holds >= 75% of events
+    assert r.n_train >= 3 * (r.n_embargo + r.n_test)
+    assert r.overlap_users <= min(r.train_users, r.test_users)
+    assert r.n_test >= r.test_users > 0
