@@ -65,3 +65,29 @@ def disc_price() -> Column:
 
 def charge() -> Column:
     return dec("l_extendedprice") * one_minus("l_discount") * one_plus("l_tax")
+
+
+# --- engine-neutral md5 hash integers ---------------------------------
+#
+# Neither engine shares a hex->int builtin, so the integer value of an
+# md5 hex prefix is spelled as strpos arithmetic in the DuckDB oracle
+# and conv() in Spark. This pair is the ONE definition both twins use
+# (content-stable sampling buckets, LSH bit positions, shard splits,
+# checksums all derive from it).
+
+
+def md5_prefix_int_sql(expr: str, n: int = 4) -> str:
+    """DuckDB SQL: integer value of the first ``n`` md5 hex chars of
+    ``expr`` (0..16^n - 1). Spark twin: ``hex_prefix_int(F.md5(col), n)``."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"({terms})"
+
+
+def hex_prefix_int(col: Column, n: int = 4) -> Column:
+    """Spark: integer value of the first ``n`` hex chars of an
+    already-hex string column (pair with F.md5 for md5_prefix_int_sql)."""
+    return F.conv(F.substring(col, 1, n), 16, 10).cast("long")

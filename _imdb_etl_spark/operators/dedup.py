@@ -933,15 +933,9 @@ _BLOOM_MIN_HITS = 3  # same >= 3-shared rule as decontaminate_vs_eval
 
 def _pos4_sql(expr: str) -> str:
     """Value of the first 4 md5 hex chars (0..65535) — the bit position."""
-    return (
-        "(("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
-            f" * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-        + "))"
-    )
+    from _imdb_etl_spark.functions import md5_prefix_int_sql
+
+    return f"({md5_prefix_int_sql(expr, 4)})"
 
 
 _BLOOM_SQL = f"""

@@ -20,7 +20,10 @@ Scale posture (100 TB):
   construction, and the limit makes the bound part of the plan).
 - All arithmetic stays in exact integers until the final division
   (2*U is an integer; so are tp/fp cumulative counts), so the oracle
-  comparison is exact — no float accumulation anywhere.
+  comparison is exact — no float accumulation anywhere. The 2U terms
+  are pair COUNTS (np_s * nn-mass), quadratic in corpus size, so they
+  accumulate in DECIMAL(38,0) on the Spark side and HUGEINT in the
+  oracle — exact past 10^18 where a bigint product would wrap.
 
 AUC formula (Mann-Whitney with tie correction): for score groups s with
 pos/neg counts np_s/nn_s and cum_nn_s = negatives strictly below s,
@@ -65,8 +68,8 @@ c AS (
 SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
        CAST(SUM(nn) AS BIGINT) AS n_neg,
        COUNT(*) AS n_scores,
-       ROUND(CAST(SUM(np * (2 * cum_nn + nn)) AS DOUBLE)
-             / (2 * SUM(np) * SUM(nn)), 6) AS auc
+       ROUND(CAST(SUM(CAST(np AS HUGEINT) * (2 * cum_nn + nn)) AS DOUBLE)
+             / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
 FROM c
 """
 
@@ -110,17 +113,25 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = bounded.select(
         "np", "nn", F.coalesce(F.sum("nn").over(w), F.lit(0)).alias("cum_nn")
     )
+    # 2U terms are pair counts — quadratic in corpus size — so they
+    # multiply and accumulate in decimal (18+19+1 = 38 digits, exact
+    # to 1e38; a bigint product wraps past ~3e9 docs per class).
+    # DuckDB's twin widens through HUGEINT. The denominator is double
+    # in BOTH engines (the 2.0 literal), identical rounding.
+    two_u = F.sum(
+        F.col("np").cast("decimal(18,0)")
+        * (F.lit(2) * F.col("cum_nn") + F.col("nn")).cast("decimal(19,0)")
+    )
+    denom = (
+        F.lit(2.0)
+        * F.sum("np").cast("double")
+        * F.sum("nn").cast("double")
+    )
     return c.agg(
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
         F.count(F.lit(1)).alias("n_scores"),
-        F.round(
-            F.sum(
-                F.col("np") * (F.lit(2) * F.col("cum_nn") + F.col("nn"))
-            ).cast("double")
-            / (F.lit(2) * F.sum("np") * F.sum("nn")),
-            6,
-        ).alias("auc"),
+        F.round(two_u.cast("double") / denom, 6).alias("auc"),
     )
 
 
@@ -161,20 +172,25 @@ ORDER BY threshold
 )
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _score_groups(spark, sf_dir)
-    total = g.agg(F.sum("np").alias("total_pos"))
     # bounded: integer permille domain, <= 1001 rows (see module doc)
     bounded = g.orderBy(F.desc("score")).limit(_MAX_SCORES)
     w = Window.orderBy(F.desc("score")).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # total positives as an unbounded frame over the SAME bounded
+    # table (not a separate g.agg(), which would re-run the whole
+    # corpus scan lineage a second time)
+    w_all = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     c = bounded.select(
         "score",
         F.sum("np").over(w).alias("tp"),
         F.sum(F.col("np") + F.col("nn")).over(w).alias("n_pred"),
+        F.sum("np").over(w_all).alias("total_pos"),
     )
     return (
-        c.crossJoin(F.broadcast(total))  # 1-row scalar: bounded, safe hint
-        .select(
+        c.select(
             F.col("score").alias("threshold"),
             F.col("n_pred").alias("n_pred_pos"),
             "tp",

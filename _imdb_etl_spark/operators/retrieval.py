@@ -481,15 +481,9 @@ _EMBED_DIM = 8
 
 def _hex4_int_sql(expr: str) -> str:
     """DuckDB integer value of the first 4 md5 hex chars of ``expr``."""
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
-            f" * {16 ** (3 - i)}"
-            for i in range(4)
-        )
-        + ")"
-    )
+    from _imdb_etl_spark.functions import md5_prefix_int_sql
+
+    return md5_prefix_int_sql(expr, 4)
 
 
 def _embed_component_sql(j: int) -> str:
@@ -587,7 +581,7 @@ _RRF_TOP = 10
 
 
 def _rrf_sql() -> str:
-    from _imdb_etl_spark.operators.similarity import _DIM, _cos_sql
+    from _imdb_etl_spark.operators.similarity import _cos_sql
 
     return f"""
 WITH lex AS (

@@ -507,21 +507,60 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PLAN_BUDGET = 200_000  # total training-token budget
 
 
-_BUDGET_SQL = f"""
-WITH counts AS (
+def _plan_ctes(scale: int, alias: str) -> str:
+    """The temperature-weight allocation CTEs (counts -> sqrt weights
+    -> budget split), shared by the planner and the upsampling
+    materializer so the two can never diverge: ``plan`` exposes
+    (lang, n_tokens, wt, alloc_tokens, {alias}) with {alias} =
+    alloc_tokens * scale // n_tokens (epochs in 1/scale units)."""
+    return f"""counts AS (
   SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY lang
 ),
 w AS (SELECT lang, n_tokens,
              CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wt
       FROM counts),
-tot AS (SELECT CAST(GREATEST(SUM(wt), 1) AS BIGINT) AS total_wt FROM w)
+tot AS (SELECT CAST(GREATEST(SUM(wt), 1) AS BIGINT) AS total_wt FROM w),
+plan AS (
+  SELECT lang, n_tokens, wt,
+         {_PLAN_BUDGET} * wt // total_wt AS alloc_tokens,
+         ({_PLAN_BUDGET} * wt // total_wt) * {scale} // n_tokens AS {alias}
+  FROM w, tot
+)"""
+
+
+def _epoch_plan_df(docs: DataFrame, scale: int) -> DataFrame:
+    """Spark twin of _plan_ctes: (lang, n_tokens, wt, alloc_tokens, ep)
+    with ep in 1/scale epoch units."""
+    counts = (
+        spread(docs)
+        .groupBy("lang")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
+    )
+    w = counts.withColumn(
+        "wt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
+    )
+    tot = w.agg(
+        F.greatest(F.sum("wt"), F.lit(1).cast("long")).alias("total_wt")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        "wt",
+        F.expr(f"{_PLAN_BUDGET} * wt div total_wt").alias("alloc_tokens"),
+        F.expr(
+            f"({_PLAN_BUDGET} * wt div total_wt) * {scale} div n_tokens"
+        ).alias("ep"),
+    )
+
+
+_BUDGET_SQL = f"""
+WITH {_plan_ctes(1_000_000, "epochs_micro")}
 SELECT lang, n_tokens,
        CAST(wt AS BIGINT) AS weight,
-       CAST({_PLAN_BUDGET} * wt // total_wt AS BIGINT) AS alloc_tokens,
-       CAST(({_PLAN_BUDGET} * wt // total_wt) * 1000000 // n_tokens AS BIGINT)
-         AS epochs_micro
-FROM w, tot
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(epochs_micro AS BIGINT) AS epochs_micro
+FROM plan
 ORDER BY lang
 """
 
@@ -541,27 +580,14 @@ ORDER BY lang
 )
 def corpus_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    counts = (
-        spread(docs)
-        .groupBy("lang")
-        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
-    )
-    w = counts.withColumn(
-        "weight", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
-    )
-    tot = w.agg(
-        F.greatest(F.sum("weight"), F.lit(1).cast("long")).alias("total_wt")
-    )
     return (
-        w.crossJoin(F.broadcast(tot))
+        _epoch_plan_df(docs, 1_000_000)
         .select(
             "lang",
             "n_tokens",
-            "weight",
-            F.expr(f"{_PLAN_BUDGET} * weight div total_wt").alias("alloc_tokens"),
-            F.expr(
-                f"({_PLAN_BUDGET} * weight div total_wt) * 1000000 div n_tokens"
-            ).alias("epochs_micro"),
+            F.col("wt").alias("weight"),
+            "alloc_tokens",
+            F.col("ep").alias("epochs_micro"),
         )
         .orderBy("lang")
     )
@@ -714,19 +740,7 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an empty array.
 
 _UPSAMPLE_SQL = f"""
-WITH counts AS (
-  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY lang
-),
-w AS (SELECT lang, n_tokens,
-             CAST(floor(sqrt(n_tokens)) AS BIGINT) AS wt
-      FROM counts),
-tot AS (SELECT CAST(GREATEST(SUM(wt), 1) AS BIGINT) AS total_wt FROM w),
-plan AS (
-  SELECT lang,
-         ({_PLAN_BUDGET} * wt // total_wt) * 1000 // n_tokens AS ep
-  FROM w, tot
-),
+WITH {_plan_ctes(1000, "ep")},
 d AS (
   SELECT lang, doc_id, len(string_split(text, ' ')) AS n_toks,
          {_BUCKET_SQL} AS bucket
@@ -777,26 +791,7 @@ ORDER BY s.lang
 )
 def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    counts = (
-        spread(docs)
-        .groupBy("lang")
-        .agg(F.sum(F.size(F.split("text", " "))).alias("n_tokens"))
-    )
-    w = counts.withColumn(
-        "wt", F.floor(F.sqrt(F.col("n_tokens"))).cast("long")
-    )
-    tot = w.agg(
-        F.greatest(F.sum("wt"), F.lit(1).cast("long")).alias("total_wt")
-    )
-    plan = (
-        w.crossJoin(F.broadcast(tot))
-        .select(
-            "lang",
-            F.expr(
-                f"({_PLAN_BUDGET} * wt div total_wt) * 1000 div n_tokens"
-            ).alias("ep"),
-        )
-    )
+    plan = _epoch_plan_df(docs, 1000).select("lang", "ep")
     bucket = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
@@ -867,25 +862,24 @@ def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N_SHARDS (a hash split, map-side, no exchange-by-range); position =
 # ROW_NUMBER within the shard (per-shard windows — the only shuffle is
 # the shard hash partition). The manifest emits an order-sensitive
-# exact-integer checksum sum(position * hex4(doc_id)): any dropped,
-# duplicated, or transposed document changes it, so the driver hash
-# proves the whole permutation plumbing without materializing order
-# (no collect_list — the checksum aggregates incrementally at any
-# shard size).
+# exact-integer checksum sum(position * hex4(doc_id) mod p) mod p:
+# any dropped, duplicated, or transposed document changes it (mod a
+# prime, collision odds ~1e-9 per perturbation), so the driver hash
+# proves the whole permutation plumbing without materializing order —
+# no collect_list, and the mod-p terms keep the int64 accumulator
+# exact to ~9e9 docs per shard in both engines.
 
 _SHUFFLE_SEED = "epoch0"
 _N_SHARDS = 16
+# checksum modulus: per-term products stay < 1e9+7, so a shard of up
+# to ~9e9 docs sums without overflowing int64 in either engine
+_CKSUM_MOD = 1_000_000_007
 
 
 def _hex4_sql(expr: str) -> str:
-    return (
-        "("
-        + " + ".join(
-            f"(strpos('0123456789abcdef', substr(md5({expr}), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
-            for k in range(4)
-        )
-        + ")"
-    )
+    from _imdb_etl_spark.functions import md5_prefix_int_sql
+
+    return md5_prefix_int_sql(expr, 4)
 
 
 _EPOCH_SHUFFLE_SQL = f"""
@@ -907,7 +901,8 @@ SELECT CAST(shard AS BIGINT) AS shard,
        COUNT(*) AS n_docs,
        CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
        CAST(MAX(position) AS BIGINT) AS max_position,
-       CAST(SUM(position * idh) AS BIGINT) AS order_checksum
+       CAST(SUM((position * idh) % {_CKSUM_MOD}) % {_CKSUM_MOD}
+            AS BIGINT) AS order_checksum
 FROM pos
 GROUP BY shard
 ORDER BY shard
@@ -921,26 +916,23 @@ ORDER BY shard
     f"hash split into {_N_SHARDS} shards (map-side, never a global "
     "sort), per-shard ROW_NUMBER positions, and a shard manifest "
     "whose order-sensitive exact-integer checksum sum(position * "
-    "hex4(doc_id)) flips on any dropped/duplicated/transposed "
-    "document. Re-runs are byte-identical; the only shuffle is the "
-    "shard hash partition.",
+    "hex4(doc_id) mod p) mod p flips on any dropped/duplicated/"
+    "transposed document (mod-p terms keep the int64 accumulator "
+    "exact at any shard size). Re-runs are byte-identical; the only "
+    "shuffle is the shard hash partition.",
 )
 def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from _imdb_etl_spark.functions import hex_prefix_int
 
     (docs,) = load_tables(spark, sf_dir, "documents")
     okey = F.md5(
         F.concat(F.lit(f"{_SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
     )
-
-    def hex4(col):
-        return F.conv(F.substring(col, 1, 4), 16, 10).cast("long")
-
     keyed = docs.select(
         F.size(F.split("text", " ")).alias("n_toks"),
         okey.alias("okey"),
-        (hex4(okey) % _N_SHARDS).alias("shard"),
-        hex4(F.md5(F.col("doc_id").cast("string"))).alias("idh"),
+        (hex_prefix_int(okey) % _N_SHARDS).alias("shard"),
+        hex_prefix_int(F.md5(F.col("doc_id").cast("string"))).alias("idh"),
     )
     w = Window.partitionBy("shard").orderBy("okey")
     pos = keyed.select(
@@ -952,7 +944,10 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").alias("n_tokens"),
             F.max("position").alias("max_position"),
-            F.sum(F.col("position") * F.col("idh")).alias("order_checksum"),
+            (
+                F.sum((F.col("position") * F.col("idh")) % _CKSUM_MOD)
+                % _CKSUM_MOD
+            ).alias("order_checksum"),
         )
         .orderBy("shard")
     )

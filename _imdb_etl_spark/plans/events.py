@@ -1371,7 +1371,9 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # milliseconds — a real element, no interpolation float — and the
 # returned scorecard includes the user-overlap count between train and
 # test, the metric that tells you whether a user-level split is needed
-# instead. One event scan + one user-keyed shuffle + broadcast scalars.
+# instead. Two event scans (boundary percentile, labeled pass) + one
+# user-keyed shuffle; the event counts derive from the per-user rollup
+# so the labeled lineage runs exactly once.
 
 _EMBARGO_MS = 3_600_000  # 1 hour
 
@@ -1379,34 +1381,26 @@ _EMBARGO_MS = 3_600_000  # 1 hour
 _TEMPORAL_SPLIT_SQL = f"""
 WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
 b AS (SELECT CAST(quantile_disc(ms, 0.75) AS BIGINT) AS t FROM e),
-lab AS (
-  SELECT user_id,
-         CASE WHEN ms <= t THEN 'train'
-              WHEN ms <= t + {_EMBARGO_MS} THEN 'embargo'
-              ELSE 'test' END AS split
-  FROM e CROSS JOIN b
-),
-l AS (
-  SELECT CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-         CAST(SUM(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS BIGINT) AS n_embargo,
-         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
-  FROM lab
-),
 pu AS (
-  SELECT user_id,
-         MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_tr,
-         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_te
-  FROM lab GROUP BY user_id
-),
-p AS (
-  SELECT CAST(SUM(in_tr) AS BIGINT) AS train_users,
-         CAST(SUM(in_te) AS BIGINT) AS test_users,
-         CAST(SUM(in_tr * in_te) AS BIGINT) AS overlap_users
-  FROM pu
+  SELECT user_id, MAX(t) AS t,
+         SUM(CASE WHEN ms <= t THEN 1 ELSE 0 END) AS u_train,
+         SUM(CASE WHEN ms > t AND ms <= t + {_EMBARGO_MS}
+             THEN 1 ELSE 0 END) AS u_embargo,
+         SUM(CASE WHEN ms > t + {_EMBARGO_MS} THEN 1 ELSE 0 END) AS u_test
+  FROM e CROSS JOIN b
+  GROUP BY user_id
 )
-SELECT b.t AS boundary_ms, l.n_train, l.n_embargo, l.n_test,
-       p.train_users, p.test_users, p.overlap_users
-FROM l CROSS JOIN p CROSS JOIN b
+SELECT CAST(MAX(t) AS BIGINT) AS boundary_ms,
+       CAST(SUM(u_train) AS BIGINT) AS n_train,
+       CAST(SUM(u_embargo) AS BIGINT) AS n_embargo,
+       CAST(SUM(u_test) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN u_train > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS train_users,
+       CAST(SUM(CASE WHEN u_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS test_users,
+       CAST(SUM(CASE WHEN u_train > 0 AND u_test > 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS overlap_users
+FROM pu
 """
 
 
@@ -1417,8 +1411,10 @@ FROM l CROSS JOIN p CROSS JOIN b
     "boundary = percentile_disc(0.75) of event time in exact integer "
     "milliseconds, scorecard = per-split event counts, per-split "
     "distinct users, and the train/test user overlap (the number that "
-    "says whether a user-level split is required instead). One event "
-    "scan, one user-keyed shuffle, broadcast scalar boundary.",
+    "says whether a user-level split is required instead). Two event "
+    "scans (the boundary percentile, then the labeled pass), one "
+    "user-keyed shuffle; event counts derive from the per-user rollup "
+    "so the labeled lineage runs exactly once.",
 )
 def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
@@ -1430,38 +1426,30 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("t")
     )
-    lab = (
+    in_train = (F.col("ms") <= F.col("t")).cast("long")
+    in_embargo = (
+        (F.col("ms") > F.col("t"))
+        & (F.col("ms") <= F.col("t") + _EMBARGO_MS)
+    ).cast("long")
+    in_test = (F.col("ms") > F.col("t") + _EMBARGO_MS).cast("long")
+    pu = (
         e.crossJoin(F.broadcast(b))  # 1-row scalar: bounded, safe hint
-        .select(
-            "user_id",
-            F.when(F.col("ms") <= F.col("t"), "train")
-            .when(F.col("ms") <= F.col("t") + _EMBARGO_MS, "embargo")
-            .otherwise("test")
-            .alias("split"),
-            "t",
+        .groupBy("user_id")
+        .agg(
+            F.max("t").alias("t"),
+            F.sum(in_train).alias("u_train"),
+            F.sum(in_embargo).alias("u_embargo"),
+            F.sum(in_test).alias("u_test"),
         )
     )
-    l = lab.agg(
+    return pu.agg(
         F.max("t").alias("boundary_ms"),
-        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
-        F.sum((F.col("split") == "embargo").cast("long")).alias("n_embargo"),
-        F.sum((F.col("split") == "test").cast("long")).alias("n_test"),
-    )
-    pu = lab.groupBy("user_id").agg(
-        F.max((F.col("split") == "train").cast("long")).alias("in_tr"),
-        F.max((F.col("split") == "test").cast("long")).alias("in_te"),
-    )
-    p = pu.agg(
-        F.sum("in_tr").alias("train_users"),
-        F.sum("in_te").alias("test_users"),
-        F.sum(F.col("in_tr") * F.col("in_te")).alias("overlap_users"),
-    )
-    return l.crossJoin(F.broadcast(p)).select(
-        "boundary_ms",
-        "n_train",
-        "n_embargo",
-        "n_test",
-        "train_users",
-        "test_users",
-        "overlap_users",
+        F.sum("u_train").alias("n_train"),
+        F.sum("u_embargo").alias("n_embargo"),
+        F.sum("u_test").alias("n_test"),
+        F.sum((F.col("u_train") > 0).cast("long")).alias("train_users"),
+        F.sum((F.col("u_test") > 0).cast("long")).alias("test_users"),
+        F.sum(
+            ((F.col("u_train") > 0) & (F.col("u_test") > 0)).cast("long")
+        ).alias("overlap_users"),
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from _imdb_etl_spark.functions import dec, dsum
+from _imdb_etl_spark.functions import dec, dsum, md5_prefix_int_sql
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
@@ -518,10 +518,7 @@ def sql_pipe_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SKEW_BUCKETS = 32
 
-_SKEW_HEX4 = "(" + " + ".join(
-    f"(strpos('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
-    for k in range(4)
-) + ")"
+_SKEW_HEX4 = md5_prefix_int_sql("CAST(user_id AS VARCHAR)", 4)
 
 _SKEW_SQL = f"""
 WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),

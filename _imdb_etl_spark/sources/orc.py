@@ -37,15 +37,10 @@ _DOC_SCHEMA = (
 
 
 def _md5_prefix_int_sql(expr: str, n: int = 8) -> str:
-    """DuckDB SQL for the integer value of the first ``n`` md5 hex chars
-    (no hex->int builtin shared by both engines, so strpos arithmetic —
-    the dedup.py bloom-filter technique widened to n chars)."""
-    terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (n - 1 - i)}"
-        for i in range(n)
-    )
-    return f"({terms})"
+    """Integer value of the first ``n`` md5 hex chars (shared helper)."""
+    from _imdb_etl_spark.functions import md5_prefix_int_sql
+
+    return md5_prefix_int_sql(expr, n)
 
 
 _ORC_SQL = f"""

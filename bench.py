@@ -145,6 +145,9 @@ SF1_SPOT = [
     # hash-agg shuffles) and BM25 (token agg + filtered postings)
     "dedup_cdc_chunks",
     "text_bm25_search",
+    # epoch shuffle: shard-hash partition + per-shard window — the
+    # permutation pattern whose only shuffle is the shard split
+    "corpus_epoch_shuffle",
 ]
 
 _SF1_SRC = "/root/testdata/sf0.1"
