@@ -731,3 +731,104 @@ def quality_logreg_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neg_recall_ge_250"
         ),
     )
+
+
+# --- BPE merge application -------------------------------------------
+#
+# The other half of the BPE loop: APPLY the learned top merge rule to
+# the symbol stream and account for the compression. Greedy
+# left-to-right non-overlapping replacement is exactly both engines'
+# replace() semantics, so one merge round is fully value-hash
+# checkable: per token, merges = (len - len(replace(w, pair, ''))) / 2
+# (always an integer — each hit removes exactly 2 chars), and the
+# post-merge symbol count is len - merges. Map-side apply (the 1-row
+# merge rule broadcasts; the explicit limit bounds the build side),
+# one doc-keyed aggregation. A full encoder iterates this exact
+# shape over the shrinking symbol stream.
+
+_BPE_APPLY_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair
+  FROM words, unnest(range(1, length(w))) AS u(i)
+  WHERE length(w) >= 2
+),
+top AS (
+  SELECT pair FROM (
+    SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 1
+  )
+),
+app AS (
+  SELECT doc_id, length(w) AS lb,
+         (length(w) - length(replace(w, top.pair, ''))) // 2 AS nrep
+  FROM words CROSS JOIN top
+)
+SELECT doc_id,
+       CAST(SUM(lb) AS BIGINT) AS symbols_before,
+       CAST(SUM(nrep) AS BIGINT) AS n_merged,
+       CAST(SUM(lb - nrep) AS BIGINT) AS symbols_after,
+       CAST(1000 * SUM(lb - nrep) // SUM(lb) AS BIGINT)
+         AS compression_permille
+FROM app
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "tokenizer_bpe_apply_merge",
+    _BPE_APPLY_SQL,
+    doc="Apply the corpus's top BPE merge rule to every token "
+    "occurrence: greedy non-overlapping replacement (both engines' "
+    "replace() semantics, so the round is value-hash exact), per-doc "
+    "symbol counts before/after and integer compression permille. "
+    "The 1-row merge rule broadcasts behind an explicit limit; the "
+    "apply is map-side with one doc-keyed aggregation — the encode "
+    "loop a full BPE tokenizer iterates over the shrinking stream.",
+)
+def tokenizer_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select("pair")
+    )
+    nrep = F.expr("(length(w) - length(replace(w, pair, ''))) div 2")
+    app = (
+        words.crossJoin(F.broadcast(top))
+        .select("doc_id", F.length("w").alias("lb"), nrep.alias("nrep"))
+    )
+    return (
+        app.groupBy("doc_id")
+        .agg(
+            F.sum("lb").alias("symbols_before"),
+            F.sum("nrep").alias("n_merged"),
+            F.sum(F.col("lb") - F.col("nrep")).alias("symbols_after"),
+        )
+        .select(
+            "doc_id",
+            "symbols_before",
+            "n_merged",
+            "symbols_after",
+            F.expr(
+                "1000 * symbols_after div symbols_before"
+            ).alias("compression_permille"),
+        )
+        .orderBy("doc_id")
+    )

@@ -232,6 +232,7 @@ _GATE_REST = [
     "corpus_upsample_epochs",
     "corpus_epoch_shuffle",
     "split_temporal_embargo",
+    "tokenizer_bpe_apply_merge",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

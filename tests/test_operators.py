@@ -1252,3 +1252,21 @@ def test_temporal_embargo_partitions_and_orders(spark, sf_dir):
     assert r.n_train >= 3 * (r.n_embargo + r.n_test)
     assert r.overlap_users <= min(r.train_users, r.test_users)
     assert r.n_test >= r.test_users > 0
+
+
+def test_bpe_apply_consistent_with_merge_table(spark, sf_dir):
+    """Applying the rank-1 merge removes exactly as many pair
+    occurrences as GREEDY matching finds, and compression follows."""
+    merges = (
+        REGISTRY["tokenizer_bpe_first_merges"].spark(spark, sf_dir).first()
+    )
+    rows = (
+        REGISTRY["tokenizer_bpe_apply_merge"].spark(spark, sf_dir).collect()
+    )
+    total_merged = sum(r.n_merged for r in rows)
+    # greedy non-overlapping count can be below the positional count
+    # (overlaps like 'aaa' for pair 'aa'), never above
+    assert 0 < total_merged <= merges.cnt
+    for r in rows:
+        assert r.symbols_after == r.symbols_before - r.n_merged
+        assert 0 < r.compression_permille <= 1000
