@@ -375,3 +375,20 @@ def test_bench_lists_reference_registered_queries():
         assert name in REGISTRY, f"HEADLINE lists unregistered {name}"
     for name in bench.SF1_SPOT:
         assert name in REGISTRY, f"SF1_SPOT lists unregistered {name}"
+
+
+def test_registry_hygiene_docs_and_gate_rest():
+    """Every registered query documents itself (the docs are the scale
+    audit trail the judge and planlint allow-list lean on), and the
+    spillover list stays consistent with the registry."""
+    from _imdb_etl_spark.plans import GATE_WINDOW
+    from _imdb_etl_spark.plans import _GATE_REST  # noqa: PLC2701
+
+    for name, spec in REGISTRY.items():
+        assert spec.doc and len(spec.doc) > 40, f"{name} has no real doc"
+        if spec.oracle is not None:
+            assert "SELECT" in spec.oracle.upper(), f"{name} oracle odd"
+    unknown = [n for n in _GATE_REST if n not in REGISTRY]
+    assert not unknown, f"_GATE_REST names not in registry: {unknown}"
+    overlap = set(GATE_WINDOW) & set(_GATE_REST)
+    assert not overlap, f"names in both window and rest: {overlap}"
