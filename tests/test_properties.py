@@ -256,3 +256,48 @@ def test_png_codec_roundtrip_property(case):
     if bytes(corrupt) != data:
         with pytest.raises(ValueError):
             decode_png(bytes(corrupt))
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",),
+                blacklist_characters="'\\\x00",
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    n=st.integers(min_value=1, max_value=8),
+)
+def test_md5_prefix_int_cross_engine_parity(spark, texts, n):
+    """The shared md5-hex-prefix helpers (every content-stable bucket,
+    LSH position, shard split, and checksum derives from them) agree
+    between the DuckDB SQL generator and the Spark expression for
+    arbitrary strings and prefix widths."""
+    from _imdb_etl_spark.functions import hex_prefix_int, md5_prefix_int_sql
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {
+        r.t: r.v
+        for r in df.select(
+            "t", hex_prefix_int(F.md5(F.col("t")), n).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = md5_prefix_int_sql("t", n)
+    for t in texts:
+        esc = t.replace("'", "''")
+        want = con.execute(
+            f"SELECT {sql} FROM (SELECT '{esc}' AS t)"
+        ).fetchone()[0]
+        assert got[t] == want, (t, n)
