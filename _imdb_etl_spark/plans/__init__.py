@@ -233,6 +233,7 @@ _GATE_REST = [
     "corpus_epoch_shuffle",
     "split_temporal_embargo",
     "tokenizer_bpe_apply_merge",
+    "basket_part_affinity",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

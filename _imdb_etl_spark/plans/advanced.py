@@ -954,3 +954,115 @@ def sketch_heavy_users_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "user_id bigint, exact_cnt bigint, within_bound boolean"
     ).orderBy(F.desc("exact_cnt"), "user_id")
+
+
+# --- market-basket part affinity -------------------------------------
+#
+# Frequent-pair mining over order baskets (the association-rules
+# primitive): which parts co-occur in the same order more often than
+# their independent popularity predicts? Support counts come from a
+# within-basket self-join on the order key — the standard distributed
+# shape: pair fan-out is sum over baskets of k*(k-1)/2 with k bounded
+# by basket size (TPC-H baskets hold <= 7 lineitems, web baskets tens
+# — never corpus-scale), and the join is key-local so the only
+# shuffles are the order-keyed sort and the pair hash-agg. Confidence
+# is exact integer permille; lift is permille via the same left-assoc
+# IEEE double expression in both engines (bit-identical at any scale,
+# where an int64 triple product would wrap past ~3e9 baskets).
+
+_BASKET_TOP = 20
+
+_BASKET_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+),
+n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM items),
+part_n AS (SELECT part, COUNT(*) AS cnt FROM items GROUP BY part),
+pairs AS (
+  SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS support
+  FROM items a JOIN items b ON a.okey = b.okey AND a.part < b.part
+  GROUP BY a.part, b.part
+),
+scored AS (
+  SELECT p.part_a, p.part_b, p.support,
+         CAST(1000 * p.support // pa.cnt AS BIGINT) AS conf_a_to_b_permille,
+         CAST(ROUND((1000.0 * p.support * n.n)
+                    / (CAST(pa.cnt AS DOUBLE) * pb.cnt), 0) AS BIGINT)
+           AS lift_permille
+  FROM pairs p
+  JOIN part_n pa ON p.part_a = pa.part
+  JOIN part_n pb ON p.part_b = pb.part
+  CROSS JOIN n_orders n
+)
+SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+       conf_a_to_b_permille, lift_permille
+FROM scored
+ORDER BY support DESC, part_a, part_b
+LIMIT {_BASKET_TOP}
+"""
+
+
+@register(
+    "basket_part_affinity",
+    _BASKET_SQL,
+    doc=f"Market-basket affinity over order baskets: within-basket "
+    "part pairs from an order-key-local self-join (fan-out bounded by "
+    "basket size squared, never corpus-scale), pair support from one "
+    "hash-agg shuffle, exact-integer confidence permille and "
+    "bit-identical IEEE-double lift permille against the broadcast "
+    f"part-popularity table; top-{_BASKET_TOP} "
+    "by (support, pair) total order. The association-rules primitive "
+    "of a product-analytics engine.",
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n_orders = items.agg(F.countDistinct("okey").alias("n"))
+    part_n = items.groupBy("part").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    scored = (
+        pairs.join(
+            part_n.select(
+                F.col("part").alias("part_a"), F.col("cnt").alias("cnt_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_n.select(
+                F.col("part").alias("part_b"), F.col("cnt").alias("cnt_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))  # 1-row scalar: bounded hint
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.expr("1000 * support div cnt_a").alias(
+                "conf_a_to_b_permille"
+            ),
+            # lift in double, same left-assoc IEEE ops as the oracle:
+            # identical bit-for-bit in both engines at ANY scale, where
+            # an int64 product (1000 * support * n) would wrap past
+            # ~3e9 baskets
+            F.round(
+                (F.lit(1000.0) * F.col("support") * F.col("n"))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                0,
+            )
+            .cast("long")
+            .alias("lift_permille"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("support"), "part_a", "part_b"
+    ).limit(_BASKET_TOP)

@@ -1270,3 +1270,26 @@ def test_bpe_apply_consistent_with_merge_table(spark, sf_dir):
     for r in rows:
         assert r.symbols_after == r.symbols_before - r.n_merged
         assert 0 < r.compression_permille <= 1000
+
+
+def test_basket_affinity_bounds_and_symmetric_support(spark, sf_dir):
+    rows = (
+        REGISTRY["basket_part_affinity"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    for r in rows[:5]:
+        # support recomputed directly: orders containing BOTH parts
+        both = (
+            lineitem.where(
+                F.col("l_partkey").isin(r.part_a, r.part_b)
+            )
+            .groupBy("l_orderkey")
+            .agg(F.countDistinct("l_partkey").alias("k"))
+            .where(F.col("k") == 2)
+            .count()
+        )
+        assert r.support == both
+        assert r.part_a < r.part_b
+        assert 0 < r.conf_a_to_b_permille <= 1000
+        assert r.lift_permille > 0
