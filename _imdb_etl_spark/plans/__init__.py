@@ -234,6 +234,7 @@ _GATE_REST = [
     "split_temporal_embargo",
     "tokenizer_bpe_apply_merge",
     "basket_part_affinity",
+    "events_funnel_time_bound",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -1453,3 +1453,119 @@ def split_temporal_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("u_train") > 0) & (F.col("u_test") > 0)).cast("long")
         ).alias("overlap_users"),
     )
+
+
+# --- time-constrained funnel -----------------------------------------
+#
+# The bounded-window variant of events_funnel_analysis: each stage
+# only converts if it happens within 1 hour of the PREVIOUS stage's
+# qualifying moment (the product-analytics default — an unbounded
+# funnel credits a purchase weeks after the view). Stage times chain
+# sequentially (t_click depends on t_view), expressed as three MIN
+# windows over the SAME user partition — Spark plans them as stacked
+# WindowExecs behind ONE user-keyed exchange, and the final rollup is
+# a per-user agg plus a scalar combine. Exact integer milliseconds
+# and integer permille conversions throughout.
+
+_FUNNEL_WINDOW_MS = 3_600_000  # 1 hour per stage
+
+
+_FUNNEL_TB_SQL = f"""
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ms END)
+              OVER (PARTITION BY user_id) AS t_view
+  FROM e
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ms > t_view
+                      AND ms <= t_view + {_FUNNEL_WINDOW_MS}
+                     THEN ms END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ms > t_click
+                      AND ms <= t_click + {_FUNNEL_WINDOW_MS}
+                     THEN ms END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+),
+pu AS (
+  SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+         MAX(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+       CAST(COUNT(t_click) AS BIGINT) AS n_clicked_1h,
+       CAST(COUNT(t_purchase) AS BIGINT) AS n_purchased_1h,
+       CAST(1000 * COUNT(t_click) // COUNT(t_view) AS BIGINT)
+         AS click_conv_permille,
+       CAST(1000 * COUNT(t_purchase) // COUNT(t_view) AS BIGINT)
+         AS purchase_conv_permille
+FROM pu
+"""
+
+
+@register(
+    "events_funnel_time_bound",
+    _FUNNEL_TB_SQL,
+    doc="Time-constrained view->click->purchase funnel: each stage "
+    "converts only within 1 hour of the previous stage's qualifying "
+    "moment. The sequentially-dependent stage times are three MIN "
+    "windows over the same user partition (stacked WindowExecs behind "
+    "ONE user-keyed exchange), then a per-user rollup and scalar "
+    "combine. Exact integer milliseconds; integer permille "
+    "conversions. The bounded-window companion of "
+    "events_funnel_analysis.",
+)
+def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e = events.select(
+        "user_id", "event_type", F.unix_millis(F.col("ts")).alias("ms")
+    )
+    s1 = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ms"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ms") > F.col("t_view"))
+                & (F.col("ms") <= F.col("t_view") + _FUNNEL_WINDOW_MS),
+                F.col("ms"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ms") > F.col("t_click"))
+                & (F.col("ms") <= F.col("t_click") + _FUNNEL_WINDOW_MS),
+                F.col("ms"),
+            )
+        ).over(w),
+    )
+    pu = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_1h"),
+        F.count("t_purchase").alias("n_purchased_1h"),
+        F.expr("1000 * count(t_click) div count(t_view)").alias(
+            "click_conv_permille"
+        ),
+        F.expr("1000 * count(t_purchase) div count(t_view)").alias(
+            "purchase_conv_permille"
+        ),
+    )

@@ -1293,3 +1293,16 @@ def test_basket_affinity_bounds_and_symmetric_support(spark, sf_dir):
         assert r.part_a < r.part_b
         assert 0 < r.conf_a_to_b_permille <= 1000
         assert r.lift_permille > 0
+
+
+def test_time_bound_funnel_monotone_and_single_exchange(spark, sf_dir):
+    df = REGISTRY["events_funnel_time_bound"].spark(spark, sf_dir)
+    r = df.first()
+    assert r.n_users >= r.n_viewed >= r.n_clicked_1h >= r.n_purchased_1h
+    assert r.n_viewed > 0 and r.n_clicked_1h > 0
+    assert r.click_conv_permille <= 1000
+    # the three chained stage windows and the per-user rollup all ride
+    # ONE user-keyed exchange (stacked WindowExecs preserve partitioning)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_user_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_user_exchanges == 1, plan[:2000]
