@@ -1097,3 +1097,82 @@ def sim_knn_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _ivf_probe_score(probes, loaded_lists)
+
+
+# --- ANN recall curve -------------------------------------------------
+#
+# The evaluation face of the ANN family as a first-class QUERY: recall
+# at k = 1..TOP_K of the multi-probe IVF index against the brute-force
+# top-k, in one plan. Both rank lists are bounded (N_QUERIES x TOP_K
+# rows), the comparison is a pair join over <= 40 rows crossed with
+# the k grid, and recall is exact integer permille — so the index's
+# quality SLO is value-hash checked by the driver, not just asserted
+# in pytest. At 100 TB the same query runs against any candidate
+# index (IVF, PQ, IVFPQ) by swapping the approx CTE.
+
+_RECALL_CURVE_SQL = f"""
+WITH exact AS ({_BRUTE_SQL}),
+approx AS ({_IVF_SQL}),
+ks AS (SELECT unnest(range(1, {_TOP_K} + 1)) AS k),
+matched AS (
+  SELECT e.query_id, e.neighbor_id,
+         e.neighbor_rank AS er, a.neighbor_rank AS ar
+  FROM exact e JOIN approx a
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+),
+nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM exact)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(COUNT(CASE WHEN m.er <= ks.k AND m.ar <= ks.k
+                  THEN 1 END) AS BIGINT) AS n_matched,
+       CAST(nq.n * ks.k AS BIGINT) AS n_exact,
+       CAST(1000 * COUNT(CASE WHEN m.er <= ks.k AND m.ar <= ks.k
+                         THEN 1 END) // (nq.n * ks.k) AS BIGINT)
+         AS recall_permille
+FROM ks CROSS JOIN nq LEFT JOIN matched m ON TRUE
+GROUP BY ks.k, nq.n
+ORDER BY k
+"""
+
+
+@register(
+    "sim_recall_curve",
+    _RECALL_CURVE_SQL,
+    doc=f"ANN quality SLO as a query: recall@k for k=1..{_TOP_K} of "
+    "the multi-probe IVF index vs the exact brute-force top-k in one "
+    "plan. "
+    "Both rank lists are bounded (queries x k rows); the comparison "
+    "joins tens of rows against the k grid and emits exact integer "
+    "permille — the driver value-hashes the index's quality, not "
+    "just a pytest floor. Swap the approx side for LSH/PQ/IVFPQ to "
+    "evaluate any in-repo index.",
+)
+def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = sim_knn_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("neighbor_rank").alias("er")
+    )
+    approx = sim_knn_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("neighbor_rank").alias("ar")
+    )
+    matched = exact.join(approx, ["query_id", "neighbor_id"])
+    nq = exact.agg(F.countDistinct("query_id").alias("n"))
+    ks = F.broadcast(
+        exact.sparkSession.range(1, _TOP_K + 1).select(
+            F.col("id").alias("k")
+        )
+    )
+    hit = F.when((F.col("er") <= F.col("k")) & (F.col("ar") <= F.col("k")), 1)
+    return (
+        ks.crossJoin(F.broadcast(nq))  # k-grid x 1-row scalar: bounded
+        .join(matched, F.lit(True), "left")
+        .groupBy("k", "n")
+        .agg(F.count(hit).alias("n_matched"))
+        .select(
+            "k",
+            "n_matched",
+            (F.col("n") * F.col("k")).alias("n_exact"),
+            F.expr("1000 * n_matched div (n * k)").alias(
+                "recall_permille"
+            ),
+        )
+        .orderBy("k")
+    )

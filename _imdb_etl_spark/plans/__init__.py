@@ -235,6 +235,7 @@ _GATE_REST = [
     "tokenizer_bpe_apply_merge",
     "basket_part_affinity",
     "events_funnel_time_bound",
+    "sim_recall_curve",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -1306,3 +1306,17 @@ def test_time_bound_funnel_monotone_and_single_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_user_exchanges = plan.count("Exchange hashpartitioning(user_id")
     assert n_user_exchanges == 1, plan[:2000]
+
+
+def test_recall_curve_consistent_with_recall_test(spark, sf_dir):
+    rows = REGISTRY["sim_recall_curve"].spark(spark, sf_dir).collect()
+    assert [r.k for r in rows] == [1, 2, 3, 4, 5]
+    prev_matched = 0
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_exact
+        assert r.recall_permille == 1000 * r.n_matched // r.n_exact
+        # widening k can only add matched pairs
+        assert r.n_matched >= prev_matched
+        prev_matched = r.n_matched
+    # the multi-probe IVF index finds a real share of the true top-k
+    assert rows[-1].recall_permille >= 100
