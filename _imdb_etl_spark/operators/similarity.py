@@ -1147,8 +1147,16 @@ ORDER BY k
     "evaluate any in-repo index.",
 )
 def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = sim_knn_bruteforce(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.col("neighbor_rank").alias("er")
+    # eager localCheckpoint: the exact list feeds BOTH the matched join
+    # and the query-count scalar — without it the all-pairs brute-force
+    # subtree (the heaviest stage) would execute twice in one plan.
+    # The materialized frame is bounded at N_QUERIES x TOP_K rows.
+    exact = (
+        sim_knn_bruteforce(spark, sf_dir)
+        .select(
+            "query_id", "neighbor_id", F.col("neighbor_rank").alias("er")
+        )
+        .localCheckpoint()
     )
     approx = sim_knn_ivf(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("neighbor_rank").alias("ar")

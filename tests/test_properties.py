@@ -268,7 +268,7 @@ def test_png_codec_roundtrip_property(case):
         st.text(
             alphabet=st.characters(
                 blacklist_categories=("Cs",),
-                blacklist_characters="'\\\x00",
+                blacklist_characters="\\\x00",
             ),
             min_size=0,
             max_size=30,
