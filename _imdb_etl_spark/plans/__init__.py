@@ -236,6 +236,7 @@ _GATE_REST = [
     "basket_part_affinity",
     "events_funnel_time_bound",
     "sim_recall_curve",
+    "scalar_timestamp_suite",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

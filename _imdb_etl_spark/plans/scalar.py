@@ -270,3 +270,82 @@ def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lower("t").alias("type_lc"), "n", "sum_key")
         .orderBy("type_lc")
     )
+
+
+_TS_SQL = """
+SELECT event_id,
+       epoch_ms(ts) AS ts_millis,
+       CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_seconds,
+       EXTRACT(hour FROM ts) AS ts_hour,
+       EXTRACT(minute FROM ts) AS ts_minute,
+       EXTRACT(second FROM ts) AS ts_second,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S')
+         AS minute_start,
+       strftime(ts + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS ts_plus_90m,
+       CAST(datediff('day', TIMESTAMP '2024-01-01 00:00:00', ts)
+            AS BIGINT) AS days_since_2024,
+       strftime(make_timestamp(
+         CAST(EXTRACT(year FROM ts) AS BIGINT),
+         CAST(EXTRACT(month FROM ts) AS BIGINT),
+         CAST(EXTRACT(day FROM ts) AS BIGINT),
+         CAST(EXTRACT(hour FROM ts) AS BIGINT), 0, 0.0),
+         '%Y-%m-%d %H:%M:%S') AS rebuilt_hour
+FROM events
+WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+@register(
+    "scalar_timestamp_suite",
+    _TS_SQL,
+    doc="Timestamp parity: epoch round trips in exact integer "
+    "millis/seconds, EXTRACT of hour/minute/second, hour and minute "
+    "truncation rendered through each engine's formatter, interval "
+    "arithmetic (+90 minutes), whole-day difference against a "
+    "timestamp literal (both engines count date boundaries), and "
+    "make_timestamp reassembly from extracted parts. The session "
+    "timezone is pinned UTC on the driver path (sources/catalog.py), "
+    "which is what makes every one of these engine-identical.",
+)
+def scalar_timestamp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    ts = F.col("ts")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        events.where(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.unix_millis(ts).alias("ts_millis"),
+            F.expr("unix_millis(ts) div 1000").alias("ts_seconds"),
+            F.hour(ts).alias("ts_hour"),
+            F.minute(ts).alias("ts_minute"),
+            F.second(ts).alias("ts_second"),
+            F.date_format(F.date_trunc("hour", ts), fmt).alias("hour_start"),
+            F.date_format(F.date_trunc("minute", ts), fmt).alias(
+                "minute_start"
+            ),
+            F.date_format(
+                ts + F.expr("INTERVAL 90 MINUTES"), fmt
+            ).alias("ts_plus_90m"),
+            F.datediff(
+                ts.cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("days_since_2024"),
+            F.date_format(
+                F.make_timestamp(
+                    F.year(ts),
+                    F.month(ts),
+                    F.dayofmonth(ts),
+                    F.hour(ts),
+                    F.lit(0),
+                    F.lit(0),
+                ),
+                fmt,
+            ).alias("rebuilt_hour"),
+        )
+        .orderBy("event_id")
+    )
