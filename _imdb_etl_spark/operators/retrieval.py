@@ -681,3 +681,134 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("fused_rank", F.row_number().over(wf)).orderBy(
         "fused_rank"
     )
+
+
+# --- held-out LM scoring ---------------------------------------------
+#
+# text_bigram_lm_score trains and scores on the same corpus (the
+# in-corpus fluency screen); production quality filters train the LM
+# on a TRUSTED split and score unseen documents. This operator does
+# that with the shared content-stable md5 split (the same one the
+# logreg scorecard uses): the add-k bigram LM trains on the ~75%
+# train docs and scores every held-out doc, where unseen contexts and
+# unseen bigrams fall back to the smoothing mass (that graceful OOV
+# handling is WHY add-k; the oov permille is reported per doc). The
+# count tables stay vocabulary-bounded and broadcastable; the one
+# new cost vs the in-corpus score is the split filter on each side.
+
+_HELDOUT_TEST_PERMILLE = 250
+
+
+def _heldout_sql() -> str:
+    from _imdb_etl_spark.operators.webcorpus import _BUCKET_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, pos, w, ({_BUCKET_SQL} < {_HELDOUT_TEST_PERMILLE}) AS is_test
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents
+  )
+),
+pairs AS (
+  SELECT doc_id, is_test, w AS w1,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c2
+  FROM pairs WHERE NOT is_test GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w AS w1, CAST(COUNT(*) AS DOUBLE) AS c1
+  FROM toks WHERE NOT is_test GROUP BY w
+),
+v AS (
+  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+  FROM toks WHERE NOT is_test
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_bigrams,
+       CAST(SUM(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unseen,
+       CAST(1000 * SUM(CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS unseen_permille,
+       ROUND(AVG(ln((COALESCE(c2.c2, 0) + {_LM_K})
+                    / (COALESCE(c1.c1, 0) + {_LM_K} * v.v))), 6)
+         AS avg_heldout_logprob
+FROM pairs p
+LEFT JOIN c2 USING (w1, w2)
+LEFT JOIN c1 USING (w1)
+CROSS JOIN v
+WHERE p.is_test
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@register(
+    "text_lm_heldout_perplexity",
+    _heldout_sql(),
+    doc="Held-out LM scoring with train/test discipline: the add-k "
+    "bigram LM trains on the content-stable md5 train split (~75%) "
+    "and scores every held-out document; unseen contexts/bigrams fall "
+    "back to the smoothing mass and are reported as an exact integer "
+    "oov permille per doc. Count tables stay vocabulary-bounded "
+    "(broadcastable); per-document windows only. The production "
+    "quality-filter shape next to the in-corpus text_bigram_lm_score.",
+)
+def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 1000
+    )
+    toks = docs.select(
+        "doc_id",
+        (bucket < _HELDOUT_TEST_PERMILLE).alias("is_test"),
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+    )
+    nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    pairs = (
+        toks.select(
+            "doc_id", "is_test", F.col("w").alias("w1"), nxt.alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+    )
+    train_toks = toks.where(~F.col("is_test"))
+    c2 = (
+        pairs.where(~F.col("is_test"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    )
+    c1 = (
+        train_toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c1"))
+        .withColumnRenamed("w", "w1")
+    )
+    v = train_toks.agg(F.countDistinct("w").cast("double").alias("v"))
+    logp = F.ln(
+        (F.coalesce(F.col("c2"), F.lit(0.0)) + F.lit(_LM_K))
+        / (F.coalesce(F.col("c1"), F.lit(0.0)) + F.lit(_LM_K) * F.col("v"))
+    )
+    unseen = F.when(F.col("c2").isNull(), 1).otherwise(0)
+    return (
+        pairs.where(F.col("is_test"))
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))  # 1-row scalar: bounded, safe hint
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(unseen).alias("n_unseen"),
+            F.expr("1000 * sum(case when c2 is null then 1 else 0 end)"
+                   " div count(1)").alias("unseen_permille"),
+            F.round(F.avg(logp), 6).alias("avg_heldout_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -237,6 +237,7 @@ _GATE_REST = [
     "events_funnel_time_bound",
     "sim_recall_curve",
     "scalar_timestamp_suite",
+    "text_lm_heldout_perplexity",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -1320,3 +1320,31 @@ def test_recall_curve_consistent_with_recall_test(spark, sf_dir):
         prev_matched = r.n_matched
     # the multi-probe IVF index finds a real share of the true top-k
     assert rows[-1].recall_permille >= 100
+
+
+def test_heldout_lm_scores_only_test_docs_with_oov(spark, sf_dir):
+    rows = (
+        REGISTRY["text_lm_heldout_perplexity"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+    in_corpus = {
+        r.doc_id: r
+        for r in REGISTRY["text_bigram_lm_score"].spark(spark, sf_dir).collect()
+    }
+    held = {r.doc_id for r in rows}
+    # held-out set is the ~25% md5 split, never the whole corpus
+    assert 0 < len(held) < len(in_corpus)
+    for r in rows:
+        assert 0 <= r.n_unseen <= r.n_bigrams
+        assert r.unseen_permille == 1000 * r.n_unseen // r.n_bigrams
+        assert r.avg_heldout_logprob < 0
+        # scoring against a model that never saw the doc cannot beat
+        # the in-corpus score that memorized it... except via the
+        # smoothing mass on tiny docs; assert the corpus-level order
+    n = len(rows)
+    worse = sum(
+        1
+        for r in rows
+        if r.avg_heldout_logprob <= in_corpus[r.doc_id].avg_bigram_logprob
+    )
+    assert worse >= n * 2 // 3
