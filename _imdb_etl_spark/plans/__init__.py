@@ -238,6 +238,8 @@ _GATE_REST = [
     "sim_recall_curve",
     "scalar_timestamp_suite",
     "text_lm_heldout_perplexity",
+    "sql_parameterized_revenue",
+    "sql_group_by_all_revenue",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

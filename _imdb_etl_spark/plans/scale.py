@@ -575,3 +575,83 @@ def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- parameterized SQL + GROUP BY ALL --------------------------------
+#
+# Two more rows of the SQL-text API surface (next to the CTE, pipe,
+# UDF, and TVF queries above):
+# - sql_parameterized_revenue uses Spark's parameterized `spark.sql`
+#   (named parameter markers + DataFrames templated in as {refs}) —
+#   the injection-safe query API; the literal reaches the plan as a
+#   bound parameter, not string concatenation, and predicate pushdown
+#   still applies.
+# - sql_group_by_all_revenue uses GROUP BY ALL / ORDER BY ALL (the
+#   Spark 4 dimensional shorthand, same semantics in DuckDB) — proven
+#   against an explicit-column oracle.
+
+_PARAM_CUTOFF = "1997-06-01"
+
+_PARAM_SQL = f"""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderdate >= DATE '{_PARAM_CUTOFF}'
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register(
+    "sql_parameterized_revenue",
+    _PARAM_SQL,
+    doc="Parameterized spark.sql: the cutoff date binds through a "
+    "named parameter marker (:start) and the orders DataFrame "
+    "templates in as {orders} — the injection-safe SQL API. The "
+    "oracle runs the same text with the literal inlined; identical "
+    "results prove the parameter path changes nothing about the "
+    "plan's semantics (decimal-sum policy as everywhere).",
+)
+def sql_parameterized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price
+        FROM {orders}
+        WHERE o_orderdate >= :start
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """,
+        args={"start": _PARAM_CUTOFF},
+        orders=orders,
+    )
+
+
+_GBALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+@register(
+    "sql_group_by_all_revenue",
+    _GBALL_SQL,
+    doc="GROUP BY ALL / ORDER BY ALL (the dimensional shorthand — "
+    "every non-aggregate select column groups, every column orders): "
+    "same syntax executes in both engines, and the result "
+    "hash-matches, proving the shorthand resolves to the identical "
+    "explicit grouping. Decimal-sum policy as everywhere.",
+)
+def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("gball_lineitem")
+    return spark.sql(_GBALL_SQL.replace("FROM lineitem", "FROM gball_lineitem"))

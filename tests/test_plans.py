@@ -392,3 +392,13 @@ def test_registry_hygiene_docs_and_gate_rest():
     assert not unknown, f"_GATE_REST names not in registry: {unknown}"
     overlap = set(GATE_WINDOW) & set(_GATE_REST)
     assert not overlap, f"names in both window and rest: {overlap}"
+
+
+def test_parameterized_sql_still_pushes_down(spark, sf_dir):
+    """The named-parameter cutoff must reach the parquet scan as a
+    data filter (parameter binding is not string templating, but it
+    must not block pushdown either)."""
+    df = REGISTRY["sql_parameterized_revenue"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and "o_orderdate" in scan[0] and "1997-06-01" in scan[0]
