@@ -240,6 +240,7 @@ _GATE_REST = [
     "text_lm_heldout_perplexity",
     "sql_parameterized_revenue",
     "sql_group_by_all_revenue",
+    "udtf_polymorphic_first_tokens",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

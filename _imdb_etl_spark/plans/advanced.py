@@ -1066,3 +1066,71 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("support"), "part_a", "part_b"
     ).limit(_BASKET_TOP)
+
+
+# --- polymorphic Python UDTF (analyze-time schema) --------------------
+#
+# events_props_udtf covers the fixed-schema Arrow UDTF; this covers
+# the POLYMORPHIC half of the Spark 4 UDTF API: a static analyze()
+# receives the literal arguments at planning time and RETURNS the
+# output schema, so one function serves any requested width (the
+# schema below — tok0..tok2 — is computed from the literal 3, not
+# declared). Row fan-out is map-side; the lateral join never
+# shuffles. The oracle states the same result with list_extract's
+# out-of-bounds NULL padding.
+
+_UDTF_N_TOKENS = 3
+
+_POLY_UDTF_SQL = f"""
+SELECT doc_id,
+       {", ".join(f"list_extract(string_split(text, ' '), {i + 1}) AS tok{i}" for i in range(_UDTF_N_TOKENS))}
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "udtf_polymorphic_first_tokens",
+    _POLY_UDTF_SQL,
+    doc="Polymorphic Python UDTF: analyze() computes the output "
+    f"schema (tok0..tok{_UDTF_N_TOKENS - 1}) from the literal width "
+    "argument at planning time — the dynamic-schema half of the "
+    "Spark 4 UDTF API next to events_props_udtf's fixed-schema Arrow "
+    "path. Map-side lateral fan-out, no shuffle; NULL padding "
+    "mirrored by the oracle's out-of-bounds list_extract.",
+)
+def udtf_polymorphic_first_tokens(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text, n):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    # Arrow-batched UDTF evaluation (ArrowEvalPythonUDTF), not the
+    # row-at-a-time pickling path planlint flags
+    spark.udtf.register("poly_first_tokens", udtf(FirstTokens, useArrow=True))
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("poly_docs")
+    return spark.sql(
+        f"""
+        SELECT doc_id, s.*
+        FROM poly_docs, LATERAL poly_first_tokens(text, {_UDTF_N_TOKENS}) s
+        ORDER BY doc_id
+        """
+    )
