@@ -241,6 +241,7 @@ _GATE_REST = [
     "sql_parameterized_revenue",
     "sql_group_by_all_revenue",
     "udtf_polymorphic_first_tokens",
+    "pysource_pushdown_range",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -392,3 +392,146 @@ def pysink_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pushdown form: connector-side filter pushdown + partition pruning
+# (Spark 4 DataSourceReader.pushFilters).
+# ---------------------------------------------------------------------------
+
+
+class PrunedRangeReader(DataSourceReader):
+    """Range source with CONNECTOR-side filter pushdown: pushFilters
+    receives the query's predicates, the reader keeps the doc_id
+    bounds it can apply exactly and returns the rest for Spark to
+    re-evaluate, and partitions() then plans splits ONLY inside the
+    accepted range — the partition-pruning contract a file source
+    gets from min/max stats, expressed through the Python API. The
+    correctness proof is structural: accepted bounds are REMOVED from
+    the post-scan Filter, so a reader that ignored them would emit
+    out-of-range rows and fail the value hash."""
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 2000))
+        self.step = int(options.get("step", 250))
+        self.lo = 0
+        self.hi = self.rows
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        rest = []
+        for f in filters:
+            if getattr(f, "attribute", None) != ("doc_id",):
+                rest.append(f)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, f.value)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, f.value + 1)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, f.value + 1)
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, f.value)
+                self.hi = min(self.hi, f.value + 1)
+            else:
+                rest.append(f)
+        return rest
+
+    def partitions(self):
+        start = self.lo - self.lo % self.step
+        parts = [
+            _RangePartition(max(lo, self.lo), min(lo + self.step, self.hi))
+            for lo in range(start, self.hi, self.step)
+        ]
+        return [p for p in parts if p.end > p.start] or [
+            _RangePartition(0, 0)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _payload(i)
+
+
+class PrunedRangeDataSource(DataSource):
+    """``spark.read.format("pushdown_range")`` — options: rows, step."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pushdown_range"
+
+    def schema(self) -> str:
+        return "doc_id bigint, sig string, bucket int"
+
+    def reader(self, schema):
+        return PrunedRangeReader(self.options)
+
+
+def read_pushdown_range(
+    spark: SparkSession, rows: int = 2000, step: int = 250
+) -> DataFrame:
+    # opt-in: Spark refuses a pushFilters implementation outright
+    # unless the python filter-pushdown feature flag is on
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PrunedRangeDataSource)
+    return (
+        spark.read.format("pushdown_range")
+        .option("rows", rows)
+        .option("step", step)
+        .load()
+    )
+
+
+_PUSHDOWN_LO, _PUSHDOWN_HI = 500, 1500
+
+_PUSHDOWN_SQL = f"""
+WITH src AS (
+  SELECT i AS doc_id,
+         md5(CAST(i AS VARCHAR)) AS sig,
+         (strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)), 2, 1)) - 1 AS bucket
+  FROM range({_PUSHDOWN_LO}, {_PUSHDOWN_HI}) t(i)
+)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc,
+       MAX(doc_id) AS max_doc,
+       MAX(sig) AS max_sig
+FROM src
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "pysource_pushdown_range",
+    _PUSHDOWN_SQL,
+    doc="Python DataSource filter pushdown (Spark 4 pushFilters): the "
+    "connector accepts the query's doc_id bounds, prunes its planned "
+    "partitions to the accepted range, and Spark drops the pushed "
+    "predicates from the post-scan Filter — so a reader that ignored "
+    "them would emit out-of-range rows and fail the value hash. "
+    "Partition-count pruning and the filter-free post-scan plan are "
+    "pinned in tests/test_sources.py.",
+)
+def pysource_pushdown_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_pushdown_range(spark, rows=2000, step=250).where(
+        (F.col("doc_id") >= _PUSHDOWN_LO) & (F.col("doc_id") < _PUSHDOWN_HI)
+    )
+    return (
+        df.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.max("sig").alias("max_sig"),
+        )
+        .orderBy("bucket")
+    )

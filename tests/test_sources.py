@@ -161,3 +161,26 @@ def test_reap_stale_pid_dirs(tmp_path):
     assert sorted(os.listdir(base)) == sorted(
         [f"foo_{os.getpid()}", "other_dir"]
     )
+
+
+def test_python_source_filter_pushdown_prunes_partitions(spark):
+    """pushFilters must prune partition planning to the accepted
+    bounds (4 of 8 splits survive), and Spark must drop the pushed
+    doc_id predicates from the post-scan Filter."""
+    from pyspark.sql import functions as F
+
+    from _imdb_etl_spark.sources.pysource import read_pushdown_range
+
+    df = read_pushdown_range(spark, rows=2000, step=250).where(
+        (F.col("doc_id") >= 500) & (F.col("doc_id") < 1500)
+    )
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 4  # pruned from 8 splits
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    post_scan_filters = [
+        ln for ln in plan.splitlines() if "Filter" in ln and "Scan" not in ln
+    ]
+    for ln in post_scan_filters:
+        assert ">=" not in ln and "<" not in ln, ln
+    mn, mx = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+    assert (mn, mx) == (500, 1499)
