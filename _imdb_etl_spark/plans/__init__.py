@@ -242,6 +242,8 @@ _GATE_REST = [
     "sql_group_by_all_revenue",
     "udtf_polymorphic_first_tokens",
     "pysource_pushdown_range",
+    "grouped_arrow_user_stats",
+    "setop_except_all_views",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

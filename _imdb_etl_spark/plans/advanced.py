@@ -1134,3 +1134,114 @@ def udtf_polymorphic_first_tokens(
         ORDER BY doc_id
         """
     )
+
+
+# --- grouped-map raw Arrow (applyInArrow) ----------------------------
+#
+# The grouped-map twin of embedding_norms_arrow's mapInArrow: per-key
+# batches arrive as pyarrow.Table (zero pandas materialization, no
+# index semantics, columnar end to end) — the lowest-overhead Python
+# hook for per-group logic. Money math stays exact: values quantize
+# to integer cents with the midpoint-stable floor(x*100 + 0.5) (the
+# embedding_quantize_int8 policy) INSIDE Arrow compute, so the sums
+# are int64 and the oracle replays them bitwise.
+
+_ARROW_GROUP_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "grouped_arrow_user_stats",
+    _ARROW_GROUP_SQL,
+    doc="Grouped-map raw Arrow (applyInArrow): per-user event batches "
+    "arrive as pyarrow.Table and reduce with Arrow compute kernels — "
+    "the columnar per-group hook below pandas. Values quantize to "
+    "integer cents via midpoint-stable floor(x*100 + 0.5) inside "
+    "Arrow, so sums are exact int64 and the oracle replays them "
+    "bitwise. One user-keyed shuffle.",
+)
+def grouped_arrow_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(table.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": [table.column("user_id")[0].as_py()],
+                "n_events": [table.num_rows],
+                "total_cents": [pc.sum(cents).as_py()],
+                "max_cents": [pc.max(cents).as_py()],
+            }
+        )
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInArrow(
+            stats,
+            schema="user_id bigint, n_events bigint, "
+            "total_cents bigint, max_cents bigint",
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- bag-semantics set operation (EXCEPT ALL) ------------------------
+#
+# The setop family's DISTINCT variants live in plans/relational.py;
+# EXCEPT ALL completes it with multiset semantics: each view a user
+# made is cancelled by one purchase, and the leftover multiplicity is
+# the per-user count of UNCONVERTED views — a quantity the DISTINCT
+# variant cannot express. Spark plans exceptAll as a generate-over-
+# counts rewrite (no row-by-row matching); the aggregation after it
+# makes the output shape deterministic.
+
+_EXCEPT_ALL_SQL = """
+WITH leftover AS (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, COUNT(*) AS unconverted_views
+FROM leftover
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "setop_except_all_views",
+    _EXCEPT_ALL_SQL,
+    doc="EXCEPT ALL (bag semantics): each view row is cancelled by one "
+    "purchase row per user, leaving the multiplicity of unconverted "
+    "views — inexpressible with the DISTINCT setops in the relational "
+    "family. Spark rewrites exceptAll to a counts+generate plan (no "
+    "pairwise matching); the trailing aggregation pins a "
+    "deterministic output shape.",
+)
+def setop_except_all_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select("user_id")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    return (
+        views.exceptAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("unconverted_views"))
+        .orderBy("user_id")
+    )

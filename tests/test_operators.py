@@ -1348,3 +1348,24 @@ def test_heldout_lm_scores_only_test_docs_with_oov(spark, sf_dir):
         if r.avg_heldout_logprob <= in_corpus[r.doc_id].avg_bigram_logprob
     )
     assert worse >= n * 2 // 3
+
+
+def test_except_all_multiplicity_matches_counts(spark, sf_dir):
+    """Bag semantics: leftover multiplicity equals views - purchases
+    wherever positive, recomputed directly from per-user counts."""
+    rows = {
+        r.user_id: r.unconverted_views
+        for r in REGISTRY["setop_except_all_views"].spark(spark, sf_dir).collect()
+    }
+    (events,) = load_tables(spark, sf_dir, "events")
+    counts = {
+        r.user_id: (r.v, r.p)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("v"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("p"),
+        )
+        .collect()
+    }
+    want = {u: v - p for u, (v, p) in counts.items() if v - p > 0}
+    assert rows == want
