@@ -703,13 +703,20 @@ def _heldout_sql() -> str:
     from _imdb_etl_spark.operators.webcorpus import _BUCKET_SQL
 
     return f"""
-WITH toks AS (
-  SELECT doc_id, pos, w, ({_BUCKET_SQL} < {_HELDOUT_TEST_PERMILLE}) AS is_test
+WITH split AS (
+  -- bucket at DOCUMENT granularity: computing it over the unnested
+  -- token stream would evaluate 4 md5 calls per token, not per doc
+  SELECT doc_id, text,
+         ({_BUCKET_SQL} < {_HELDOUT_TEST_PERMILLE}) AS is_test
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, pos, w, is_test
   FROM (
-    SELECT doc_id,
+    SELECT doc_id, is_test,
            unnest(string_split(text, ' ')) AS w,
            generate_subscripts(string_split(text, ' '), 1) AS pos
-    FROM documents
+    FROM split
   )
 ),
 pairs AS (
@@ -761,13 +768,10 @@ ORDER BY p.doc_id
     "quality-filter shape next to the in-corpus text_bigram_lm_score.",
 )
 def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
     (docs,) = load_tables(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    bucket = hex_prefix_int(F.md5(F.col("doc_id").cast("string"))) % 1000
     toks = docs.select(
         "doc_id",
         (bucket < _HELDOUT_TEST_PERMILLE).alias("is_test"),
@@ -806,9 +810,19 @@ def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.sum(unseen).alias("n_unseen"),
-            F.expr("1000 * sum(case when c2 is null then 1 else 0 end)"
-                   " div count(1)").alias("unseen_permille"),
             F.round(F.avg(logp), 6).alias("avg_heldout_logprob"),
+        )
+        # one predicate, one aggregate: the permille derives from the
+        # already-aggregated columns instead of re-spelling `unseen`
+        .withColumn(
+            "unseen_permille", F.expr("1000 * n_unseen div n_bigrams")
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_unseen",
+            "unseen_permille",
+            "avg_heldout_logprob",
         )
         .orderBy("doc_id")
     )

@@ -1117,7 +1117,13 @@ def udtf_polymorphic_first_tokens(
             return AnalyzeResult(schema=schema)
 
         def eval(self, text, n):
-            toks = (text or "").split(" ")
+            # NULL text yields all-NULL tokens, mirroring the oracle's
+            # string_split(NULL) -> NULL list (splitting '' instead
+            # would emit tok0 = '' and diverge on NULL documents)
+            if text is None:
+                yield (None,) * n
+                return
+            toks = text.split(" ")
             yield tuple(
                 toks[i] if i < len(toks) else None for i in range(n)
             )

@@ -653,5 +653,15 @@ ORDER BY ALL
 )
 def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    lineitem.createOrReplaceTempView("gball_lineitem")
-    return spark.sql(_GBALL_SQL.replace("FROM lineitem", "FROM gball_lineitem"))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM {lineitem}
+        GROUP BY ALL
+        ORDER BY ALL
+        """,
+        lineitem=lineitem,
+    )

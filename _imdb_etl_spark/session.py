@@ -45,6 +45,10 @@ def get_spark(
         # runtime bloom-filter join pruning: inactive below its size
         # thresholds (local test data) but the right default at scale
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Python data sources implementing pushFilters are REJECTED
+        # outright unless this is on; set at session build so planning
+        # never depends on which query ran first
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

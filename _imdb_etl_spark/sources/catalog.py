@@ -39,6 +39,10 @@ def _tune(spark: SparkSession) -> None:
     # surface as bigint and normalize_event_ts converts below. Files that
     # store timestamp[us]/[ms] are unaffected by the conf.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Python data sources implementing pushFilters are rejected unless
+    # this is on; runtime-mutable, so the driver-owned session gets it
+    # here (the same home as the timezone pin)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:

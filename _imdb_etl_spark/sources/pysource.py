@@ -477,9 +477,12 @@ class PrunedRangeDataSource(DataSource):
 def read_pushdown_range(
     spark: SparkSession, rows: int = 2000, step: int = 250
 ) -> DataFrame:
-    # opt-in: Spark refuses a pushFilters implementation outright
-    # unless the python filter-pushdown feature flag is on
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # the python.filterPushdown feature flag is set centrally (session
+    # builder + sources.catalog._tune for the driver-owned session);
+    # guard here only for sessions built by neither path
+    from _imdb_etl_spark.sources.catalog import _tune
+
+    _tune(spark)
     spark.dataSource.register(PrunedRangeDataSource)
     return (
         spark.read.format("pushdown_range")
