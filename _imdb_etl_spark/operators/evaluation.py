@@ -68,8 +68,11 @@ c AS (
 SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
        CAST(SUM(nn) AS BIGINT) AS n_neg,
        COUNT(*) AS n_scores,
-       ROUND(CAST(SUM(CAST(np AS HUGEINT) * (2 * cum_nn + nn)) AS DOUBLE)
-             / (2.0 * SUM(np) * SUM(nn)), 6) AS auc
+       CASE WHEN SUM(np) = 0 OR SUM(nn) = 0 THEN NULL
+            ELSE ROUND(
+              CAST(SUM(CAST(np AS HUGEINT) * (2 * cum_nn + nn)) AS DOUBLE)
+              / (2.0 * SUM(np) * SUM(nn)), 6)
+       END AS auc
 FROM c
 """
 
@@ -127,11 +130,17 @@ def quality_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sum("np").cast("double")
         * F.sum("nn").cast("double")
     )
+    # degenerate single-class corpus (a real occurrence on the salted
+    # sf1 scale-up, where every replica passes the gate): AUC is
+    # undefined — NULL in both engines, never a divide-by-zero
     return c.agg(
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
         F.count(F.lit(1)).alias("n_scores"),
-        F.round(two_u.cast("double") / denom, 6).alias("auc"),
+        F.when(
+            (F.sum("np") > 0) & (F.sum("nn") > 0),
+            F.round(two_u.cast("double") / denom, 6),
+        ).alias("auc"),
     )
 
 
@@ -153,7 +162,9 @@ SELECT CAST(c.score AS BIGINT) AS threshold,
        CAST(c.n_pred AS BIGINT) AS n_pred_pos,
        CAST(c.tp AS BIGINT) AS tp,
        CAST(1000 * c.tp // c.n_pred AS BIGINT) AS precision_permille,
-       CAST(1000 * c.tp // t.total_pos AS BIGINT) AS recall_permille
+       CAST(CASE WHEN t.total_pos = 0 THEN NULL
+                 ELSE 1000 * c.tp // t.total_pos END AS BIGINT)
+         AS recall_permille
 FROM c CROSS JOIN tot t
 ORDER BY threshold
 """
@@ -195,7 +206,11 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_pred").alias("n_pred_pos"),
             "tp",
             F.expr("1000 * tp div n_pred").alias("precision_permille"),
-            F.expr("1000 * tp div total_pos").alias("recall_permille"),
+            # no-positive corpus: recall undefined, NULL in both engines
+            F.expr(
+                "CASE WHEN total_pos = 0 THEN NULL"
+                " ELSE 1000 * tp div total_pos END"
+            ).alias("recall_permille"),
         )
         .orderBy("threshold")
     )

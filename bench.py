@@ -148,6 +148,12 @@ SF1_SPOT = [
     # epoch shuffle: shard-hash partition + per-shard window — the
     # permutation pattern whose only shuffle is the shard split
     "corpus_epoch_shuffle",
+    # continuation evaluation/pipeline ops: corpus hash-agg into a
+    # bounded window (AUC), map-side explode materialization
+    # (upsample), chained windows behind one user exchange (funnel)
+    "quality_score_auc",
+    "corpus_upsample_epochs",
+    "events_funnel_time_bound",
 ]
 
 _SF1_SRC = "/root/testdata/sf0.1"
