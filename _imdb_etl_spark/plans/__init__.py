@@ -244,6 +244,7 @@ _GATE_REST = [
     "pysource_pushdown_range",
     "grouped_arrow_user_stats",
     "setop_except_all_views",
+    "setop_intersect_all_views",
     "dedup_minhash_lsh",
     "dedup_embedding_ivf",
     "dedup_embedding_cosine",

@@ -1251,3 +1251,39 @@ def setop_except_all_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("unconverted_views"))
         .orderBy("user_id")
     )
+
+
+_INTERSECT_ALL_SQL = """
+WITH matched AS (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  INTERSECT ALL
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id, COUNT(*) AS converted_views
+FROM matched
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "setop_intersect_all_views",
+    _INTERSECT_ALL_SQL,
+    doc="INTERSECT ALL (bag semantics), the sibling of "
+    "setop_except_all_views: per-user multiplicity min(views, "
+    "purchases) — each view matched by one purchase — completing the "
+    "multiset half of the setop family. Same counts+generate rewrite, "
+    "no pairwise matching; trailing aggregation pins the output shape.",
+)
+def setop_intersect_all_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    views = events.where(F.col("event_type") == "view").select("user_id")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id"
+    )
+    return (
+        views.intersectAll(purchases)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("converted_views"))
+        .orderBy("user_id")
+    )

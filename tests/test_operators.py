@@ -1369,3 +1369,24 @@ def test_except_all_multiplicity_matches_counts(spark, sf_dir):
     }
     want = {u: v - p for u, (v, p) in counts.items() if v - p > 0}
     assert rows == want
+
+
+def test_intersect_all_multiplicity_is_min_of_counts(spark, sf_dir):
+    rows = {
+        r.user_id: r.converted_views
+        for r in REGISTRY["setop_intersect_all_views"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    (events,) = load_tables(spark, sf_dir, "events")
+    counts = {
+        r.user_id: (r.v, r.p)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "view").cast("long")).alias("v"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("p"),
+        )
+        .collect()
+    }
+    want = {u: min(v, p) for u, (v, p) in counts.items() if min(v, p) > 0}
+    assert rows == want
