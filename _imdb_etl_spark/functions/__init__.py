@@ -91,3 +91,12 @@ def hex_prefix_int(col: Column, n: int = 4) -> Column:
     """Spark: integer value of the first ``n`` hex chars of an
     already-hex string column (pair with F.md5 for md5_prefix_int_sql)."""
     return F.conv(F.substring(col, 1, n), 16, 10).cast("long")
+
+
+def doc_permille_bucket(col: str | Column = "doc_id") -> Column:
+    """The content-stable md5 permille bucket (0..999) of an id column
+    — the single Spark twin of the oracle-side ``md5 of the id, first
+    4 hex chars, mod 1000`` expression that every deterministic split,
+    sampling rate, domain cap, and upsampling decision derives from."""
+    c = F.col(col) if isinstance(col, str) else col
+    return hex_prefix_int(F.md5(c.cast("string"))) % 1000

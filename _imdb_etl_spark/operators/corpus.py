@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from _imdb_etl_spark.functions import doc_permille_bucket
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
@@ -668,12 +669,7 @@ def quality_logreg_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
     toks = F.split(F.col("text"), " ")
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    bucket = doc_permille_bucket("doc_id")
     feat_arr = F.array(
         F.length("text").cast("double"),
         F.size(toks).cast("double"),

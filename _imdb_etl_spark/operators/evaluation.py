@@ -52,6 +52,7 @@ _FEATS_SQL = f"""
            // len(string_split(text, ' ')) AS score,
          CASE WHEN {QUALITY_GATE_SQL} THEN 1 ELSE 0 END AS y
   FROM documents
+  WHERE text IS NOT NULL
 """
 
 _AUC_SQL = f"""
@@ -86,11 +87,19 @@ def _score_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
     from _imdb_etl_spark.operators.text import quality_gate_col
 
-    feats = docs.select(
-        n_stop.alias("n_stop"),
-        F.size(toks).alias("n_tok"),
-        F.when(quality_gate_col(), 1).otherwise(0).alias("y"),
-    ).select(F.expr("1000 * n_stop div n_tok").alias("score"), "y")
+    # NULL text would mint a NULL score group — a 1002nd group outside
+    # the _MAX_SCORES bound, ordered OPPOSITE ways by the two engines'
+    # windows. A NULL document has no stopword permille: excluded, in
+    # both engines (WHERE text IS NOT NULL in the oracle).
+    feats = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            n_stop.alias("n_stop"),
+            F.size(toks).alias("n_tok"),
+            F.when(quality_gate_col(), 1).otherwise(0).alias("y"),
+        )
+        .select(F.expr("1000 * n_stop div n_tok").alias("score"), "y")
+    )
     return feats.groupBy("score").agg(
         F.sum("y").alias("np"), F.sum(F.lit(1) - F.col("y")).alias("nn")
     )

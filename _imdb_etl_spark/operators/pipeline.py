@@ -20,6 +20,7 @@ from _imdb_etl_spark.operators.text import (
     _toks,
     quality_gate_col,
 )
+from _imdb_etl_spark.functions import doc_permille_bucket
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
@@ -316,12 +317,7 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("keep_permille"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    bucket = doc_permille_bucket("doc_id")
     sampled = (
         staged.where("clean")
         .select("lang", bucket.alias("bucket"))

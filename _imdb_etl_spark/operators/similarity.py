@@ -1178,9 +1178,12 @@ def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k",
             "n_matched",
             (F.col("n") * F.col("k")).alias("n_exact"),
-            F.expr("1000 * n_matched div (n * k)").alias(
-                "recall_permille"
-            ),
+            # empty query set: recall undefined -> NULL in both engines
+            # (DuckDB // by zero is NULL; Spark div under ANSI throws)
+            F.expr(
+                "CASE WHEN n * k = 0 THEN NULL"
+                " ELSE 1000 * n_matched div (n * k) END"
+            ).alias("recall_permille"),
         )
         .orderBy("k")
     )

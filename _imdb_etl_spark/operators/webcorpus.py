@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from _imdb_etl_spark.functions import doc_permille_bucket
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables, spread
 
@@ -323,12 +324,7 @@ def corpus_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1000).cast("long"), F.expr("target * 1000 div n_docs")
         ).alias("keep_permille"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    bucket = doc_permille_bucket("doc_id")
     probe = docs.select("lang", "n_chars", bucket.alias("bucket"))
     kept = F.col("bucket") < F.col("keep_permille")
     return (
@@ -486,12 +482,7 @@ def corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("keep_permille"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    bucket = doc_permille_bucket("doc_id")
     probe = docs.select("lang", bucket.alias("bucket"))
     kept = F.col("bucket") < F.col("keep_permille")
     return (
@@ -790,14 +781,11 @@ ORDER BY s.lang
     "writer-side companion of corpus_token_budget_plan's pure plan.",
 )
 def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
     (docs,) = load_tables(spark, sf_dir, "documents")
     plan = _epoch_plan_df(docs, 1000).select("lang", "ep")
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
-        % 1000
-    )
+    bucket = hex_prefix_int(F.md5(F.col("doc_id").cast("string"))) % 1000
     c = (
         docs.select(
             "lang",

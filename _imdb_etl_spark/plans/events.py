@@ -1557,15 +1557,19 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("t_click").alias("t_click"),
         F.max("t_purchase").alias("t_purchase"),
     )
+    # no-view slice: conversion undefined -> NULL in both engines
+    # (DuckDB's // by zero is NULL; Spark's div under ANSI throws)
     return pu.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("t_view").alias("n_viewed"),
         F.count("t_click").alias("n_clicked_1h"),
         F.count("t_purchase").alias("n_purchased_1h"),
-        F.expr("1000 * count(t_click) div count(t_view)").alias(
-            "click_conv_permille"
-        ),
-        F.expr("1000 * count(t_purchase) div count(t_view)").alias(
-            "purchase_conv_permille"
-        ),
+        F.expr(
+            "CASE WHEN count(t_view) = 0 THEN NULL"
+            " ELSE 1000 * count(t_click) div count(t_view) END"
+        ).alias("click_conv_permille"),
+        F.expr(
+            "CASE WHEN count(t_view) = 0 THEN NULL"
+            " ELSE 1000 * count(t_purchase) div count(t_view) END"
+        ).alias("purchase_conv_permille"),
     )

@@ -548,12 +548,12 @@ ORDER BY bucket
     "to salt. Two hash-agg shuffles + a broadcast scalar.",
 )
 def shuffle_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
     (events,) = load_tables(spark, sf_dir, "events")
     k = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     bucket = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10
-        ).cast("long")
+        hex_prefix_int(F.md5(F.col("user_id").cast("string")))
         % _SKEW_BUCKETS
     )
     b = k.select(bucket.alias("bucket"), "n")
