@@ -828,3 +828,148 @@ def tokenizer_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- BPE trainer, N merge rounds -------------------------------------
+#
+# Round 6 (verdict task 4): extend the depth-1 BPE pair (first_merges /
+# apply_merge) to the full iterative count -> merge -> re-segment loop.
+# The symbol stream is a chr(31)-delimited string per token occurrence
+# ("\x1f" never appears in the corpus — charset pinned in pytest), so
+# one merge round is a single literal replace():
+#
+#   stream:  <sep>s1<sep>s2<sep>...<sep>
+#   merge:   replace(stream, sep+a+sep+b+sep, sep+ab+sep)
+#
+# Both engines' replace() is greedy left-to-right non-overlapping over
+# the ORIGINAL string — exactly BPE's merge application semantics
+# ("a a a" + rule (a,a) -> "aa a", never "a aa") — which makes every
+# round value-hash checkable: the oracle replays the identical loop.
+#
+# Scale shape per round: pair extraction and replace are narrow maps;
+# the only shuffle is the pair-count hash agg (map-side partial); the
+# 1-row rule broadcasts. The stream persists between rounds (at 100 TB:
+# write each round's stream to parquet instead — same DAG, disk-tier
+# checkpoint). Driver-side state is the N-row merge table, the same
+# bounded-model-state pattern as pyspark.ml training.
+
+_BPE_SEP = "\x1f"
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_sql(n_rounds: int) -> str:
+    sep = "chr(31)"
+    parts = [
+        f"""WITH w0 AS (
+  SELECT {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT unnest(list_transform(range(2, greatest(len(syms) - 1, 2)),
+                i -> syms[i] || {sep} || syms[i + 1])) AS sym_pair
+  FROM (SELECT string_split(s, {sep}) AS syms FROM w{p})
+),
+r{k} AS (
+  SELECT sym_pair, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+  FROM p{k} GROUP BY sym_pair
+  ORDER BY pair_cnt DESC, sym_pair LIMIT 1
+),
+w{k} AS (
+  SELECT replace(s, {sep} || sym_pair || {sep},
+                 {sep} || replace(sym_pair, {sep}, '') || {sep}) AS s
+  FROM w{p} CROSS JOIN r{k}
+),
+a{k} AS (
+  SELECT CAST(SUM(len(string_split(s, {sep})) - 2) AS BIGINT)
+           AS symbols_after
+  FROM w{k}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_rank, string_split(sym_pair, {sep})[1] AS sym_a,"
+        f" string_split(sym_pair, {sep})[2] AS sym_b, pair_cnt, symbols_after"
+        f" FROM r{k} CROSS JOIN a{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects + "\nORDER BY merge_rank"
+
+
+@register(
+    "tokenizer_bpe_train_n",
+    _bpe_train_sql(_BPE_TRAIN_ROUNDS),
+    doc=f"Full iterative BPE trainer, {_BPE_TRAIN_ROUNDS} merge rounds: "
+    "count adjacent symbol pairs, take the (count DESC, pair ASC) top "
+    "rule, greedily re-segment the shrinking symbol stream, repeat — "
+    "emitting the learned merge table (rank, symbols, support count) "
+    "plus the post-merge corpus symbol count per round, the pinned "
+    "row-count trace. Per round: narrow-map pair fan-out, ONE "
+    "hash-agg shuffle into a 1-row TakeOrdered readback (bounded "
+    "driver model-state, the pyspark.ml trainer pattern), narrow-map "
+    "replace; stream persisted between rounds (parquet checkpoint at "
+    "100 TB). The oracle replays the identical loop in DuckDB.",
+)
+def tokenizer_bpe_train_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources.catalog import spread
+
+    sep = _BPE_SEP
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    stream = spread(words).select(
+        F.concat(F.lit(sep), F.regexp_replace("w", "(.)", "$1" + sep)).alias("s")
+    )
+
+    pair_expr = (
+        f"CASE WHEN size(split(s, '{sep}')) >= 4 THEN "
+        f"transform(sequence(2, size(split(s, '{sep}')) - 2), "
+        f"i -> concat(element_at(split(s, '{sep}'), i), '{sep}', "
+        f"element_at(split(s, '{sep}'), i + 1))) "
+        "ELSE array() END"
+    )
+
+    # Driver-side state is the learned merge table — N 1-row rule
+    # readbacks plus N scalar counts, bounded by construction (the
+    # same model-state pattern as pyspark.ml's iterative trainers).
+    # Each round runs exactly two distributed jobs: the pair-count
+    # TakeOrdered (the rule) and the symbols_after scalar agg, whose
+    # execution also populates the round's stream cache so round k+1
+    # reads cached partitions instead of re-deriving rounds 1..k.
+    merge_table = []
+    prev = stream.persist()
+    for k in range(1, _BPE_TRAIN_ROUNDS + 1):
+        pairs = prev.select(F.explode(F.expr(pair_expr)).alias("sym_pair"))
+        rule = (
+            pairs.groupBy("sym_pair")
+            .agg(F.count(F.lit(1)).alias("pair_cnt"))
+            .orderBy(F.desc("pair_cnt"), F.asc("sym_pair"))
+            .limit(1)
+            .collect()
+        )[0]
+        sym_a, sym_b = rule.sym_pair.split(sep)
+        nxt = prev.select(
+            F.replace(
+                F.col("s"),
+                F.lit(sep + rule.sym_pair + sep),
+                F.lit(sep + sym_a + sym_b + sep),
+            ).alias("s")
+        ).persist()
+        after = nxt.agg(
+            F.sum(F.size(F.split("s", sep)) - 2).cast("long").alias("a")
+        ).collect()[0][0]
+        prev.unpersist()
+        merge_table.append((k, sym_a, sym_b, rule.pair_cnt, after))
+        prev = nxt
+    prev.unpersist()
+
+    return spark.createDataFrame(
+        merge_table,
+        "merge_rank int, sym_a string, sym_b string, "
+        "pair_cnt long, symbols_after long",
+    ).orderBy("merge_rank")

@@ -275,7 +275,7 @@ def collation_ci_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TS_SQL = """
 SELECT event_id,
        epoch_ms(ts) AS ts_millis,
-       CAST(epoch_ms(ts) // 1000 AS BIGINT) AS ts_seconds,
+       CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) AS ts_seconds,
        EXTRACT(hour FROM ts) AS ts_hour,
        EXTRACT(minute FROM ts) AS ts_minute,
        EXTRACT(second FROM ts) AS ts_second,
@@ -319,7 +319,13 @@ def scalar_timestamp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             F.unix_millis(ts).alias("ts_millis"),
-            F.expr("unix_millis(ts) div 1000").alias("ts_seconds"),
+            # floor, not div: div truncates toward zero, which diverges
+            # from DuckDB's floor semantics for pre-1970 (negative
+            # epoch-milli) timestamps — floor keeps the twins
+            # engine-identical for all inputs
+            F.expr("CAST(floor(unix_millis(ts) / 1000) AS BIGINT)").alias(
+                "ts_seconds"
+            ),
             F.hour(ts).alias("ts_hour"),
             F.minute(ts).alias("ts_minute"),
             F.second(ts).alias("ts_second"),

@@ -430,6 +430,13 @@ class PrunedRangeReader(DataSourceReader):
         for f in filters:
             if getattr(f, "attribute", None) != ("doc_id",):
                 rest.append(f)
+            elif not isinstance(getattr(f, "value", None), int) or isinstance(
+                f.value, bool
+            ):
+                # only exact integer bounds are safe to fold into the
+                # range (a float/decimal literal would crash range());
+                # anything else stays with Spark for post-scan eval
+                rest.append(f)
             elif isinstance(f, GreaterThanOrEqual):
                 self.lo = max(self.lo, f.value)
             elif isinstance(f, GreaterThan):
@@ -479,10 +486,11 @@ def read_pushdown_range(
 ) -> DataFrame:
     # the python.filterPushdown feature flag is set centrally (session
     # builder + sources.catalog._tune for the driver-owned session);
-    # guard here only for sessions built by neither path
-    from _imdb_etl_spark.sources.catalog import _tune
-
-    _tune(spark)
+    # guard here only for sessions built by neither path — set exactly
+    # the flag this source needs rather than _tune(), whose unrelated
+    # session-wide knobs (nanosAsLong) shouldn't leak onto arbitrary
+    # caller sessions
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(PrunedRangeDataSource)
     return (
         spark.read.format("pushdown_range")

@@ -41,9 +41,12 @@ HEADLINE = [
     # verifiers stay at correctness scale)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_jaccard_lsh",
     "sim_knn_bruteforce",
     "sim_knn_lsh",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_ivf",
+    "tokenizer_bpe_train_n",
+    "imdb_reference_parity",
     "text_stats",
     "text_lang_id",
     "text_fingerprint",
@@ -89,10 +92,21 @@ def main() -> None:
     # Per-query fault isolation: one broken query must never zero the
     # whole bench (round 3 lost its entire number to a single input-
     # adapter bug). Failures record null and the JSON line still prints.
+    # Each query's repeat samples are kept as a [min, median, max] band
+    # (round-5 verdict task 3): with n=1 a +5% drift is
+    # indistinguishable from machine load; the band makes the 2x gate
+    # meaningful per-query.
     times: dict[str, float | None] = {}
+    band: dict[str, list[float]] = {}
     for name in names:
         try:
-            times[name] = round(min(run_once(name) for _ in range(repeat)), 3)
+            runs = sorted(run_once(name) for _ in range(repeat))
+            times[name] = round(runs[0], 3)
+            band[name] = [
+                round(runs[0], 3),
+                round(runs[len(runs) // 2], 3),
+                round(runs[-1], 3),
+            ]
         except Exception as e:  # noqa: BLE001
             print(f"bench query {name} failed: {e}", file=sys.stderr)
             times[name] = None
@@ -106,6 +120,8 @@ def main() -> None:
         if t is not None and t > max(3.0 * med, 2.5):
             try:
                 times[name] = round(min(t, *(run_once(name) for _ in range(2))), 3)
+                if name in band and times[name] < band[name][0]:
+                    band[name][0] = times[name]
             except Exception:  # noqa: BLE001
                 pass  # keep the original measurement
 
@@ -116,6 +132,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "band": band,
         "failed": failed,
         "sf": sf,
     }
@@ -202,6 +219,40 @@ def sf1_spot(spark) -> dict | None:
             print(f"sf1 spot {name} failed: {e}", file=sys.stderr)
             section["failed"].append(name)
     section["total"] = round(sum(section["queries"].values()), 3)
+
+    # Quadratic-verifier crossover (round-5 verdict task 5): the demoted
+    # exact forms next to their registered LSH/IVF scale faces at 10x
+    # data — the measured datapoint behind the dedup docstrings' 100 TB
+    # claims. Keys: exact form -> its scale twin already timed above or
+    # here. A blown budget/timeout is itself the finding and records as
+    # a failure rather than zeroing the section.
+    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+    from _imdb_etl_spark.operators.similarity import dedup_embedding_cosine
+
+    quad = {}
+    for qname, fn, twin in (
+        ("dedup_ngram_jaccard", dedup_ngram_jaccard, "dedup_jaccard_lsh"),
+        ("dedup_embedding_cosine", dedup_embedding_cosine,
+         "dedup_embedding_cosine_ivf"),
+    ):
+        try:
+            t0 = time.time()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            quad[qname] = round(time.time() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            print(f"sf1 quadratic {qname} failed: {e}", file=sys.stderr)
+            quad[qname] = None
+        if twin not in section["queries"]:
+            try:
+                t0 = time.time()
+                REGISTRY[twin].spark(spark, sf1_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                quad[twin] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"sf1 scale twin {twin} failed: {e}", file=sys.stderr)
+                quad[twin] = None
+    section["quadratic_crossover"] = quad
     return section
 
 

@@ -16,7 +16,12 @@ from _imdb_etl_spark.streaming import read_events_stream, streaming_hourly_rollu
 
 @pytest.fixture(scope="module")
 def exact_pairs(spark, sf_dir):
-    rows = REGISTRY["dedup_ngram_jaccard"].spark(spark, sf_dir).collect()
+    # the demoted quadratic form IS the recall oracle for every
+    # LSH-composed registered face (round 6: verifier role, not a
+    # registered query)
+    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+
+    rows = dedup_ngram_jaccard(spark, sf_dir).collect()
     return {(r.doc_a, r.doc_b): r.jaccard for r in rows}
 
 
@@ -31,6 +36,101 @@ def test_minhash_lsh_recall(spark, sf_dir, exact_pairs):
     assert recall >= 0.6, f"minhash recall {recall} on jaccard>=0.9 pairs"
     # LSH+verify never invents pairs below the verify threshold
     assert all(p in exact_pairs for p in got)
+
+
+def test_jaccard_lsh_face_subset_of_exact(spark, sf_dir, exact_pairs):
+    """The registered scale face returns exactly the LSH-candidate
+    subset of the exact quadratic pairs, with identical jaccard values
+    — LSH never invents a pair and never mis-scores one."""
+    rows = REGISTRY["dedup_jaccard_lsh"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (r.doc_a, r.doc_b) in exact_pairs
+        assert r.jaccard == exact_pairs[(r.doc_a, r.doc_b)]
+        # the MinHash estimate is a [0,1] signature-agreement fraction
+        assert 0.0 <= r.jaccard_est <= 1.0
+    # and it matches dedup_minhash_lsh's pair set (same candidates,
+    # same verify threshold — the estimate column is the only addition)
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in rows} == mh
+
+
+def test_containment_lsh_face_subset_of_exact(spark, sf_dir):
+    """Registered containment face = exact containment restricted to
+    LSH candidates: a subset with identical ratios, and the dominant
+    near-equal-size containment pairs are retained."""
+    from _imdb_etl_spark.operators.dedup import dedup_containment
+
+    exact = {
+        (r.doc_id, r.container_id): r.containment
+        for r in dedup_containment(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["dedup_containment_lsh"].spark(spark, sf_dir).collect()
+    assert rows, "LSH candidates should retain containment pairs"
+    for r in rows:
+        assert (r.doc_id, r.container_id) in exact
+        assert r.containment == exact[(r.doc_id, r.container_id)]
+    # symmetric full-dup pairs (containment in both directions) are the
+    # strongest near-dups — banding must keep at least one
+    got = {(r.doc_id, r.container_id) for r in rows}
+    assert any((b, a) in got for a, b in got)
+
+
+def test_embedding_cosine_ivf_matches_expression_route(spark, sf_dir):
+    """The GEMM-verified IVF face and the expression-dot IVF face share
+    candidates and threshold, so their outputs must be identical."""
+    expr_rows = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in REGISTRY["dedup_embedding_ivf"].spark(spark, sf_dir).collect()
+    }
+    gemm_rows = {
+        (r.vec_a, r.vec_b): r.cosine_sim
+        for r in REGISTRY["dedup_embedding_cosine_ivf"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert gemm_rows == expr_rows
+
+
+def test_lsh_banding_bounded_under_hot_shingle_skew(spark):
+    """Empirical justification for registering the LSH faces over the
+    quadratic forms (round-5 verdict task 8): on a boilerplate-heavy
+    corpus — one hot 3-gram in 30% of docs — the shared-shingle
+    self-join's pair stage is quadratic in the hot-doc count, while
+    LSH banding stays bounded because a band key is ALL 4 signature
+    mins: one shared shingle alone almost never aligns a whole band."""
+    import random
+
+    from _imdb_etl_spark.operators.dedup import _shingles, lsh_candidates
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(5000)]
+    rows = []
+    for d in range(200):
+        toks = rng.sample(words, 12)
+        if d % 10 < 3:  # 30% carry the hot boilerplate phrase
+            toks[4:4] = ["click", "here", "now"]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = _shingles(docs)
+    a, b = sh.alias("a"), sh.alias("b")
+    exact_pair_stage = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    # 60 hot docs share the boilerplate shingle: >= C(60,2) = 1770 rows
+    # enter the exact pair stage before any grouping can shrink them
+    assert exact_pair_stage >= 1770, exact_pair_stage
+
+    _, cand = lsh_candidates(docs)
+    n_cand = cand.count()
+    # the unique remainder text keeps signatures distinct — candidates
+    # stay near zero instead of exploding with the hot shingle
+    assert n_cand <= 20, f"LSH candidates exploded under skew: {n_cand}"
 
 
 def test_simhash_blocking_finds_strong_neardups(spark, sf_dir, exact_pairs):
@@ -514,9 +614,11 @@ def test_jsonl_roundtrip_preserves_rowcount(spark, sf_dir):
 
 
 def test_embedding_ivf_dedup_recall(spark, sf_dir):
+    from _imdb_etl_spark.operators.similarity import dedup_embedding_cosine
+
     exact = {
         (r.vec_a, r.vec_b)
-        for r in REGISTRY["dedup_embedding_cosine"].spark(spark, sf_dir).collect()
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
     }
     got = {
         (r.vec_a, r.vec_b)
@@ -575,7 +677,9 @@ def test_phash_invariants():
 
 
 def test_containment_asymmetry_and_bounds(spark, sf_dir):
-    rows = REGISTRY["dedup_containment"].spark(spark, sf_dir).collect()
+    from _imdb_etl_spark.operators.dedup import dedup_containment
+
+    rows = dedup_containment(spark, sf_dir).collect()
     assert rows, "corpus should contain containment pairs"
     for r in rows:
         assert 0.8 <= r.containment <= 1.0
@@ -788,6 +892,11 @@ def test_tws_registration_matches_protobuf_presence(spark):
 
     registered = "streaming_transform_with_state" in REGISTRY
     assert registered == stateful._have_protobuf()
+    if not registered:
+        # the skip must be genuine import-absence, not a broken install
+        # or a code break masquerading as one (round-5 verdict task 6)
+        with pytest.raises(ModuleNotFoundError):
+            import google.protobuf  # noqa: F401
 
 
 def test_bm25_ranks_term_dense_docs(spark, sf_dir):

@@ -33,7 +33,6 @@ sys.path.insert(0, "/root/repo")
 # the allow-list is an audit trail, not an escape hatch.
 ALLOW = {
     ("sim_knn_bruteforce", "cartesian"): "exact all-pairs baseline; the LSH/IVF variants are the scale paths",
-    ("dedup_embedding_cosine", "cartesian"): "block-pair exact GEMM over bounded block grid (doc'd LSH pre-filter beyond sf levels)",
     ("crossmodal_textdup_cosine", "cartesian"): "pairs come from the near-dup candidate set, bounded",
     ("cross_join_dense_grid", "cartesian"): "the operator IS a cross join (dense dimension grid)",
     ("range_join_price_bands", "cartesian"): "band table is a broadcast constant (tens of rows)",
@@ -89,7 +88,10 @@ def _benign_nested_loop(plan: str) -> bool:
 # — the shuffle is output-bounded, not a funnel of the input).
 _BENIGN_ABOVE = re.compile(
     r"HashAggregate\(keys=\[\]|SortAggregate\(key=\[\]|ObjectHashAggregate\(keys=\[\]"
-    r"|GlobalLimit \d"
+    # a global limit bounds the exchange's output, but only a SMALL k
+    # makes the funnel benign — accept up to 4 digits (k <= 9999) so a
+    # future large-k limit funnel is flagged instead of silently passing
+    r"|GlobalLimit \d{1,4}(?!\d)"
 )
 
 # Operators that cannot be compiled without executing (streaming runs to
@@ -105,6 +107,9 @@ SKIP = {
     "streaming_pysource_bucket_counts",
     "streaming_corpus_ingest",
     "sim_knn_ivf_trained",
+    "tokenizer_bpe_train_n",  # iterative trainer: building the DF runs
+    # the 8 merge rounds; per-round plans are the narrow-map + hash-agg
+    # shapes shared with tokenizer_bpe_first_merges/apply_merge
     "merge_scd1_vip_segment",  # writes a table, then diffs snapshots
     "merge_scd2_customer_history",
     "cdc_snapshot_diff",
