@@ -835,16 +835,24 @@ def tokenizer_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6 (verdict task 4): extend the depth-1 BPE pair (first_merges /
 # apply_merge) to the full iterative count -> merge -> re-segment loop.
 # The symbol stream is a chr(31)-delimited string per token occurrence
-# ("\x1f" never appears in the corpus — charset pinned in pytest), so
-# one merge round is a single literal replace():
+# ("\x1f" never appears in the corpus — charset pinned in pytest), with
+# DOUBLED separators at every boundary, so one merge round is a single
+# literal replace():
 #
-#   stream:  <sep>s1<sep>s2<sep>...<sep>
-#   merge:   replace(stream, sep+a+sep+b+sep, sep+ab+sep)
+#   stream:  <ss>s1<ss>s2<ss>...<ss>        (ss = sep+sep)
+#   merge:   replace(stream, sep+a+ss+b+sep, sep+ab+sep)
 #
-# Both engines' replace() is greedy left-to-right non-overlapping over
-# the ORIGINAL string — exactly BPE's merge application semantics
-# ("a a a" + rule (a,a) -> "aa a", never "a aa") — which makes every
-# round value-hash checkable: the oracle replays the identical loop.
+# The doubling is load-bearing: each match consumes only the INNER sep
+# of each flanking boundary, so consecutive occurrences of the rule —
+# which share a boundary — both match ("b b b b" + (b,b) -> "bb bb",
+# and "a b a b" + (a,b) -> "ab ab"). With single separators the shared
+# boundary sep is consumed by the first match and replace() silently
+# skips every second adjacent occurrence (caught by the pure-Python
+# reference in tests/test_properties.py). Both engines' replace() is
+# greedy left-to-right non-overlapping over the ORIGINAL string —
+# exactly BPE's merge application semantics ("a a a" + (a,a) -> "aa a",
+# never "a aa") — which makes every round value-hash checkable: the
+# oracle replays the identical loop.
 #
 # Scale shape per round: pair extraction and replace are narrow maps;
 # the only shuffle is the pair-count hash agg (map-side partial); the
@@ -859,9 +867,10 @@ _BPE_TRAIN_ROUNDS = 8
 
 def _bpe_train_sql(n_rounds: int) -> str:
     sep = "chr(31)"
+    ss = f"{sep} || {sep}"  # doubled boundary separator
     parts = [
         f"""WITH w0 AS (
-  SELECT {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS s
+  SELECT {sep} || {sep} || regexp_replace(w, '(.)', '\\1' || {sep} || {sep}, 'g') AS s
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> ''
 )"""
@@ -873,7 +882,7 @@ def _bpe_train_sql(n_rounds: int) -> str:
 p{k} AS (
   SELECT unnest(list_transform(range(2, greatest(len(syms) - 1, 2)),
                 i -> syms[i] || {sep} || syms[i + 1])) AS sym_pair
-  FROM (SELECT string_split(s, {sep}) AS syms FROM w{p})
+  FROM (SELECT string_split(s, {ss}) AS syms FROM w{p})
 ),
 r{k} AS (
   SELECT sym_pair, CAST(COUNT(*) AS BIGINT) AS pair_cnt
@@ -881,12 +890,13 @@ r{k} AS (
   ORDER BY pair_cnt DESC, sym_pair LIMIT 1
 ),
 w{k} AS (
-  SELECT replace(s, {sep} || sym_pair || {sep},
+  SELECT replace(s,
+                 {sep} || replace(sym_pair, {sep}, {ss}) || {sep},
                  {sep} || replace(sym_pair, {sep}, '') || {sep}) AS s
   FROM w{p} CROSS JOIN r{k}
 ),
 a{k} AS (
-  SELECT CAST(SUM(len(string_split(s, {sep})) - 2) AS BIGINT)
+  SELECT CAST(SUM(len(string_split(s, {ss})) - 2) AS BIGINT)
            AS symbols_after
   FROM w{k}
 )"""
@@ -915,22 +925,34 @@ a{k} AS (
     "100 TB). The oracle replays the identical loop in DuckDB.",
 )
 def tokenizer_bpe_train_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return bpe_train_rounds(spark, docs, _BPE_TRAIN_ROUNDS)
+
+
+def bpe_train_rounds(
+    spark: SparkSession, docs: DataFrame, n_rounds: int
+) -> DataFrame:
+    """Run the count -> merge -> re-segment BPE loop for ``n_rounds``
+    over ``docs.text`` and return the merge table. Split out from the
+    registered face so pytest can pin the loop against an independent
+    pure-Python BPE on arbitrary corpora (a third implementation guards
+    against a bug shared by the Spark and DuckDB twins)."""
     from _imdb_etl_spark.sources.catalog import spread
 
     sep = _BPE_SEP
-    (docs,) = load_tables(spark, sf_dir, "documents")
+    ss = sep + sep  # doubled boundary separator (see module comment)
     words = docs.select(
         F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
     stream = spread(words).select(
-        F.concat(F.lit(sep), F.regexp_replace("w", "(.)", "$1" + sep)).alias("s")
+        F.concat(F.lit(ss), F.regexp_replace("w", "(.)", "$1" + ss)).alias("s")
     )
 
     pair_expr = (
-        f"CASE WHEN size(split(s, '{sep}')) >= 4 THEN "
-        f"transform(sequence(2, size(split(s, '{sep}')) - 2), "
-        f"i -> concat(element_at(split(s, '{sep}'), i), '{sep}', "
-        f"element_at(split(s, '{sep}'), i + 1))) "
+        f"CASE WHEN size(split(s, '{ss}')) >= 4 THEN "
+        f"transform(sequence(2, size(split(s, '{ss}')) - 2), "
+        f"i -> concat(element_at(split(s, '{ss}'), i), '{sep}', "
+        f"element_at(split(s, '{ss}'), i + 1))) "
         "ELSE array() END"
     )
 
@@ -943,25 +965,31 @@ def tokenizer_bpe_train_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads cached partitions instead of re-deriving rounds 1..k.
     merge_table = []
     prev = stream.persist()
-    for k in range(1, _BPE_TRAIN_ROUNDS + 1):
+    for k in range(1, n_rounds + 1):
         pairs = prev.select(F.explode(F.expr(pair_expr)).alias("sym_pair"))
-        rule = (
+        top = (
             pairs.groupBy("sym_pair")
             .agg(F.count(F.lit(1)).alias("pair_cnt"))
             .orderBy(F.desc("pair_cnt"), F.asc("sym_pair"))
             .limit(1)
             .collect()
-        )[0]
+        )
+        if not top:  # corpus fully merged / no adjacent pairs left
+            break
+        rule = top[0]
         sym_a, sym_b = rule.sym_pair.split(sep)
         nxt = prev.select(
             F.replace(
                 F.col("s"),
-                F.lit(sep + rule.sym_pair + sep),
+                # one sep from each flanking double boundary joins the
+                # match, so adjacent occurrences both match; the
+                # replacement restores each boundary to two seps
+                F.lit(sep + sym_a + ss + sym_b + sep),
                 F.lit(sep + sym_a + sym_b + sep),
             ).alias("s")
         ).persist()
         after = nxt.agg(
-            F.sum(F.size(F.split("s", sep)) - 2).cast("long").alias("a")
+            F.sum(F.size(F.split("s", ss)) - 2).cast("long").alias("a")
         ).collect()[0][0]
         prev.unpersist()
         merge_table.append((k, sym_a, sym_b, rule.pair_cnt, after))

@@ -181,7 +181,14 @@ ORDER BY query_id, neighbor_rank
     "bucketing (md5-seeded sign matrix embedded as literals in both "
     "engines), cosine ranking within buckets only. The shuffle is on "
     "the bucket key — corpus-linear, never quadratic. Recall vs "
-    "sim_knn_bruteforce asserted in tests.",
+    "sim_knn_bruteforce asserted in tests. Honest production verdict "
+    "(measured by sim_recall_curve on THIS corpus): single-table sign-"
+    "LSH recall is near zero in the cosine ~0.5 regime these "
+    "embeddings occupy — per-bit agreement (~0.66) is too close to "
+    "random for one 8-bit table to bucket neighbors together. It "
+    "stays registered as the LSH-family mechanics exhibit; the "
+    "production ANN routes here are sim_knn_ivf / sim_knn_ivfpq "
+    "(multi-probe coarse quantization, recall floors pinned).",
 )
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load_tables(spark, sf_dir, "embeddings")

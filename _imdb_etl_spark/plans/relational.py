@@ -144,7 +144,11 @@ ORDER BY order_id, line_no
     doc="J3-J6+P2 (etl_imdb_db.sql:129-141): fact assembly via chained "
     "left joins, then DISTINCT. part/supplier broadcast (dim-sized); "
     "lineitem-orders is a genuine key-key shuffle join — the bucketing/"
-    "AQE case at scale.",
+    "AQE case at scale. The bucketing lever is implemented and "
+    "plan-pinned: save_as_table(bucket_by=(n, [orderkey])) on both "
+    "sides makes this join exchange-free "
+    "(tests/test_sinks.py::test_bucketed_fact_star_join_skips_both_"
+    "exchanges).",
 )
 def fact_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, orders, part, supplier = load_tables(

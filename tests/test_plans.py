@@ -49,6 +49,19 @@ def test_w1_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan  # rank<=k pushed below the window
 
 
+def test_lsh_candidate_stage_exchange_reused(spark, sf_dir):
+    """The one-exchange claim of lsh_candidates (operators/dedup.py):
+    the doc-keyed signature/shingle aggregation is consumed by the band
+    probe side, band build side, and both verify sides — the final
+    adaptive plan must REUSE that exchange, not recompute the shingle
+    shuffle per consumer."""
+    df = REGISTRY["dedup_jaccard_lsh"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
 def test_semi_anti_join_strategy(spark, sf_dir):
     semi = _explain(REGISTRY["semi_join_big_spenders"].spark(spark, sf_dir))
     anti = _explain(REGISTRY["anti_join_small_spenders"].spark(spark, sf_dir))

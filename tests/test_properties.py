@@ -301,3 +301,70 @@ def test_md5_prefix_int_cross_engine_parity(spark, texts, n):
             f"SELECT {sql} FROM (SELECT '{esc}' AS t)"
         ).fetchone()[0]
         assert got[t] == want, (t, n)
+
+
+def _py_bpe_reference(texts: list[str], n_rounds: int):
+    """Independent pure-Python BPE: greedy left-to-right non-overlapping
+    merge, rule = (count DESC, pair ASC). A third implementation so a
+    bug shared by the Spark face and its DuckDB twin can't hide."""
+    from collections import Counter
+
+    streams = [list(w) for t in texts for w in t.split(" ") if w]
+    table = []
+    for k in range(1, n_rounds + 1):
+        counts: Counter = Counter()
+        for s in streams:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = a + b
+        nxt = []
+        for s in streams:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append(out)
+        streams = nxt
+        table.append((k, a, b, cnt, sum(len(s) for s in streams)))
+    return table
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_bpe_train_rounds_match_pure_python(spark, data):
+    """The distributed BPE loop (string-replace re-segmentation over
+    the chr(31)-delimited stream) must equal the symbol-list reference
+    for any corpus: same rules, same counts, same per-round sizes.
+    Tiny alphabets force heavy ties, exercising the (count DESC, pair
+    ASC) tiebreak; repeated letters exercise the non-overlapping
+    greedy-merge edge ("aaa" + (a,a) -> [aa, a])."""
+    from _imdb_etl_spark.operators.corpus import bpe_train_rounds
+
+    texts = data.draw(
+        st.lists(
+            st.text(alphabet="aab c", min_size=0, max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    n_rounds = data.draw(st.integers(min_value=1, max_value=3))
+    expected = _py_bpe_reference(texts, n_rounds)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_cnt, r.symbols_after)
+        for r in bpe_train_rounds(spark, docs, n_rounds).collect()
+    ]
+    assert got == expected

@@ -93,6 +93,37 @@ def test_ctas_bucketed_table_and_drop(spark, sf_dir):
     assert "orders_bucketed" not in [x.name for x in spark.catalog.listTables()]
 
 
+def test_bucketed_fact_star_join_skips_both_exchanges(spark, sf_dir):
+    """The named scale lever for fact_star_left_joins
+    (plans/relational.py): pre-bucketing lineitem AND orders on the
+    order key at matching bucket counts makes the fact-assembly join
+    exchange-free on BOTH sides — the one-time write shuffle replaces
+    the per-query shuffle, which is the trade that wins when the fact
+    table is re-joined more than once at 100 TB."""
+    lineitem, orders = load_tables(spark, sf_dir, "lineitem", "orders")
+    sinks.save_as_table(
+        lineitem, "lineitem_bkt", bucket_by=(4, ["l_orderkey"])
+    )
+    sinks.save_as_table(orders, "orders_bkt", bucket_by=(4, ["o_orderkey"]))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: at test scale AQE would broadcast
+        # the small side, hiding exactly the exchange this test audits
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, od = spark.table("lineitem_bkt"), spark.table("orders_bkt")
+        joined = li.join(
+            od, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+        ).select("l_orderkey", "l_linenumber", "o_custkey")
+        assert joined.count() == lineitem.count()  # 1:N fan-out = left rows
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        sinks.drop_table(spark, "lineitem_bkt")
+        sinks.drop_table(spark, "orders_bkt")
+
+
 def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     from _imdb_etl_spark.sources import load_tables
 
