@@ -870,7 +870,7 @@ def _bpe_train_sql(n_rounds: int) -> str:
     ss = f"{sep} || {sep}"  # doubled boundary separator
     parts = [
         f"""WITH w0 AS (
-  SELECT {sep} || {sep} || regexp_replace(w, '(.)', '\\1' || {sep} || {sep}, 'g') AS s
+  SELECT {sep} || {sep} || regexp_replace(w, '(?s)(.)', '\\1' || {sep} || {sep}, 'g') AS s
   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
   WHERE w <> ''
 )"""
@@ -944,15 +944,23 @@ def bpe_train_rounds(
     words = docs.select(
         F.explode(F.split("text", " ")).alias("w")
     ).where(F.col("w") != "")
+    # (?s): a bare '.' matches no newline in either engine, which would
+    # silently fuse '\n'+next-char into one symbol in BOTH twins — the
+    # shared-twin-bug class the pure-Python reference test guards
     stream = spread(words).select(
-        F.concat(F.lit(ss), F.regexp_replace("w", "(.)", "$1" + ss)).alias("s")
+        F.concat(F.lit(ss), F.regexp_replace("w", "(?s)(.)", "$1" + ss)).alias("s")
     )
 
+    # bind the split to a column FIRST: Spark does not hoist common
+    # subexpressions out of higher-order-function lambdas, so inlining
+    # split(s, ...) in the transform body would re-split the stream
+    # per element — the O(n^2) re-split anti-pattern _SHINGLE_EXPR's
+    # comment in operators/dedup.py measured at 7x
     pair_expr = (
-        f"CASE WHEN size(split(s, '{ss}')) >= 4 THEN "
-        f"transform(sequence(2, size(split(s, '{ss}')) - 2), "
-        f"i -> concat(element_at(split(s, '{ss}'), i), '{sep}', "
-        f"element_at(split(s, '{ss}'), i + 1))) "
+        "CASE WHEN size(syms) >= 4 THEN "
+        "transform(sequence(2, size(syms) - 2), "
+        f"i -> concat(element_at(syms, i), '{sep}', "
+        "element_at(syms, i + 1))) "
         "ELSE array() END"
     )
 
@@ -966,7 +974,9 @@ def bpe_train_rounds(
     merge_table = []
     prev = stream.persist()
     for k in range(1, n_rounds + 1):
-        pairs = prev.select(F.explode(F.expr(pair_expr)).alias("sym_pair"))
+        pairs = prev.select(F.split("s", ss).alias("syms")).select(
+            F.explode(F.expr(pair_expr)).alias("sym_pair")
+        )
         top = (
             pairs.groupBy("sym_pair")
             .agg(F.count(F.lit(1)).alias("pair_cnt"))

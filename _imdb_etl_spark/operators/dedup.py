@@ -236,7 +236,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_HASHES = 12
 _BAND_SIZE = 4  # 3 bands x 4 rows
 
-_MINHASH_SQL = f"""
+# The banding CTE chain every LSH-composed oracle composes — ONE
+# definition, so the candidate stage can never silently desynchronize
+# between dedup_minhash_lsh and the dedup_*_lsh verify faces (the
+# twins must produce the same candidate set or the verify outputs
+# diverge).
+_LSH_CAND_CTE = f"""
 WITH sh AS (
   SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
 ),
@@ -258,7 +263,10 @@ cand AS (
   JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_MINHASH_SQL = f"""{_LSH_CAND_CTE},
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
   FROM cand c
@@ -288,23 +296,56 @@ ORDER BY i.doc_a, i.doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     doc_sets, cand = lsh_candidates(docs)
+    return _jaccard_verify(doc_sets, cand, with_est=False)
+
+
+def _jaccard_verify(
+    doc_sets: DataFrame, cand: DataFrame, with_est: bool
+) -> DataFrame:
+    """Shared exact-Jaccard verify over LSH candidates — ONE
+    implementation, so dedup_minhash_lsh and dedup_jaccard_lsh can
+    never drift apart (their pair sets are asserted equal in pytest).
+    ``with_est`` additionally reports the MinHash estimate (matching
+    signature fraction), the estimator-vs-truth audit column."""
     da = doc_sets.select(
         F.col("doc_id").alias("ka"),
         F.col("shs").alias("shs_a"),
         F.size("shs").alias("na"),
+        *(
+            [F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_N_HASHES)]
+            if with_est
+            else []
+        ),
     )
     db = doc_sets.select(
         F.col("doc_id").alias("kb"),
         F.col("shs").alias("shs_b"),
         F.size("shs").alias("nb"),
+        *(
+            [F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_N_HASHES)]
+            if with_est
+            else []
+        ),
     )
     n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
     jacc = n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter)
+    cols = ["doc_a", "doc_b"]
+    if with_est:
+        est = F.round(
+            sum(
+                F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+                for i in range(_N_HASHES)
+            )
+            / F.lit(float(_N_HASHES)),
+            6,
+        )
+        cols.append(est.alias("jaccard_est"))
+    cols.append(F.round(jacc, 6).alias("jaccard"))
     return (
         cand.join(da, F.col("doc_a") == F.col("ka"))
         .join(db, F.col("doc_b") == F.col("kb"))
         .where(jacc >= 0.6)
-        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .select(*cols)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -375,34 +416,6 @@ def lsh_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 # --- LSH-composed registered scale faces ------------------------------
-#
-# The banding CTE chain every LSH-composed oracle shares (identical to
-# _MINHASH_SQL's candidate stage — the twins must produce the same
-# candidate set or the verify outputs diverge).
-_LSH_CAND_CTE = f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
-),
-seeds AS (SELECT unnest(range(0, {_N_HASHES})) AS i),
-sig AS (
-  SELECT doc_id, i, MIN(md5(i::VARCHAR || ':' || sh)) AS mh
-  FROM sh CROSS JOIN seeds
-  GROUP BY doc_id, i
-),
-bands AS (
-  SELECT doc_id, i // {_BAND_SIZE} AS band_id,
-         string_agg(mh, '|' ORDER BY i) AS band_key
-  FROM sig
-  GROUP BY doc_id, i // {_BAND_SIZE}
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
-"""
 
 _JACCARD_LSH_SQL = f"""{_LSH_CAND_CTE},
 est AS (
@@ -448,40 +461,7 @@ ORDER BY i.doc_a, i.doc_b
 def dedup_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     doc_sets, cand = lsh_candidates(docs)
-    da = doc_sets.select(
-        F.col("doc_id").alias("ka"),
-        F.col("shs").alias("shs_a"),
-        F.size("shs").alias("na"),
-        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(_N_HASHES)],
-    )
-    db = doc_sets.select(
-        F.col("doc_id").alias("kb"),
-        F.col("shs").alias("shs_b"),
-        F.size("shs").alias("nb"),
-        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(_N_HASHES)],
-    )
-    est = F.round(
-        sum(
-            F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
-            for i in range(_N_HASHES)
-        )
-        / F.lit(float(_N_HASHES)),
-        6,
-    )
-    n_inter = F.size(F.array_intersect("shs_a", "shs_b"))
-    jacc = n_inter.cast("double") / (F.col("na") + F.col("nb") - n_inter)
-    return (
-        cand.join(da, F.col("doc_a") == F.col("ka"))
-        .join(db, F.col("doc_b") == F.col("kb"))
-        .where(jacc >= 0.6)
-        .select(
-            "doc_a",
-            "doc_b",
-            est.alias("jaccard_est"),
-            F.round(jacc, 6).alias("jaccard"),
-        )
-        .orderBy("doc_a", "doc_b")
-    )
+    return _jaccard_verify(doc_sets, cand, with_est=True)
 
 
 _CONTAIN_LSH_SQL = f"""{_LSH_CAND_CTE},

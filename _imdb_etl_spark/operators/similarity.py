@@ -881,10 +881,16 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        sims = np.round(m @ m.T, 6)
-        ai, bi = np.nonzero(
-            (sims >= _COS_THRESH) & (ids[:, None] < ids[None, :])
-        )
+        # half-UP rounding (floor(x*1e6 + .5)), not np.round's half-even:
+        # the oracle's ROUND and Spark's F.round both round halves up,
+        # and this query's twins are the expression-dot route + DuckDB.
+        # Emitted cosines are >= _COS_THRESH > 0, so no sign handling.
+        sims = np.floor(m @ m.T * 1e6 + 0.5) / 1e6
+        # a zero-norm vector yields NaN cosines; both engines order NaN
+        # above every double (NaN >= thresh is TRUE there), so keep NaN
+        # pairs rather than silently dropping them (np NaN>=x is False)
+        keep = (sims >= _COS_THRESH) | np.isnan(sims)
+        ai, bi = np.nonzero(keep & (ids[:, None] < ids[None, :]))
         return pd.DataFrame(
             {"vec_a": ids[ai], "vec_b": ids[bi], "cosine_sim": sims[ai, bi]}
         )
@@ -892,7 +898,12 @@ def dedup_embedding_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lists.groupBy("cid")
         .applyInPandas(score_list, schema)
-        .distinct()
+        # pair-keyed max, not DISTINCT: a pair co-occupying two probe
+        # lists gets two independent BLAS evaluations that could differ
+        # in the last ulp pre-rounding; DISTINCT would then emit it
+        # twice, while max collapses it deterministically
+        .groupBy("vec_a", "vec_b")
+        .agg(F.max("cosine_sim").alias("cosine_sim"))
         .orderBy("vec_a", "vec_b")
     )
 

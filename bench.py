@@ -223,37 +223,63 @@ def sf1_spot(spark) -> dict | None:
     # Quadratic-verifier crossover (round-5 verdict task 5): the demoted
     # exact forms next to their registered LSH/IVF scale faces at 10x
     # data — the measured datapoint behind the dedup docstrings' 100 TB
-    # claims. Keys: exact form -> its scale twin already timed above or
-    # here. A blown budget/timeout is itself the finding and records as
-    # a failure rather than zeroing the section.
+    # claims. The quadratics are exactly the queries that CAN blow up
+    # (one hot shingle makes the shared-shingle join quadratic in the
+    # hot-doc count), so each run is wall-clock capped by a watchdog
+    # that cancels its job group: a blown cap records "(timeout)"
+    # instead of holding the whole bench hostage, and the section
+    # respects the overall sf1 budget before starting anything.
     from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
     from _imdb_etl_spark.operators.similarity import dedup_embedding_cosine
 
     quad = {}
-    for qname, fn, twin in (
+    for qname, build, twin in (
         ("dedup_ngram_jaccard", dedup_ngram_jaccard, "dedup_jaccard_lsh"),
         ("dedup_embedding_cosine", dedup_embedding_cosine,
          "dedup_embedding_cosine_ivf"),
     ):
-        try:
-            t0 = time.time()
-            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            quad[qname] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            print(f"sf1 quadratic {qname} failed: {e}", file=sys.stderr)
-            quad[qname] = None
-        if twin not in section["queries"]:
+        for name, fn in ((qname, build), (twin, None)):
+            if fn is None:
+                if name in section["queries"]:
+                    continue
+                fn = REGISTRY[name].spark
+            if time.time() - t_start > _SF1_BUDGET_S:
+                section["failed"].append(f"{name} (budget)")
+                continue
             try:
-                t0 = time.time()
-                REGISTRY[twin].spark(spark, sf1_dir).write.format(
-                    "noop"
-                ).mode("overwrite").save()
-                quad[twin] = round(time.time() - t0, 3)
+                quad[name] = _run_capped(
+                    spark, lambda f=fn: f(spark, sf1_dir), _QUAD_CAP_S
+                )
             except Exception as e:  # noqa: BLE001
-                print(f"sf1 scale twin {twin} failed: {e}", file=sys.stderr)
-                quad[twin] = None
+                print(f"sf1 quadratic {name} failed: {e}", file=sys.stderr)
+                quad[name] = None
+                section["failed"].append(f"{name} (timeout/error)")
     section["quadratic_crossover"] = quad
     return section
+
+
+_QUAD_CAP_S = 120.0
+
+
+def _run_capped(spark, build, cap_s: float) -> float:
+    """Execute build() into the noop sink under a wall-clock cap: a
+    watchdog thread cancels the query's job group at cap_s, turning a
+    pathological plan into a caught exception instead of an unbounded
+    bench stall."""
+    import threading
+
+    sc = spark.sparkContext
+    group = f"bench-cap-{time.time_ns()}"
+    sc.setJobGroup(group, f"capped at {cap_s}s", interruptOnCancel=True)
+    timer = threading.Timer(cap_s, lambda: sc.cancelJobGroup(group))
+    timer.start()
+    try:
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 3)
+    finally:
+        timer.cancel()
+        sc.setLocalProperty("spark.jobGroup.id", None)
 
 
 if __name__ == "__main__":

@@ -95,6 +95,35 @@ def test_embedding_cosine_ivf_matches_expression_route(spark, sf_dir):
     assert gemm_rows == expr_rows
 
 
+def test_corpus_charset_safe_for_delimiters_and_collation(spark, sf_dir):
+    """Two engine-parity preconditions pinned against the actual
+    testdata (re-verified every round in case the driver regenerates
+    it): (1) documents.text contains no chr(31) — the BPE stream
+    delimiter must never alias with data, or BOTH twins produce
+    identically-wrong merge tables while the hash gate stays green;
+    (2) all characters are ASCII [32, 126] — Spark compares strings by
+    UTF-16 code unit and DuckDB by UTF-8 byte, orderings that agree on
+    ASCII but can diverge beyond it (tie-breaks in every ORDER BY
+    pair rely on this)."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    lo, hi = (
+        docs.select(
+            F.expr(
+                "array_min(transform(filter(split(text, ''), c -> c <> ''),"
+                " c -> ascii(c)))"
+            ).alias("lo"),
+            F.expr(
+                "array_max(transform(filter(split(text, ''), c -> c <> ''),"
+                " c -> ascii(c)))"
+            ).alias("hi"),
+        )
+        .agg(F.min("lo"), F.max("hi"))
+        .collect()[0]
+    )
+    assert lo >= 32, f"control char (code {lo}) in documents.text"
+    assert hi <= 126, f"non-ASCII char (code {hi}) in documents.text"
+
+
 def test_lsh_banding_bounded_under_hot_shingle_skew(spark):
     """Empirical justification for registering the LSH faces over the
     quadratic forms (round-5 verdict task 8): on a boilerplate-heavy
