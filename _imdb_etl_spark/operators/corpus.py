@@ -865,7 +865,11 @@ _BPE_SEP = "\x1f"
 _BPE_TRAIN_ROUNDS = 8
 
 
-def _bpe_train_sql(n_rounds: int) -> str:
+def _bpe_cte_chain(n_rounds: int) -> str:
+    """The shared DuckDB CTE chain replaying the training loop: w0 (the
+    char-split double-delimited stream) through w{n}/a{n} (the stream
+    and symbol count after merge n). Both the trainer oracle and the
+    encoder oracle compose this ONE definition."""
     sep = "chr(31)"
     ss = f"{sep} || {sep}"  # doubled boundary separator
     parts = [
@@ -901,13 +905,18 @@ a{k} AS (
   FROM w{k}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_sql(n_rounds: int) -> str:
+    sep = "chr(31)"
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS merge_rank, string_split(sym_pair, {sep})[1] AS sym_a,"
         f" string_split(sym_pair, {sep})[2] AS sym_b, pair_cnt, symbols_after"
         f" FROM r{k} CROSS JOIN a{k}"
         for k in range(1, n_rounds + 1)
     )
-    return "".join(parts) + "\n" + selects + "\nORDER BY merge_rank"
+    return _bpe_cte_chain(n_rounds) + "\n" + selects + "\nORDER BY merge_rank"
 
 
 @register(
@@ -937,6 +946,22 @@ def bpe_train_rounds(
     registered face so pytest can pin the loop against an independent
     pure-Python BPE on arbitrary corpora (a third implementation guards
     against a bug shared by the Spark and DuckDB twins)."""
+    merge_table, final_stream = _bpe_train(spark, docs, n_rounds)
+    final_stream.unpersist()
+    return spark.createDataFrame(
+        merge_table,
+        "merge_rank int, sym_a string, sym_b string, "
+        "pair_cnt long, symbols_after long",
+    ).orderBy("merge_rank")
+
+
+def _bpe_train(
+    spark: SparkSession, docs: DataFrame, n_rounds: int
+) -> tuple[list, DataFrame]:
+    """The training loop proper: returns (merge_table rows, the
+    PERSISTED post-merge symbol stream) so the encoder face can
+    tokenize with the learned vocabulary without re-deriving the
+    rounds. Caller owns unpersisting the returned stream."""
     from _imdb_etl_spark.sources.catalog import spread
 
     sep = _BPE_SEP
@@ -1004,10 +1029,46 @@ def bpe_train_rounds(
         prev.unpersist()
         merge_table.append((k, sym_a, sym_b, rule.pair_cnt, after))
         prev = nxt
-    prev.unpersist()
+    return merge_table, prev
 
-    return spark.createDataFrame(
-        merge_table,
-        "merge_rank int, sym_a string, sym_b string, "
-        "pair_cnt long, symbols_after long",
-    ).orderBy("merge_rank")
+
+_BPE_VOCAB_TOP = 20
+
+_BPE_ENCODE_SQL = f"""{_bpe_cte_chain(_BPE_TRAIN_ROUNDS)}
+SELECT sym, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(s, chr(31) || chr(31))) AS sym
+      FROM w{_BPE_TRAIN_ROUNDS})
+WHERE sym <> ''
+GROUP BY sym
+ORDER BY cnt DESC, sym
+LIMIT {_BPE_VOCAB_TOP}
+"""
+
+
+@register(
+    "tokenizer_bpe_encode",
+    _BPE_ENCODE_SQL,
+    doc=f"The serve half of the BPE lifecycle (train -> encode, the "
+    "tokenizer analog of the IVF family's train -> persist -> serve): "
+    f"tokenize the corpus with the {_BPE_TRAIN_ROUNDS}-rule merge "
+    f"table tokenizer_bpe_train_n learns and report the top-"
+    f"{_BPE_VOCAB_TOP} vocabulary symbols by occurrence count. The "
+    "encoder consumes the trainer's final persisted symbol stream "
+    "directly — no re-derivation — so its own cost is one explode + "
+    "hash-agg + top-k over the tokenized corpus; the oracle replays "
+    "the same 8 rounds and histograms the final stream.",
+)
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    _, final_stream = _bpe_train(spark, docs, _BPE_TRAIN_ROUNDS)
+    ss = _BPE_SEP + _BPE_SEP
+    return (
+        final_stream.select(
+            F.explode(F.split("s", ss)).alias("sym")
+        )
+        .where(F.col("sym") != "")
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("sym"))
+        .limit(_BPE_VOCAB_TOP)
+    )

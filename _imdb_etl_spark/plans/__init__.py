@@ -119,6 +119,9 @@ GATE_WINDOW = [
 # refactor that didn't fit the window; then the round-5 window (r5
 # greens, newest driver evidence); then the older spillover.
 _GATE_REST = [
+    # registered after the round-6 window was already full (44 backlog
+    # + 6 = 50): first in line for the round-7 window
+    "tokenizer_bpe_encode",
     "dedup_embedding_ivf",
     "vocab_oov_rate",
     "fact_star_left_joins",

@@ -171,6 +171,10 @@ SF1_SPOT = [
     "quality_score_auc",
     "corpus_upsample_epochs",
     "events_funnel_time_bound",
+    # round-6 iterative trainer: 8 sequential (pair-agg -> replace)
+    # rounds — the per-round shuffle must grow linearly with the
+    # corpus, and round count must stay data-independent
+    "tokenizer_bpe_train_n",
 ]
 
 _SF1_SRC = "/root/testdata/sf0.1"

@@ -1528,3 +1528,52 @@ def test_intersect_all_multiplicity_is_min_of_counts(spark, sf_dir):
     }
     want = {u: min(v, p) for u, (v, p) in counts.items() if min(v, p) > 0}
     assert rows == want
+
+
+def test_bench_run_capped_watchdog(spark):
+    """bench._run_capped must time a fast query, kill a pathological
+    one at the cap (job-group cancellation -> exception, not a hang),
+    and leave the session usable afterwards."""
+    import bench
+
+    t = bench._run_capped(
+        spark, lambda: spark.range(1000).selectExpr("id * 2 AS x"), 60.0
+    )
+    assert 0 <= t < 60
+
+    def quadratic():
+        a = spark.range(300_000).withColumnRenamed("id", "a")
+        b = spark.range(300_000).withColumnRenamed("id", "b")
+        return a.crossJoin(b).selectExpr("sum(a * b) AS s")
+
+    with pytest.raises(Exception):
+        bench._run_capped(spark, quadratic, 2.0)
+    # session survives the cancellation
+    assert spark.range(10).count() == 10
+
+
+def test_bpe_encode_token_total_matches_trainer(spark, sf_dir):
+    """Lifecycle consistency: the encoder's FULL token histogram (not
+    just the registered top-20) must total exactly the trainer's final
+    symbols_after — same stream, two readouts."""
+    from _imdb_etl_spark.operators.corpus import (
+        _BPE_SEP,
+        _BPE_TRAIN_ROUNDS,
+        _bpe_train,
+    )
+    from _imdb_etl_spark.sources import load_tables as _lt
+
+    train = REGISTRY["tokenizer_bpe_train_n"].spark(spark, sf_dir).collect()
+    final_round = max(r.merge_rank for r in train)
+    expected = [r for r in train if r.merge_rank == final_round][0].symbols_after
+
+    (docs,) = _lt(spark, sf_dir, "documents")
+    _, stream = _bpe_train(spark, docs, _BPE_TRAIN_ROUNDS)
+    ss = _BPE_SEP + _BPE_SEP
+    total = (
+        stream.select(F.explode(F.split("s", ss)).alias("sym"))
+        .where(F.col("sym") != "")
+        .count()
+    )
+    stream.unpersist()
+    assert total == expected

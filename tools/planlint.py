@@ -110,6 +110,7 @@ SKIP = {
     "tokenizer_bpe_train_n",  # iterative trainer: building the DF runs
     # the 8 merge rounds; per-round plans are the narrow-map + hash-agg
     # shapes shared with tokenizer_bpe_first_merges/apply_merge
+    "tokenizer_bpe_encode",  # consumes the trainer's persisted stream
     "merge_scd1_vip_segment",  # writes a table, then diffs snapshots
     "merge_scd2_customer_history",
     "cdc_snapshot_diff",
