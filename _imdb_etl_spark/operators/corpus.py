@@ -894,10 +894,16 @@ r{k} AS (
   ORDER BY pair_cnt DESC, sym_pair LIMIT 1
 ),
 w{k} AS (
-  SELECT replace(s,
-                 {sep} || replace(sym_pair, {sep}, {ss}) || {sep},
-                 {sep} || replace(sym_pair, {sep}, '') || {sep}) AS s
-  FROM w{p} CROSS JOIN r{k}
+  -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts its
+  -- pairs before round {k}, r{k} is empty and a cross join would
+  -- vanish the stream — the Spark loop breaks and keeps the stream,
+  -- so the oracle must pass it through unchanged (NULL rule -> s)
+  SELECT CASE WHEN sym_pair IS NULL THEN s
+              ELSE replace(s,
+                           {sep} || replace(sym_pair, {sep}, {ss}) || {sep},
+                           {sep} || replace(sym_pair, {sep}, '') || {sep})
+         END AS s
+  FROM w{p} LEFT JOIN r{k} ON TRUE
 ),
 a{k} AS (
   SELECT CAST(SUM(len(string_split(s, {ss})) - 2) AS BIGINT)
@@ -1062,7 +1068,7 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     _, final_stream = _bpe_train(spark, docs, _BPE_TRAIN_ROUNDS)
     ss = _BPE_SEP + _BPE_SEP
-    return (
+    out = (
         final_stream.select(
             F.explode(F.split("s", ss)).alias("sym")
         )
@@ -1072,3 +1078,9 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("sym"))
         .limit(_BPE_VOCAB_TOP)
     )
+    # release the training cache now rather than leak it for the
+    # session lifetime (the gate runs 200+ queries in one session);
+    # the consumer's collect recomputes the stream once through the
+    # narrow literal-replace chain — no shuffle, bounded cost
+    final_stream.unpersist()
+    return out

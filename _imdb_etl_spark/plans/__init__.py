@@ -61,7 +61,9 @@ GATE_WINDOW_SIZE = 50
 # its r5 green stands, tools/check.py re-proved it this round, and the
 # in-window dedup_embedding_cosine_ivf shares its oracle and is pinned
 # equal to it in pytest (test_embedding_cosine_ivf_matches_expression_
-# route). It leads _GATE_REST for round 7.
+# route). Round-7 rotation head = _GATE_REST order: first
+# tokenizer_bpe_encode (registered after this window filled — no
+# driver row yet), then dedup_embedding_ivf.
 GATE_WINDOW = [
     "imdb_reference_parity",
     "tokenizer_bpe_train_n",

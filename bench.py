@@ -250,14 +250,22 @@ def sf1_spot(spark) -> dict | None:
             if time.time() - t_start > _SF1_BUDGET_S:
                 section["failed"].append(f"{name} (budget)")
                 continue
+            t0 = time.time()
             try:
                 quad[name] = _run_capped(
                     spark, lambda f=fn: f(spark, sf1_dir), _QUAD_CAP_S
                 )
             except Exception as e:  # noqa: BLE001
-                print(f"sf1 quadratic {name} failed: {e}", file=sys.stderr)
+                # distinguish the watchdog kill (the crossover finding
+                # this section exists to measure) from a broken query
+                kind = (
+                    "timeout"
+                    if time.time() - t0 >= 0.95 * _QUAD_CAP_S
+                    else "error"
+                )
+                print(f"sf1 crossover {name} {kind}: {e}", file=sys.stderr)
                 quad[name] = None
-                section["failed"].append(f"{name} (timeout/error)")
+                section["failed"].append(f"{name} ({kind})")
     section["quadratic_crossover"] = quad
     return section
 
@@ -283,7 +291,14 @@ def _run_capped(spark, build, cap_s: float) -> float:
         return round(time.time() - t0, 3)
     finally:
         timer.cancel()
+        # clear ALL THREE properties setJobGroup sets: leaving
+        # interruptOnCancel=true would make every later cancellation
+        # from this thread interrupt executor task threads (a mode
+        # Spark defaults off because interrupts can wedge IO stacks),
+        # and the stale description would mislabel later jobs
         sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
 
 if __name__ == "__main__":

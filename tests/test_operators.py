@@ -1555,20 +1555,16 @@ def test_bench_run_capped_watchdog(spark):
 def test_bpe_encode_token_total_matches_trainer(spark, sf_dir):
     """Lifecycle consistency: the encoder's FULL token histogram (not
     just the registered top-20) must total exactly the trainer's final
-    symbols_after — same stream, two readouts."""
+    symbols_after — one training run, two readouts of its stream."""
     from _imdb_etl_spark.operators.corpus import (
         _BPE_SEP,
         _BPE_TRAIN_ROUNDS,
         _bpe_train,
     )
-    from _imdb_etl_spark.sources import load_tables as _lt
 
-    train = REGISTRY["tokenizer_bpe_train_n"].spark(spark, sf_dir).collect()
-    final_round = max(r.merge_rank for r in train)
-    expected = [r for r in train if r.merge_rank == final_round][0].symbols_after
-
-    (docs,) = _lt(spark, sf_dir, "documents")
-    _, stream = _bpe_train(spark, docs, _BPE_TRAIN_ROUNDS)
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    merge_table, stream = _bpe_train(spark, docs, _BPE_TRAIN_ROUNDS)
+    expected = merge_table[-1][4]  # final round's symbols_after
     ss = _BPE_SEP + _BPE_SEP
     total = (
         stream.select(F.explode(F.split("s", ss)).alias("sym"))

@@ -368,3 +368,18 @@ def test_bpe_train_rounds_match_pure_python(spark, data):
         for r in bpe_train_rounds(spark, docs, n_rounds).collect()
     ]
     assert got == expected
+
+
+def test_bpe_encode_oracle_passes_stream_through_when_pairs_exhausted():
+    """Regression pin: on a corpus whose pairs run out before the
+    configured rounds, the Spark loop breaks and keeps the stream; the
+    oracle's per-round CTE must pass the stream through a NULL rule
+    (LEFT JOIN ON TRUE) instead of vanishing it via CROSS JOIN with an
+    empty rule relation — 'ab ab' exhausts after one merge and must
+    still tokenize to [('ab', 2)]."""
+    from _imdb_etl_spark.operators.corpus import _BPE_ENCODE_SQL
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT 1 AS doc_id, 'ab ab' AS text")
+    assert con.sql(_BPE_ENCODE_SQL).fetchall() == [("ab", 2)]
+    con.close()
