@@ -783,7 +783,11 @@ ORDER BY vec_a, vec_b
     "probe-collide with near certainty). Sign-LSH was evaluated and "
     "rejected for this threshold regime: at cosine ~0.5 the per-bit "
     "agreement (0.66) is too close to random (0.5) for banding to "
-    "prune without losing recall.",
+    "prune without losing recall. Role note (round 6): this is the "
+    "expression-dot PARITY face — at 10x data the per-pair codegen "
+    "dot measured ~26x slower than the per-list BLAS GEMM, so "
+    "volume work (clusters, sweeps) routes through "
+    "dedup_embedding_cosine_ivf, which is pinned output-equal.",
 )
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load_tables(spark, sf_dir, "embeddings")
@@ -951,7 +955,12 @@ ORDER BY vec_id
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from _imdb_etl_spark.operators.dedup import connected_components
 
-    pairs = dedup_embedding_ivf(spark, sf_dir).select("vec_a", "vec_b")
+    # pair source = the GEMM-verified IVF route, not the expression-dot
+    # route: identical pair set (pinned in pytest), but the per-pair
+    # codegen dot measured 115 s vs ~4 s BLAS at 10x scale — and the
+    # clusters consume only the pair ids, so the scoring route is free
+    # to be the fast one
+    pairs = dedup_embedding_cosine_ivf(spark, sf_dir).select("vec_a", "vec_b")
     edges = (
         pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
         .unionByName(
@@ -1024,61 +1033,77 @@ ORDER BY tau_centi
     "rounded cosine, so the curve is engine-exact.",
 )
 def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 rewrite after the 10x-scale sweep measured the
+    expression-dot pair pass at 115 s vs 4 s for the BLAS route (the
+    per-pair codegen dot is the bottleneck once sum(|list|^2) reaches
+    tens of millions): each inverted list is now ONE applyInPandas
+    group that GEMM-scores its pairs and emits the 6-row tau histogram
+    directly — output is 6 rows per list, never a pair-grained
+    exchange. Exactly-once pair accounting without a global DISTINCT:
+    every vector carries its full probe-assignment set, and a pair
+    co-occupying two lists is counted only in the SMALLEST shared list
+    id — a purely list-local rule, so no cross-list shuffle exists at
+    any scale. Final step sums 16x6 partial histograms."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    lists = ivf_inverted_lists(emb).select("cid", "vec_id", "embedding")
+    vec_cids = lists.groupBy("vec_id").agg(
+        F.sort_array(F.collect_list("cid")).alias("cids")
     )
-    cents = (
-        normed.where(F.expr(_CENTROID_FILTER))
-        .orderBy("vec_id")
-        .limit(_N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
+    rows = lists.join(vec_cids, "vec_id")
+
+    schema = StructType(
+        [
+            StructField("tau_centi", IntegerType()),
+            StructField("n_pairs", LongType()),
+            StructField("n_candidates", LongType()),
+        ]
+    )
+
+    def hist_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["cid"].iat[0])
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        # half-up rounding to match ROUND/F.round (see
+        # dedup_embedding_cosine_ivf); emitted values are counted, not
+        # returned, but the tau comparison is on the rounded value
+        sims = np.floor(m @ m.T * 1e6 + 0.5) / 1e6
+        cidmat = np.stack(pdf["cids"].to_numpy()).astype(np.int64)
+        big = np.iinfo(np.int64).max
+
+        def shared(x, y):
+            return np.where(x[:, None] == y[None, :], x[:, None], big)
+
+        a0, a1 = cidmat[:, 0], cidmat[:, 1]
+        min_shared = np.minimum.reduce(
+            [shared(a0, a0), shared(a0, a1), shared(a1, a0), shared(a1, a1)]
         )
-    )
-    sim_to_c = F.round(
-        _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
-    )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("centroid_id")
-    )
-    lists = (
-        normed.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "centroid_id", sim_to_c.alias("sim"))
-        .withColumn("rnk", F.row_number().over(assign_w))
-        .where(F.col("rnk") <= _DEDUP_PROBE)
-        .select("centroid_id", "vec_id", "embedding", "nrm")
-    )
-    a = lists.alias("a")
-    e = lists.alias("e")
-    cand = (
-        a.join(
-            e,
-            (F.col("a.centroid_id") == F.col("e.centroid_id"))
-            & (F.col("a.vec_id") < F.col("e.vec_id")),
+        mask = (ids[:, None] < ids[None, :]) & (min_shared == c)
+        cos = sims[mask]
+        return pd.DataFrame(
+            {
+                "tau_centi": _SWEEP_TAUS,
+                "n_pairs": [int((cos * 100 >= t).sum()) for t in _SWEEP_TAUS],
+                "n_candidates": [len(cos)] * len(_SWEEP_TAUS),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("e.vec_id").alias("vec_b"),
-            F.round(
-                _dot(F.col("a.embedding"), F.col("e.embedding"))
-                / (F.col("a.nrm") * F.col("e.nrm")),
-                6,
-            ).alias("cos"),
-        )
-        .distinct()
-    )
-    taus = F.explode(F.array(*[F.lit(t) for t in _SWEEP_TAUS])).alias("tau_centi")
+
     return (
-        cand.select("cos", taus)
+        rows.groupBy("cid")
+        .applyInPandas(hist_list, schema)
         .groupBy("tau_centi")
         .agg(
-            F.sum(
-                (F.col("cos") * 100 >= F.col("tau_centi")).cast("long")
-            ).alias("n_pairs"),
-            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("n_candidates").cast("long").alias("n_candidates"),
         )
         .orderBy("tau_centi")
     )
