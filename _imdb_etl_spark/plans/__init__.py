@@ -124,6 +124,10 @@ _GATE_REST = [
     # registered after the round-6 window was already full (44 backlog
     # + 6 = 50): first in line for the round-7 window
     "tokenizer_bpe_encode",
+    # rewritten late in round 6 (distinct-name FastSS restructure after
+    # the 10x audit) with the window already full — local gate replay
+    # green at sf0.001/sf0.01; needs its fresh driver row in round 7
+    "fuzzy_part_name_match",
     "dedup_embedding_ivf",
     "vocab_oov_rate",
     "fact_star_left_joins",

@@ -250,34 +250,87 @@ ORDER BY part_a, part_b
 @register(
     "fuzzy_part_name_match",
     _FUZZY_SQL,
-    doc="Blocked fuzzy string matching: pairs equi-joined on the first "
-    "name token (the blocking key — an ordinary shuffle join, never "
-    "all-pairs), then filtered to edit distance <= 1 (identical "
-    "Levenshtein in both engines). The standard entity-resolution "
-    "shape at scale.",
+    doc="Fuzzy matching restructured around the data's true shape "
+    "(round 6, after the 10x audit): the corpus has ~64 DISTINCT "
+    "names over 20k+ parts, so pair work belongs at the distinct-name "
+    "level — deletion-neighborhood signatures (FastSS: a name plus "
+    "its single-char deletions; strings within edit distance 1 always "
+    "share one) generate name-pair candidates, Levenshtein <= 1 plus "
+    "the same-first-token rule verifies, and only then are name pairs "
+    "expanded to part pairs. Compute is linear in distinct names; the "
+    "remaining cost is the OUTPUT expansion join, which no algorithm "
+    "can shrink because the all-duplicate-pairs answer is itself "
+    "quadratic in group size — the scalable production variant stops "
+    "at (name_a, name_b, group sizes) before the expansion. The "
+    "first-token-blocked self-join this replaces measured past a "
+    "150 s cap at 10x (block key cardinality ~92 does not grow with "
+    "the corpus).",
 )
 def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = load_tables(spark, sf_dir, "part")
     block = F.split(F.col("p_name"), " ").getItem(0)
-    a = part.select(
-        F.col("p_partkey").alias("part_a"),
-        F.col("p_name").alias("name_a"),
-        block.alias("block_a"),
+    names = part.select("p_name").distinct().select(
+        F.col("p_name").alias("nm"), block.alias("blk")
     )
-    b = part.select(
-        F.col("p_partkey").alias("part_b"),
-        F.col("p_name").alias("name_b"),
-        block.alias("block_b"),
+    sig_expr = (
+        "array_distinct(concat(array(nm), "
+        "transform(sequence(1, length(nm)), "
+        "i -> concat(substring(nm, 1, i - 1), "
+        "substring(nm, i + 1, length(nm))))))"
+    )
+    sigs = names.select(
+        "nm", "blk", F.explode(F.expr(sig_expr)).alias("sig")
+    )
+    na = sigs.select(
+        F.col("nm").alias("nm_a"), F.col("blk").alias("blk_a"), "sig"
+    )
+    nb = sigs.select(
+        F.col("nm").alias("nm_b"), F.col("blk").alias("blk_b"), "sig"
+    )
+    name_pairs = (
+        na.join(nb, ["sig"])
+        .where(F.col("nm_a") <= F.col("nm_b"))  # keep the diagonal: ED=0
+        .select("nm_a", "nm_b", "blk_a", "blk_b")
+        .distinct()
+        .where(
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.levenshtein("nm_a", "nm_b") <= 1)
+        )
+    )
+    pa = part.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("pn_a"))
+    pb = part.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("pn_b"))
+    # diagonal (identical names): ordered pairs within the duplicate
+    # group; off-diagonal: normalize so part_a is the smaller key and
+    # name columns follow their part
+    diag = (
+        name_pairs.where(F.col("nm_a") == F.col("nm_b"))
+        .join(pa, F.col("pn_a") == F.col("nm_a"))
+        .join(pb, (F.col("pn_b") == F.col("nm_b")) & (F.col("key_a") < F.col("key_b")))
+        .select(
+            F.col("key_a").alias("part_a"),
+            F.col("key_b").alias("part_b"),
+            F.col("pn_a").alias("name_a"),
+            F.col("pn_b").alias("name_b"),
+        )
+    )
+    off = (
+        name_pairs.where(F.col("nm_a") < F.col("nm_b"))
+        .join(pa, F.col("pn_a") == F.col("nm_a"))
+        .join(pb, F.col("pn_b") == F.col("nm_b"))
+        .select(
+            F.least("key_a", "key_b").alias("part_a"),
+            F.greatest("key_a", "key_b").alias("part_b"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("pn_a"))
+            .otherwise(F.col("pn_b"))
+            .alias("name_a"),
+            F.when(F.col("key_a") < F.col("key_b"), F.col("pn_b"))
+            .otherwise(F.col("pn_a"))
+            .alias("name_b"),
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("block_a") == F.col("block_b"))
-            & (F.col("part_a") < F.col("part_b")),
-        )
+        diag.unionByName(off)
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
-        .where(F.col("edit_distance") <= 1)
-        .select("part_a", "part_b", "name_a", "name_b", "edit_distance")
         .orderBy("part_a", "part_b")
     )
 

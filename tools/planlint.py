@@ -36,7 +36,6 @@ ALLOW = {
     ("crossmodal_textdup_cosine", "cartesian"): "pairs come from the near-dup candidate set, bounded",
     ("cross_join_dense_grid", "cartesian"): "the operator IS a cross join (dense dimension grid)",
     ("range_join_price_bands", "cartesian"): "band table is a broadcast constant (tens of rows)",
-    ("fuzzy_part_name_match", "cartesian"): "small dim x small probe set, bounded both sides",
     ("sim_knn_ivf", "cartesian"): "broadcast of the k-row centroid table for inverted-list assignment, bounded by k not corpus",
     ("decontaminate_embedding", "cartesian"): "broadcast of the eval vector set (bounded by construction) x corpus scan — map-side, corpus-linear",
     ("sim_recall_curve", "cartesian"): "evaluation op: k-grid x the <= queries*k matched-rank pairs (both sides bounded by construction), and it embeds the allow-listed brute-force baseline as its ground truth",
