@@ -939,3 +939,129 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- incremental NEAR-dup: the crawl increment vs the corpus LSH index
+
+
+def _incremental_minhash_sql() -> str:
+    # composes the shared banding CTE (one definition of the candidate
+    # semantics, the dedup_*_lsh convention) and the exact-Jaccard
+    # verify, then restricts to pairs that CROSS the corpus/batch
+    # boundary before the per-language rollup.
+    from _imdb_etl_spark.operators.dedup import _LSH_CAND_CTE
+
+    return f"""{_LSH_CAND_CTE},
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+),
+flags AS (
+  SELECT doc_id, lang, ({_IS_BATCH}) AS is_batch FROM documents
+),
+matched AS (
+  SELECT DISTINCT CASE WHEN fa.is_batch THEN v.doc_a ELSE v.doc_b END AS doc_id
+  FROM verified v
+  JOIN flags fa ON v.doc_a = fa.doc_id
+  JOIN flags fb ON v.doc_b = fb.doc_id
+  WHERE fa.is_batch <> fb.is_batch
+)
+SELECT f.lang,
+       COUNT(*) AS n_incoming,
+       CAST(SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup,
+       CAST(COUNT(*) - SUM(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_novel
+FROM flags f
+LEFT JOIN matched m ON f.doc_id = m.doc_id
+WHERE f.is_batch
+GROUP BY f.lang
+ORDER BY f.lang
+"""
+
+
+@register(
+    "dedup_incremental_minhash",
+    None,  # oracle installed below (composes dedup's banding CTE)
+    doc="Incremental NEAR-dup ingest: the crawl increment (same "
+    "deterministic 20% slice as dedup_incremental_batch) is checked "
+    "against the accumulated corpus for 3-gram-Jaccard >= 0.6 "
+    "near-duplicates via the shared MinHash-LSH candidate stage — the "
+    "production shape where each day's batch probes a PERSISTED band "
+    "index (sim_knn_ivf_persisted's train->persist->serve analog; the "
+    "registered form recomputes corpus signatures in-plan so the "
+    "DuckDB twin can replay it) and only LSH collisions pay the exact "
+    "verify. Candidate join is bucketed on (band_id, band_key), "
+    "cross-boundary pairs filtered before the verify's set "
+    "intersection; per-language novel/near-dup rollup is tiny. "
+    "Catches the reformatted re-crawls the exact-hash incremental "
+    "path misses.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.operators.dedup import _jaccard_verify, lsh_candidates
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    doc_sets, cand = lsh_candidates(docs)
+    flags = docs.select(
+        "doc_id", "lang", F.expr(_IS_BATCH).alias("is_batch")
+    )
+    fa = flags.select(
+        F.col("doc_id").alias("doc_a"), F.col("is_batch").alias("batch_a")
+    )
+    fb = flags.select(
+        F.col("doc_id").alias("doc_b"), F.col("is_batch").alias("batch_b")
+    )
+    cross = (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .where(F.col("batch_a") != F.col("batch_b"))
+    )
+    verified = _jaccard_verify(
+        doc_sets, cross.select("doc_a", "doc_b"), with_est=False
+    )
+    matched = (
+        verified.join(fa, "doc_a")
+        .select(
+            F.when(F.col("batch_a"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    return (
+        flags.where("is_batch")
+        .join(matched, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum(F.coalesce("m", F.lit(0))).cast("long").alias("n_near_dup"),
+        )
+        .select(
+            "lang",
+            "n_incoming",
+            "n_near_dup",
+            (F.col("n_incoming") - F.col("n_near_dup")).alias("n_novel"),
+        )
+        .orderBy("lang")
+    )
+
+
+from _imdb_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_incremental_minhash"] = _REG["dedup_incremental_minhash"].__class__(
+    name="dedup_incremental_minhash",
+    spark=_REG["dedup_incremental_minhash"].spark,
+    oracle=_incremental_minhash_sql(),
+    doc=_REG["dedup_incremental_minhash"].doc,
+)

@@ -128,6 +128,10 @@ _GATE_REST = [
     # the 10x audit) with the window already full — local gate replay
     # green at sf0.001/sf0.01; needs its fresh driver row in round 7
     "fuzzy_part_name_match",
+    # registered in the round-6 continuation (window full): local gate
+    # replay green at sf0.001/sf0.01 + independent pytest references
+    "dedup_incremental_minhash",
+    "events_interval_coalesce",
     "dedup_embedding_ivf",
     "vocab_oov_rate",
     "fact_star_left_joins",

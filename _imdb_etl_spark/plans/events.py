@@ -1573,3 +1573,112 @@ def events_funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 1000 * count(t_purchase) div count(t_view) END"
         ).alias("purchase_conv_permille"),
     )
+
+
+# --- interval union (coalesce overlapping activity windows) -----------
+
+_TTL_MS = 300_000  # each event keeps its user "active" for 5 minutes
+
+_INTERVAL_COALESCE_SQL = f"""
+WITH iv AS (
+  SELECT user_id, ts, event_id,
+         epoch_ms(ts) AS start_ms,
+         epoch_ms(ts) + {_TTL_MS} AS end_ms
+  FROM events
+),
+flagged AS (
+  SELECT user_id, start_ms, end_ms,
+         CASE WHEN max(end_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR start_ms > max(end_ms) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island,
+         ts, event_id
+  FROM iv
+),
+islands AS (
+  SELECT user_id, start_ms, end_ms,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+  FROM flagged
+),
+per_island AS (
+  SELECT user_id, island_id,
+         MAX(end_ms) - MIN(start_ms) AS span_ms,
+         COUNT(*) AS n_events
+  FROM islands
+  GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       COUNT(*) AS n_islands,
+       CAST(SUM(span_ms) AS BIGINT) AS covered_ms
+FROM per_island
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_interval_coalesce",
+    _INTERVAL_COALESCE_SQL,
+    doc="Interval union: each event opens a 5-minute activity interval "
+    "[ts, ts+300s); overlapping/contiguous intervals coalesce into "
+    "islands via a running MAX(end) over the per-user time order — "
+    "the gaps-and-islands interval-merge, no self-join, no "
+    "range-condition join. Per-user coverage (total active ms) is the "
+    "billing/engagement primitive interval overlap joins approximate. "
+    "ONE user-keyed exchange serves the running-max window, the "
+    "island-id running sum (same sort order), and both aggregates; "
+    "pure integer epoch-ms arithmetic keeps the twins bitwise-equal. "
+    "At 100 TB parallelism is user-cardinality; no per-user state "
+    "exceeds its own event count.",
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    start_ms = F.unix_millis("ts")
+    iv = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        start_ms.alias("start_ms"),
+        (start_ms + _TTL_MS).alias("end_ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_max_end = F.max("end_ms").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "start_ms",
+        "end_ms",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_ms") > prev_max_end), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "start_ms",
+        "end_ms",
+        F.sum("new_island")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (F.max("end_ms") - F.min("start_ms")).alias("span_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_island.groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("span_ms").cast("bigint").alias("covered_ms"),
+        )
+        .orderBy("user_id")
+    )
