@@ -854,11 +854,21 @@ def tokenizer_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # never "a aa") — which makes every round value-hash checkable: the
 # oracle replays the identical loop.
 #
-# Scale shape per round: pair extraction and replace are narrow maps;
-# the only shuffle is the pair-count hash agg (map-side partial); the
-# 1-row rule broadcasts. The stream persists between rounds (at 100 TB:
-# write each round's stream to parquet instead — same DAG, disk-tier
-# checkpoint). Driver-side state is the N-row merge table, the same
+# Scale shape: the trainer works on the DISTINCT-WORD x frequency
+# table, not per word occurrence — the design every production BPE
+# trainer uses (pairs cannot cross word boundaries, so identical words
+# contribute identical pairs and identical merges; weighting the
+# distinct word's counts by its corpus frequency yields bitwise the
+# same merge table and symbol totals as the per-occurrence stream the
+# oracle replays). One corpus-wide word-count shuffle up front, then
+# every round runs over |vocab| rows — corpus-size-independent: at
+# 100 TB the rounds iterate over ~10M distinct words, not 10^13
+# occurrences. Per round: narrow-map pair fan-out, ONE hash agg whose
+# TakeOrdered readback returns BOTH the round's top rule and the
+# previous round's post-merge symbol total (the two readbacks fused
+# into one job), then a narrow-map replace. The stream persists
+# between rounds (at 100 TB: parquet checkpoint — same DAG, disk
+# tier). Driver-side state is the N-row merge table, the same
 # bounded-model-state pattern as pyspark.ml training.
 
 _BPE_SEP = "\x1f"
@@ -933,11 +943,17 @@ def _bpe_train_sql(n_rounds: int) -> str:
     "rule, greedily re-segment the shrinking symbol stream, repeat — "
     "emitting the learned merge table (rank, symbols, support count) "
     "plus the post-merge corpus symbol count per round, the pinned "
-    "row-count trace. Per round: narrow-map pair fan-out, ONE "
-    "hash-agg shuffle into a 1-row TakeOrdered readback (bounded "
-    "driver model-state, the pyspark.ml trainer pattern), narrow-map "
-    "replace; stream persisted between rounds (parquet checkpoint at "
-    "100 TB). The oracle replays the identical loop in DuckDB.",
+    "row-count trace. Trains on the DISTINCT-WORD x frequency table "
+    "(the production BPE design — pairs never cross word boundaries, "
+    "so frequency-weighted counts are bitwise-identical to the "
+    "per-occurrence stream the oracle replays, while rounds scale "
+    "with |vocab|, not corpus size). Per round: narrow-map pair "
+    "fan-out, ONE hash-agg shuffle whose 2-row TakeOrdered readback "
+    "fuses the round's rule with the prior round's symbol total "
+    "(bounded driver model-state, the pyspark.ml trainer pattern), "
+    "narrow-map replace; stream persisted between rounds (parquet "
+    "checkpoint at 100 TB). The oracle replays the identical loop in "
+    "DuckDB per occurrence.",
 )
 def tokenizer_bpe_train_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
@@ -968,18 +984,23 @@ def _bpe_train(
     PERSISTED post-merge symbol stream) so the encoder face can
     tokenize with the learned vocabulary without re-deriving the
     rounds. Caller owns unpersisting the returned stream."""
-    from _imdb_etl_spark.sources.catalog import spread
-
     sep = _BPE_SEP
     ss = sep + sep  # doubled boundary separator (see module comment)
-    words = docs.select(
-        F.explode(F.split("text", " ")).alias("w")
-    ).where(F.col("w") != "")
+    # distinct-word x frequency formulation (see module comment): the
+    # word-count shuffle is the only corpus-proportional stage; every
+    # training round below runs over |vocab| rows
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
     # (?s): a bare '.' matches no newline in either engine, which would
     # silently fuse '\n'+next-char into one symbol in BOTH twins — the
     # shared-twin-bug class the pure-Python reference test guards
-    stream = spread(words).select(
-        F.concat(F.lit(ss), F.regexp_replace("w", "(?s)(.)", "$1" + ss)).alias("s")
+    stream = wc.select(
+        F.concat(F.lit(ss), F.regexp_replace("w", "(?s)(.)", "$1" + ss)).alias("s"),
+        "freq",
     )
 
     # bind the split to a column FIRST: Spark does not hoist common
@@ -995,30 +1016,51 @@ def _bpe_train(
         "ELSE array() END"
     )
 
-    # Driver-side state is the learned merge table — N 1-row rule
-    # readbacks plus N scalar counts, bounded by construction (the
-    # same model-state pattern as pyspark.ml's iterative trainers).
-    # Each round runs exactly two distributed jobs: the pair-count
-    # TakeOrdered (the rule) and the symbols_after scalar agg, whose
-    # execution also populates the round's stream cache so round k+1
-    # reads cached partitions instead of re-deriving rounds 1..k.
+    # Driver-side state is the learned merge table — N 2-row readbacks,
+    # bounded by construction (the same model-state pattern as
+    # pyspark.ml's iterative trainers). Each round runs exactly ONE
+    # distributed job: a single hash agg over the union of the pair
+    # fan-out and a per-row symbol-total marker, whose 2-row
+    # TakeOrdered readback yields round k's top rule AND round k-1's
+    # post-merge symbol total together (the total of the CURRENT
+    # stream is the previous round's symbols_after). Executing it also
+    # populates the round's stream cache, so round k+1 reads cached
+    # partitions instead of re-deriving rounds 1..k; a final scalar
+    # agg closes out the last round's total.
     merge_table = []
     prev = stream.persist()
+    old = None  # previous generation, kept cached until its child runs
+    pending = None  # (k, sym_a, sym_b, pair_cnt) awaiting symbols_after
     for k in range(1, n_rounds + 1):
-        pairs = prev.select(F.split("s", ss).alias("syms")).select(
-            F.explode(F.expr(pair_expr)).alias("sym_pair")
+        per = prev.select(F.split("s", ss).alias("syms"), "freq")
+        pairs = per.select(
+            F.lit(False).alias("is_total"),
+            F.explode(F.expr(pair_expr)).alias("k"),
+            F.col("freq").alias("wt"),
         )
-        top = (
-            pairs.groupBy("sym_pair")
-            .agg(F.count(F.lit(1)).alias("pair_cnt"))
-            .orderBy(F.desc("pair_cnt"), F.asc("sym_pair"))
-            .limit(1)
+        tot = per.select(
+            F.lit(True).alias("is_total"),
+            F.lit("").alias("k"),
+            ((F.size("syms") - 2).cast("long") * F.col("freq")).alias("wt"),
+        )
+        rows = (
+            pairs.unionByName(tot)
+            .groupBy("is_total", "k")
+            .agg(F.sum("wt").alias("c"))
+            .orderBy(F.desc("is_total"), F.desc("c"), F.asc("k"))
+            .limit(2)
             .collect()
         )
-        if not top:  # corpus fully merged / no adjacent pairs left
+        if old is not None:  # prev is materialized now; parent can go
+            old.unpersist()
+            old = None
+        if pending is not None:
+            merge_table.append((*pending, rows[0]["c"]))
+            pending = None
+        if len(rows) < 2:  # corpus fully merged / no adjacent pairs left
             break
-        rule = top[0]
-        sym_a, sym_b = rule.sym_pair.split(sep)
+        sym_pair, pair_cnt = rows[1]["k"], rows[1]["c"]
+        sym_a, sym_b = sym_pair.split(sep)
         nxt = prev.select(
             F.replace(
                 F.col("s"),
@@ -1027,14 +1069,20 @@ def _bpe_train(
                 # replacement restores each boundary to two seps
                 F.lit(sep + sym_a + ss + sym_b + sep),
                 F.lit(sep + sym_a + sym_b + sep),
-            ).alias("s")
+            ).alias("s"),
+            "freq",
         ).persist()
-        after = nxt.agg(
-            F.sum(F.size(F.split("s", ss)) - 2).cast("long").alias("a")
+        old, prev = prev, nxt
+        pending = (k, sym_a, sym_b, pair_cnt)
+    if pending is not None:  # the last round's total never piggybacked
+        after = prev.agg(
+            F.sum(
+                (F.size(F.split("s", ss)) - 2).cast("long") * F.col("freq")
+            ).alias("a")
         ).collect()[0][0]
-        prev.unpersist()
-        merge_table.append((k, sym_a, sym_b, rule.pair_cnt, after))
-        prev = nxt
+        if old is not None:
+            old.unpersist()
+        merge_table.append((*pending, after))
     return merge_table, prev
 
 
@@ -1070,11 +1118,13 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = _BPE_SEP + _BPE_SEP
     out = (
         final_stream.select(
-            F.explode(F.split("s", ss)).alias("sym")
+            F.explode(F.split("s", ss)).alias("sym"), "freq"
         )
         .where(F.col("sym") != "")
         .groupBy("sym")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        # the stream is distinct-word rows: each symbol occurs once per
+        # word occurrence, so the corpus histogram weights by freq
+        .agg(F.sum("freq").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("sym"))
         .limit(_BPE_VOCAB_TOP)
     )

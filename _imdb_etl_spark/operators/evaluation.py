@@ -223,3 +223,64 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+_CALIB_SQL = f"""
+WITH feats AS ({_FEATS_SQL}),
+g AS (
+  SELECT score, SUM(y) AS np, SUM(1 - y) AS nn FROM feats GROUP BY score
+),
+b AS (
+  SELECT LEAST(score // 100, 9) AS bin_id,
+         SUM(np + nn) AS n_docs,
+         SUM(np) AS n_pos,
+         SUM(score * (np + nn)) AS score_mass
+  FROM g
+  GROUP BY LEAST(score // 100, 9)
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(score_mass // n_docs AS BIGINT) AS mean_score_permille,
+       CAST(1000 * n_pos // n_docs AS BIGINT) AS pos_rate_permille,
+       CAST(ABS(score_mass // n_docs - 1000 * n_pos // n_docs) AS BIGINT)
+         AS gap_permille
+FROM b
+ORDER BY bin_id
+"""
+
+
+@register(
+    "quality_calibration_bins",
+    _CALIB_SQL,
+    doc="Calibration audit of the stopword-permille score against the "
+    "quality gate (the reliability-diagram table behind an ECE "
+    "number): ten equal-width score deciles, per-bin empirical "
+    "positive rate vs mean score, exact-integer permille throughout — "
+    "the over/under-confidence readout a probability-interpreted "
+    "quality filter needs before its threshold is trusted. Composes "
+    "on the shared <= 1001-row score-group table (one corpus "
+    "hash-agg, same exchange as AUC/PR); the bin rollup is 10 rows. "
+    "ECE = sum(n_docs * gap_permille) / N over this output.",
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _score_groups(spark, sf_dir)
+    b = g.groupBy(
+        F.least(F.expr("score div 100"), F.lit(9)).alias("bin_id")
+    ).agg(
+        F.sum(F.col("np") + F.col("nn")).alias("n_docs"),
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("score") * (F.col("np") + F.col("nn"))).alias(
+            "score_mass"
+        ),
+    )
+    mean_score = F.expr("score_mass div n_docs")
+    pos_rate = F.expr("1000 * n_pos div n_docs")
+    return b.select(
+        "bin_id",
+        "n_docs",
+        "n_pos",
+        mean_score.alias("mean_score_permille"),
+        pos_rate.alias("pos_rate_permille"),
+        F.abs(mean_score - pos_rate).alias("gap_permille"),
+    ).orderBy("bin_id")

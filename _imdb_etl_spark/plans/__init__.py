@@ -132,6 +132,8 @@ _GATE_REST = [
     # replay green at sf0.001/sf0.01 + independent pytest references
     "dedup_incremental_minhash",
     "events_interval_coalesce",
+    "events_sequence_pattern",
+    "quality_calibration_bins",
     "dedup_embedding_ivf",
     "vocab_oov_rate",
     "fact_star_left_joins",

@@ -1682,3 +1682,68 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- sequence pattern matching (MATCH_RECOGNIZE / CEP analog) ---------
+
+_SEQ_PATTERN_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(seq) AS INT) AS n_events,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT) AS n_funnels,
+       CAST(coalesce(list_max(list_transform(
+              regexp_extract_all(seq, 'e+'), x -> len(x))), 0) AS INT)
+         AS longest_error_run
+FROM seqs
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_sequence_pattern",
+    _SEQ_PATTERN_SQL,
+    doc="Sequence-pattern detection (the MATCH_RECOGNIZE / CEP analog "
+    "Spark SQL lacks): per user, the time-ordered event-type stream "
+    "collapses to a symbol string (initials are distinct across the "
+    "five types) and PATTERN (view click* purchase) is counted as "
+    "non-overlapping regex matches — AFTER MATCH SKIP PAST LAST ROW "
+    "semantics; longest consecutive-error run via e+ match lengths. "
+    "One user-keyed exchange; per-user state is its own event count "
+    "(the same bound every per-user window op carries), regex runs "
+    "codegen-side on the collapsed string, not per-row Python. At "
+    "100 TB the string collapse is the standard sessionized-sequence "
+    "trick: pattern work scales with users x mean-sequence, never "
+    "pairwise.",
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("sym"))
+                )
+            ),
+            lambda x: x["sym"],
+        ),
+        "",
+    )
+    seqs = events.groupBy("user_id").agg(seq.alias("seq"))
+    runs = F.regexp_extract_all("seq", F.lit("e+"), 0)
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("vc*p"), 0))
+        .cast("int")
+        .alias("n_funnels"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))), F.lit(0)
+        )
+        .cast("int")
+        .alias("longest_error_run"),
+    ).orderBy("user_id")

@@ -1567,9 +1567,10 @@ def test_bpe_encode_token_total_matches_trainer(spark, sf_dir):
     expected = merge_table[-1][4]  # final round's symbols_after
     ss = _BPE_SEP + _BPE_SEP
     total = (
-        stream.select(F.explode(F.split("s", ss)).alias("sym"))
+        stream.select(F.explode(F.split("s", ss)).alias("sym"), "freq")
         .where(F.col("sym") != "")
-        .count()
+        .agg(F.sum("freq"))
+        .collect()[0][0]
     )
     stream.unpersist()
     assert total == expected
@@ -1662,3 +1663,30 @@ def test_incremental_minhash_counts_cross_boundary_neardups(
     assert r.n_near_dup >= 1
     assert r.n_novel == r.n_incoming - r.n_near_dup
     assert r.n_novel >= 1  # the unique doc can never be matched
+
+
+def test_sequence_pattern_matches_pure_python_re(spark, sf_dir):
+    """Third implementation: Python's re module replays the funnel
+    count and error-run scan over pandas-built sequences — pins the
+    non-overlapping greedy semantics independently of both engines."""
+    import re
+
+    import pandas as pd
+
+    got = {
+        r.user_id: (r.n_events, r.n_funnels, r.longest_error_run)
+        for r in REGISTRY["events_sequence_pattern"].spark(spark, sf_dir).collect()
+    }
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "ts", "event_id", "event_type"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        seq = "".join(t[0] for t in grp["event_type"])
+        runs = re.findall(r"e+", seq)
+        want[int(uid)] = (
+            len(seq),
+            len(re.findall(r"vc*p", seq)),
+            max((len(r) for r in runs), default=0),
+        )
+    assert got == want
