@@ -931,3 +931,176 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(_shot_boundaries, _SHOT_SCHEMA)
         .orderBy("asset_id")
     )
+
+
+# --- audio activity segmentation (VAD-style run-length islands) -------
+
+_SEG_FRAME = 160  # samples per analysis frame (20 ms at 8 kHz)
+_SEG_TH = 2_883_600  # frame-sum activity threshold (~expected mean)
+
+
+def _wav_pcm_chained(doc_id: int) -> bytes:
+    """Aperiodic PCM for the segmentation assets: CHAINED md5 blocks
+    (md5(id:block) per 32-hex-char block) instead of _wav_pcm's single
+    repeated digest — the repeat has period 16 samples, which divides
+    the 160-sample frame and would make every frame sum identical."""
+    ch, nf = _wav_geom(doc_id)
+    n = nf * ch * _WAV_WIDTH
+    s = "".join(
+        hashlib.md5(f"{doc_id}:{b}".encode()).hexdigest()
+        for b in range(n // 32 + 1)
+    )
+    return s[:n].encode("ascii")
+
+
+def _encode_wavs_chained(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["asset_id"]:
+            doc_id = int(doc_id)
+            ch, _ = _wav_geom(doc_id)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(ch)
+                w.setsampwidth(_WAV_WIDTH)
+                w.setframerate(_WAV_RATE)
+                w.writeframes(_wav_pcm_chained(doc_id))
+            payloads.append(buf.getvalue())
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], "payload": payloads})
+
+
+_AUDIO_SEG_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_id", IntegerType()),
+        StructField("frame_sum", LongType()),
+    ]
+)
+
+
+def _audio_frame_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows: dict[str, list] = {k.name: [] for k in _AUDIO_SEG_SCHEMA}
+        for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                frames = w.readframes(w.getnframes())
+            v = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+            nfr = len(v) // _SEG_FRAME
+            sums = v[: nfr * _SEG_FRAME].reshape(nfr, _SEG_FRAME).sum(axis=1)
+            rows["asset_id"].extend([asset_id] * nfr)
+            rows["frame_id"].extend(range(nfr))
+            rows["frame_sum"].extend(int(x) for x in sums)
+        yield pd.DataFrame(rows)
+
+
+_AUDIO_SEG_SQL = f"""
+WITH geom AS (
+  SELECT doc_id AS asset_id,
+         1 + doc_id % 2 AS ch,
+         800 + (doc_id % 5) * 160 AS nf
+  FROM documents
+),
+pcm AS (
+  SELECT asset_id, ch, nf,
+         substr(string_agg(md5(CAST(asset_id AS VARCHAR) || ':' ||
+                               CAST(b AS VARCHAR)), '' ORDER BY b),
+                1, CAST(nf * ch * 2 AS INT)) AS s
+  FROM geom, unnest(range(0, (nf * ch * 2) // 32 + 1)) AS t(b)
+  GROUP BY asset_id, ch, nf
+),
+samp AS (
+  SELECT asset_id, ch, nf,
+         list_transform(range(0, nf * ch),
+           i -> ascii(substr(s, CAST(2 * i + 1 AS INT), 1))
+                + 256 * ascii(substr(s, CAST(2 * i + 2 AS INT), 1))) AS v
+  FROM pcm
+),
+frames AS (
+  SELECT asset_id, f AS frame_id,
+         list_sum(list_slice(v, CAST(f * {_SEG_FRAME} + 1 AS INT),
+                             CAST((f + 1) * {_SEG_FRAME} AS INT))) AS e
+  FROM samp, unnest(range(0, (nf * ch) // {_SEG_FRAME})) AS t(f)
+),
+act AS (
+  SELECT asset_id,
+         frame_id - ROW_NUMBER() OVER (PARTITION BY asset_id
+                                       ORDER BY frame_id) AS grp
+  FROM frames WHERE e > {_SEG_TH}
+),
+seg AS (
+  SELECT asset_id, grp, COUNT(*) AS len FROM act GROUP BY asset_id, grp
+),
+pa AS (
+  SELECT asset_id, COUNT(*) AS n_segments, MAX(len) AS longest_segment,
+         SUM(len) AS n_active
+  FROM seg GROUP BY asset_id
+),
+tot AS (SELECT asset_id, COUNT(*) AS n_frames FROM frames GROUP BY asset_id)
+SELECT t.asset_id,
+       CAST(t.n_frames AS BIGINT) AS n_frames,
+       CAST(COALESCE(p.n_active, 0) AS BIGINT) AS n_active,
+       CAST(COALESCE(p.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(p.longest_segment, 0) AS BIGINT) AS longest_segment
+FROM tot t LEFT JOIN pa p ON t.asset_id = p.asset_id
+ORDER BY t.asset_id
+"""
+
+
+@register(
+    "multimodal_audio_segments",
+    _AUDIO_SEG_SQL,
+    doc=f"VAD-style activity segmentation over REAL WAV payloads: "
+    f"stdlib wave decode, {_SEG_FRAME}-sample (20 ms) frame sums via "
+    "one vectorized numpy pass per asset, then frames above the "
+    "activity threshold coalesce into run-length islands with the "
+    "frame_id - row_number gaps-and-islands key — per-asset segment "
+    "count, active-frame total, and longest segment, the speech/"
+    "silence structure readout a captioning pipeline batches on. PCM "
+    "is chained md5 blocks (aperiodic — a repeated digest's period "
+    "divides the frame and degenerates every frame sum to one value), "
+    "so the DuckDB twin recomputes every sample, frame sum, and "
+    "island byte-exactly. mapInPandas is Arrow-batched; the island "
+    "window keys on asset_id — parallelism is asset cardinality.",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    assets = docs.select(F.col("doc_id").alias("asset_id"))
+    payloads = assets.mapInPandas(_encode_wavs_chained, _PAYLOAD_SCHEMA)
+    frames = payloads.mapInPandas(_audio_frame_sums, _AUDIO_SEG_SCHEMA)
+    w = Window.partitionBy("asset_id").orderBy("frame_id")
+    act = frames.where(F.col("frame_sum") > _SEG_TH).select(
+        "asset_id",
+        (F.col("frame_id") - F.row_number().over(w)).alias("grp"),
+    )
+    seg = act.groupBy("asset_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    pa = seg.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("len").alias("longest_segment"),
+        F.sum("len").alias("n_active"),
+    )
+    tot = frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("n_frames"))
+    return (
+        tot.join(pa, "asset_id", "left")
+        .select(
+            "asset_id",
+            "n_frames",
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.coalesce("n_segments", F.lit(0))
+            .cast("long")
+            .alias("n_segments"),
+            F.coalesce("longest_segment", F.lit(0))
+            .cast("long")
+            .alias("longest_segment"),
+        )
+        .orderBy("asset_id")
+    )

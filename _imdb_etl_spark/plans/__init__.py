@@ -134,6 +134,7 @@ _GATE_REST = [
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",
+    "multimodal_audio_segments",
     "dedup_embedding_ivf",
     "vocab_oov_rate",
     "fact_star_left_joins",

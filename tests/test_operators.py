@@ -1690,3 +1690,63 @@ def test_sequence_pattern_matches_pure_python_re(spark, sf_dir):
             max((len(r) for r in runs), default=0),
         )
     assert got == want
+
+
+def test_audio_segments_match_pure_python_runlength(spark, sf_dir):
+    """Third implementation: decode the chained-md5 WAVs in plain
+    Python (no numpy reshape, no SQL) and run a scalar run-length scan
+    — pins frame slicing, threshold strictness, and island semantics
+    independently of both engine twins."""
+    import io
+    import wave
+
+    from _imdb_etl_spark.operators.multimodal import (
+        _SEG_FRAME,
+        _SEG_TH,
+        _wav_geom,
+        _wav_pcm_chained,
+    )
+
+    got = {
+        r.asset_id: (r.n_frames, r.n_active, r.n_segments, r.longest_segment)
+        for r in REGISTRY["multimodal_audio_segments"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    import pandas as pd
+
+    doc_ids = pd.read_parquet(f"{sf_dir}/documents.parquet")["doc_id"]
+    for doc_id in doc_ids:
+        doc_id = int(doc_id)
+        ch, _ = _wav_geom(doc_id)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(_wav_pcm_chained(doc_id))
+        with wave.open(io.BytesIO(buf.getvalue())) as w:
+            raw = w.readframes(w.getnframes())
+        vals = [
+            raw[2 * i] + 256 * raw[2 * i + 1] for i in range(len(raw) // 2)
+        ]
+        nfr = len(vals) // _SEG_FRAME
+        active = [
+            sum(vals[f * _SEG_FRAME : (f + 1) * _SEG_FRAME]) > _SEG_TH
+            for f in range(nfr)
+        ]
+        segs, run = [], 0
+        for a in active:
+            if a:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        if run:
+            segs.append(run)
+        assert got[doc_id] == (
+            nfr,
+            sum(segs),
+            len(segs),
+            max(segs, default=0),
+        ), doc_id
