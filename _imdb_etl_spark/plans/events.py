@@ -1637,13 +1637,21 @@ ORDER BY user_id
 )
 def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
+    return interval_coalesce(events, _TTL_MS)
+
+
+def interval_coalesce(events: DataFrame, ttl_ms: int) -> DataFrame:
+    """The interval-union core, split from the registered face so
+    pytest can drive it with arbitrary synthetic timelines (hypothesis
+    exercises the exact-touch boundary: contiguous [a,b) [b,c) merge,
+    a 1 ms gap does not)."""
     start_ms = F.unix_millis("ts")
     iv = events.select(
         "user_id",
         "ts",
         "event_id",
         start_ms.alias("start_ms"),
-        (start_ms + _TTL_MS).alias("end_ms"),
+        (start_ms + ttl_ms).alias("end_ms"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_max_end = F.max("end_ms").over(

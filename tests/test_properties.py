@@ -383,3 +383,74 @@ def test_bpe_encode_oracle_passes_stream_through_when_pairs_exhausted():
     con.sql("CREATE TABLE documents AS SELECT 1 AS doc_id, 'ab ab' AS text")
     assert con.sql(_BPE_ENCODE_SQL).fetchall() == [("ab", 2)]
     con.close()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_interval_coalesce_matches_pure_python(spark, data):
+    """Interval-union property: for arbitrary per-user timelines the
+    windowed running-MAX(end) islands must equal a scalar sweep-line
+    merge — including the exact-touch boundary (start == running end
+    coalesces: intervals are half-open [s, s+ttl)) and duplicate
+    timestamps (tie-broken by event_id in both implementations)."""
+    from _imdb_etl_spark.plans.events import interval_coalesce
+
+    ttl = data.draw(st.integers(min_value=1, max_value=20)) * 1000
+    rows = []
+    eid = 0
+    for uid in range(data.draw(st.integers(min_value=1, max_value=3))):
+        offs = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=120),
+                min_size=1,
+                max_size=12,
+            )
+        )
+        for o in offs:
+            # seconds offsets make exact ttl-touch (gap == ttl) common
+            rows.append((eid, uid, 1_700_000_000_000 + o * 1000))
+            eid += 1
+    import datetime as dt
+
+    events = spark.createDataFrame(
+        [
+            (
+                e,
+                u,
+                dt.datetime.fromtimestamp(ms / 1000, dt.timezone.utc).replace(
+                    tzinfo=None
+                ),
+            )
+            for e, u, ms in rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.user_id: (r.n_events, r.n_islands, r.covered_ms)
+        for r in interval_coalesce(events, ttl).collect()
+    }
+
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for _, u, ms in rows:
+        per_user[u].append(ms)
+    want = {}
+    for u, starts in per_user.items():
+        islands = []
+        for s in sorted(starts):
+            e = s + ttl
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[u] = (
+            len(starts),
+            len(islands),
+            sum(e - s for s, e in islands),
+        )
+    assert got == want
