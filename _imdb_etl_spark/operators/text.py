@@ -17,7 +17,7 @@ per engine).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
@@ -630,4 +630,132 @@ def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_docs) div row_total").alias("rate_permille"),
         )
         .orderBy("true_lang", "pred_lang")
+    )
+
+
+# --- exact-substring dedup: the corpus REWRITE face -------------------
+
+_RM_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents
+),
+spans AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(t, CAST(i AS INT),
+                                    CAST(i + {_SPAN_K} - 1 AS INT)), ' ')
+           AS gram
+  FROM toks, unnest(range(1, len(t) - {_SPAN_K} + 2)) AS u(i)
+  WHERE len(t) >= {_SPAN_K}
+),
+ranked AS (
+  SELECT doc_id, i,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+  FROM spans
+),
+covered AS (
+  SELECT DISTINCT doc_id, tp
+  FROM (SELECT doc_id, unnest(range(i, i + {_SPAN_K})) AS tp
+        FROM ranked WHERE rn > 1)
+),
+tokens AS (
+  SELECT doc_id, tp, t[CAST(tp AS INT)] AS tok
+  FROM toks, unnest(range(1, len(t) + 1)) AS u(tp)
+),
+kept AS (
+  SELECT tk.doc_id, tk.tp, tk.tok
+  FROM tokens tk
+  LEFT JOIN covered c ON tk.doc_id = c.doc_id AND tk.tp = c.tp
+  WHERE c.tp IS NULL
+),
+ka AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(tok, ' ' ORDER BY tp)) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       CAST(len(b.t) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(ka.kept_md5, md5('')) AS kept_md5
+FROM toks b LEFT JOIN ka ON b.doc_id = ka.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "text_remove_duplicate_spans",
+    _RM_SPANS_SQL,
+    doc=f"Exact-substring dedup, the corpus REWRITE face of "
+    "text_duplicate_spans' profile (Lee et al. ACL 2022 actually "
+    f"removes the repeats): every {_SPAN_K}-token span occurrence "
+    "except the GLOBAL FIRST (ordered by doc_id, position — "
+    "within-doc repeats count too, unlike the >= 2-distinct-docs "
+    "profile) marks its covered token positions for removal, and "
+    "each document is re-assembled from its surviving tokens "
+    "(reported as an md5 so the full rewritten corpus round-trips "
+    "the hash check without shipping text). One gram-keyed window "
+    "for first-occurrence ranking, one doc-keyed anti join, one "
+    "doc-keyed ordered re-assembly — the suffix-array-free "
+    "distributed formulation; at 100 TB the gram key hashes to "
+    "fixed width and the rewrite streams map-side around the two "
+    "keyed exchanges.",
+)
+def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = spread(docs).select(
+        "doc_id", F.split(F.coalesce("text", F.lit("")), " ").alias("t")
+    )
+    spans = (
+        toks.where(F.size("t") >= _SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {_SPAN_K} + 1),"
+                    f" i -> struct(i AS i,"
+                    f" array_join(slice(t, i, {_SPAN_K}), ' ') AS gram))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    )
+    w = Window.partitionBy("gram").orderBy("doc_id", "i")
+    covered = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + _SPAN_K - 1)
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    tokens = toks.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("tp"), "tok")
+    kept = tokens.join(covered, ["doc_id", "tp"], "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    base = toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+    return (
+        base.join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
     )

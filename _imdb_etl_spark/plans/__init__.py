@@ -135,6 +135,7 @@ _GATE_REST = [
     "events_sequence_pattern",
     "quality_calibration_bins",
     "multimodal_audio_segments",
+    "text_remove_duplicate_spans",
     "dedup_embedding_ivf",
     "vocab_oov_rate",
     "fact_star_left_joins",

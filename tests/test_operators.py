@@ -1750,3 +1750,47 @@ def test_audio_segments_match_pure_python_runlength(spark, sf_dir):
             len(segs),
             max(segs, default=0),
         ), doc_id
+
+
+def test_remove_duplicate_spans_matches_pure_python(spark, sf_dir):
+    """Third implementation of the span-removal rewrite: a scalar
+    global-first scan over the same parquet — pins the keep-first
+    ordering (doc_id, position), within-doc repeats, and overlapping
+    span coverage independently of both engine twins. Also asserts the
+    corpus actually loses tokens (a no-op rewrite would pass parity
+    trivially)."""
+    import hashlib
+
+    import pandas as pd
+
+    from _imdb_etl_spark.operators.text import _SPAN_K
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_md5)
+        for r in REGISTRY["text_remove_duplicate_spans"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "text"]
+    ].sort_values("doc_id")
+    docs = [(int(d), ("" if t is None else t).split(" ")) for d, t in
+            zip(pdf["doc_id"], pdf["text"])]
+    seen: set[str] = set()
+    covered: dict[int, set] = {}
+    for doc_id, t in docs:  # doc_id ascending = global (doc_id, i) order
+        cov = covered.setdefault(doc_id, set())
+        for i in range(len(t) - _SPAN_K + 1):
+            gram = " ".join(t[i : i + _SPAN_K])
+            if gram in seen:
+                cov.update(range(i, i + _SPAN_K))
+            else:
+                seen.add(gram)
+    total_removed = 0
+    for doc_id, t in docs:
+        keep = [tok for p, tok in enumerate(t) if p not in covered[doc_id]]
+        md5 = hashlib.md5(" ".join(keep).encode()).hexdigest()
+        assert got[doc_id] == (len(t), len(t) - len(keep), md5), doc_id
+        total_removed += len(t) - len(keep)
+    assert total_removed > 0
