@@ -369,6 +369,22 @@ _IVFPQ_TOP_K = 5
 
 
 def _ivfpq_sql() -> str:
+    return f"""{_ivfpq_scored_ctes()}
+SELECT query_id, neighbor_id, approx_dot, rnk AS neighbor_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY approx_dot DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_IVFPQ_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+def _ivfpq_scored_ctes() -> str:
+    """The shared CTE chain through `scored` (and the norm table `n`)
+    — ONE definition for the ADC top-k oracle and the refined oracle,
+    mirroring the Spark-side _ivfpq_scored split."""
     from _imdb_etl_spark.operators.similarity import (
         _CENTROID_FILTER,
         _N_CENTROIDS,
@@ -415,16 +431,7 @@ scored AS (
   JOIN lut lt ON lt.query_id = cd.query_id
              AND lt.s = e.s AND lt.code_id = e.code_id
   GROUP BY 1, 2
-)
-SELECT query_id, neighbor_id, approx_dot, rnk AS neighbor_rank
-FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY approx_dot DESC, neighbor_id) AS rnk
-  FROM scored
-)
-WHERE rnk <= {_IVFPQ_TOP_K}
-ORDER BY query_id, neighbor_rank
-"""
+)"""
 
 
 _DOT_SQL_FULL = (
@@ -447,13 +454,29 @@ _DOT_SQL_FULL = (
     "pinned in pytest.",
 )
 def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    scored = _ivfpq_scored(emb)
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neighbor_rank", F.row_number().over(rank_w))
+        .where(F.col("neighbor_rank") <= _IVFPQ_TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )
+
+
+def _ivfpq_scored(emb: DataFrame) -> DataFrame:
+    """The shared IVF-prune + PQ-ADC scoring stage: (query_id,
+    neighbor_id, approx_dot) for every candidate in a probed list.
+    Split out so the plain ADC top-k face and the exact-re-rank face
+    (sim_knn_ivfpq_refined) can never drift on index semantics."""
     from _imdb_etl_spark.operators.similarity import (
         _CENTROID_FILTER,
         _N_CENTROIDS,
         _N_PROBE,
     )
 
-    (emb,) = load_tables(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
     )
@@ -494,19 +517,11 @@ def sim_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PQ side: the exact shared encode/LUT builder from sim_knn_pq
     encoded, lut = _pq_encode_lut(emb)
     encoded = encoded.withColumnRenamed("vec_id", "neighbor_id")
-    scored = (
+    return (
         cand.join(encoded, "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "s", "code_id"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("part"), 6).alias("approx_dot"))
-    )
-    rank_w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_dot"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("neighbor_rank", F.row_number().over(rank_w))
-        .where(F.col("neighbor_rank") <= _IVFPQ_TOP_K)
-        .orderBy("query_id", "neighbor_rank")
     )
 
 
@@ -517,6 +532,103 @@ _REG["sim_knn_ivfpq"] = _REG["sim_knn_ivfpq"].__class__(
     spark=_REG["sim_knn_ivfpq"].spark,
     oracle=_ivfpq_sql(),
     doc=_REG["sim_knn_ivfpq"].doc,
+)
+
+
+# --- IVF+PQ with exact re-rank: the two-stage serving pattern ---------
+
+_REFINE_R = 20  # ADC shortlist size handed to the exact re-rank
+
+
+def _ivfpq_refined_sql() -> str:
+    return f"""{_ivfpq_scored_ctes()},
+short AS (
+  SELECT query_id, neighbor_id, approx_dot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY approx_dot DESC, neighbor_id) AS pre_rank
+  FROM scored
+),
+ref AS (
+  SELECT s.query_id, s.neighbor_id, s.approx_dot,
+         ROUND(({_DOT_SQL_FULL.format(a='nq.embedding', b='nn.embedding')})
+               / (nq.nrm * nn.nrm), 6) AS exact_cos
+  FROM short s
+  JOIN n nq ON nq.vec_id = s.query_id
+  JOIN n nn ON nn.vec_id = s.neighbor_id
+  WHERE s.pre_rank <= {_REFINE_R}
+)
+SELECT query_id, neighbor_id, approx_dot, exact_cos, rnk AS neighbor_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY exact_cos DESC, neighbor_id) AS rnk
+  FROM ref
+)
+WHERE rnk <= {_IVFPQ_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+@register(
+    "sim_knn_ivfpq_refined",
+    None,  # oracle installed below (composes the shared scored CTEs)
+    doc=f"Two-stage ANN serving (coarse-then-refine, the production "
+    "retrieval pattern FAISS calls refine/RFlat): the IVF+PQ ADC "
+    f"stage shortlists the top-{_REFINE_R} candidates per query from "
+    "16-byte codes, then ONLY the shortlist pays an exact-cosine "
+    "re-rank against raw floats — per query the expensive float reads "
+    f"drop from |probed lists| to {_REFINE_R} rows. Because the "
+    "shortlist is a superset of the ADC top-k, the exact re-rank's "
+    "recall provably dominates the ADC-only face (pinned in pytest). "
+    "Composes the identical _ivfpq_scored stage as sim_knn_ivfpq — "
+    "index semantics can't drift between the faces.",
+)
+def sim_knn_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    scored = _ivfpq_scored(emb)
+    pre_w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+    short = scored.withColumn("pre_rank", F.row_number().over(pre_w)).where(
+        F.col("pre_rank") <= _REFINE_R
+    )
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    )
+    q = normed.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    nb = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nnrm"),
+    )
+    exact = F.round(
+        _dot(F.col("qe"), F.col("ne")) / (F.col("qnrm") * F.col("nnrm")), 6
+    )
+    ref = (
+        short.join(F.broadcast(q), "query_id")
+        .join(nb, "neighbor_id")
+        .select("query_id", "neighbor_id", "approx_dot", exact.alias("exact_cos"))
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("exact_cos"), F.asc("neighbor_id")
+    )
+    return (
+        ref.withColumn("neighbor_rank", F.row_number().over(rank_w))
+        .where(F.col("neighbor_rank") <= _IVFPQ_TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )
+
+
+_REG["sim_knn_ivfpq_refined"] = _REG["sim_knn_ivfpq_refined"].__class__(
+    name="sim_knn_ivfpq_refined",
+    spark=_REG["sim_knn_ivfpq_refined"].spark,
+    oracle=_ivfpq_refined_sql(),
+    doc=_REG["sim_knn_ivfpq_refined"].doc,
 )
 
 

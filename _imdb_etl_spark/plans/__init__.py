@@ -136,6 +136,12 @@ _GATE_REST = [
     "quality_calibration_bins",
     "multimodal_audio_segments",
     "text_remove_duplicate_spans",
+    "sim_knn_ivfpq_refined",
+    # sim_knn_ivfpq's scoring stage was factored into the shared
+    # _ivfpq_scored helper the refined face composes — pure code
+    # motion, but rotation policy says a changed implementation gets a
+    # fresh driver row
+    "sim_knn_ivfpq",
     "dedup_embedding_ivf",
     "vocab_oov_rate",
     "fact_star_left_joins",
@@ -171,7 +177,6 @@ _GATE_REST = [
     "split_leakage_audit",
     "events_retention_cohorts",
     "events_value_drift_daily",
-    "sim_knn_ivfpq",
     "corpus_token_budget_plan",
     "multimodal_audio_stats",
     "multimodal_shot_boundaries",

@@ -175,6 +175,14 @@ SF1_SPOT = [
     # rounds — the per-round shuffle must grow linearly with the
     # corpus, and round count must stay data-independent
     "tokenizer_bpe_train_n",
+    # round-6 continuation: incremental near-dup (band probe vs the
+    # corpus index), interval union (windowed islands), span-removal
+    # rewrite (gram-keyed window + doc-keyed re-assembly), and the
+    # mapInPandas decode pipeline — the four new shuffle shapes
+    "dedup_incremental_minhash",
+    "events_interval_coalesce",
+    "text_remove_duplicate_spans",
+    "multimodal_audio_segments",
 ]
 
 _SF1_SRC = "/root/testdata/sf0.1"

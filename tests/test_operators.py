@@ -1794,3 +1794,50 @@ def test_remove_duplicate_spans_matches_pure_python(spark, sf_dir):
         assert got[doc_id] == (len(t), len(t) - len(keep), md5), doc_id
         total_removed += len(t) - len(keep)
     assert total_removed > 0
+
+
+def test_ivfpq_refined_recall_dominates_adc(spark, sf_dir):
+    """The exact re-rank face must never lose to the ADC-only face:
+    the shortlist is a superset of the ADC top-k, and any true-top-k
+    member inside the shortlist has (by definition) one of the
+    shortlist's highest exact cosines — so refined recall >= ADC
+    recall, measured against a numpy brute-force exact top-k."""
+    import numpy as np
+
+    from _imdb_etl_spark.operators.semantic import _IVFPQ_TOP_K, _N_QUERIES
+
+    adc = REGISTRY["sim_knn_ivfpq"].spark(spark, sf_dir).collect()
+    ref = REGISTRY["sim_knn_ivfpq_refined"].spark(spark, sf_dir).collect()
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat[: _N_QUERIES] @ mat.T
+    truth = {}
+    for qi in range(_N_QUERIES):
+        row = sims[qi].copy()
+        row[qi] = -np.inf  # exclude self
+        top = np.argpartition(-row, _IVFPQ_TOP_K)[:_IVFPQ_TOP_K]
+        truth[ids[qi]] = {int(ids[j]) for j in top}
+
+    def recall(rows):
+        hits = tot = 0
+        for q, t in truth.items():
+            got = {r.neighbor_id for r in rows if r.query_id == q}
+            hits += len(got & t)
+            tot += len(t)
+        return hits / tot
+
+    r_adc, r_ref = recall(adc), recall(ref)
+    assert r_ref >= r_adc, (r_ref, r_adc)
+    assert r_ref > 0
+    # within each query the refined output is exact-cos descending
+    for q in truth:
+        ranked = sorted(
+            (r for r in ref if r.query_id == q), key=lambda r: r.neighbor_rank
+        )
+        cos = [r.exact_cos for r in ranked]
+        assert cos == sorted(cos, reverse=True)

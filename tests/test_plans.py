@@ -415,3 +415,16 @@ def test_parameterized_sql_still_pushes_down(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan and "o_orderdate" in scan[0] and "1997-06-01" in scan[0]
+
+
+def test_incremental_minhash_reuses_candidate_exchange(spark, sf_dir):
+    """dedup_incremental_minhash composes the SAME lsh_candidates stage
+    (band probe + build + verify all reading one doc-keyed signature
+    aggregation) plus the boundary-flag joins — the adaptive plan must
+    reuse that exchange rather than recompute the shingle shuffle for
+    the incremental face's extra consumers."""
+    df = REGISTRY["dedup_incremental_minhash"].spark(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan
