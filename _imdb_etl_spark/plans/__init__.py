@@ -136,6 +136,7 @@ _GATE_REST = [
     "quality_calibration_bins",
     "multimodal_audio_segments",
     "text_remove_duplicate_spans",
+    "sketch_distinct_kmv_setops",
     "sim_knn_ivfpq_refined",
     # sim_knn_ivfpq's scoring stage was factored into the shared
     # _ivfpq_scored helper the refined face composes — pure code

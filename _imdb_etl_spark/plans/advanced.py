@@ -1340,3 +1340,221 @@ def setop_intersect_all_views(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("converted_views"))
         .orderBy("user_id")
     )
+
+
+# --- KMV (bottom-k) distinct sketch: mergeable set operations ---------
+#
+# HLL (approx_distinct_users above) answers "how many distinct" but its
+# sketches can't intersect. The KMV / k-minimum-values sketch (Bar-Yossef
+# et al. 2002; Beyer et al. SIGMOD'07 for the set-op estimators) keeps
+# the k smallest hash values of a set; sketches MERGE by re-taking the
+# bottom-k of the member union (never re-reading the data), and the
+# merged sketch supports union AND intersection estimates — the
+# cross-partition / cross-day / cross-source overlap questions a 100 TB
+# corpus plan needs answered without a global COUNT(DISTINCT) shuffle.
+# Unlike engine-internal HLL registers, the sketch is just md5 prefixes:
+# bit-identical in any engine, so the DuckDB twin replays the exact
+# algorithm and the value hash pins every estimate.
+
+_KMV_K = 64  # sketch size; rsd ~ 1/sqrt(k-2) ~ 0.127
+_KMV_HEX = 12  # md5 hex prefix width -> 48-bit hash space
+_KMV_SPACE = float(16**_KMV_HEX)
+
+
+def _kmv_est_raw(n: F.Column, kth: F.Column) -> F.Column:
+    """Unrounded KMV estimate: exhaustive sketch (n < k) reports its own
+    size; a saturated sketch reports (k-1) / (kth / |hash space|). Kept
+    unrounded so composed estimators (intersection = rho * union) round
+    ONCE, identically to the oracle."""
+    return F.when(n < _KMV_K, n.cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) / (kth.cast("double") / F.lit(_KMV_SPACE))
+    )
+
+
+def _kmv_est_sql(n: str, kth: str) -> str:
+    """DuckDB twin of _kmv_est_raw — identical operation order so the
+    IEEE doubles match bitwise."""
+    return (
+        f"CASE WHEN {n} < {_KMV_K} THEN CAST({n} AS DOUBLE) "
+        f"ELSE {float(_KMV_K - 1)!r} / (CAST({kth} AS DOUBLE) / {_KMV_SPACE!r}) END"
+    )
+
+
+def _kmv_sql() -> str:
+    from _imdb_etl_spark.functions import md5_prefix_int_sql
+
+    h = md5_prefix_int_sql("CAST(user_id AS VARCHAR)", _KMV_HEX)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {h} AS h FROM events
+),
+sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+    FROM hashed
+  ) WHERE r <= {_KMV_K}
+),
+typed AS (
+  SELECT p.event_type AS set_name, p.n_sketch, p.kth_hash,
+         ROUND({_kmv_est_sql('p.n_sketch', 'p.kth_hash')}, 4) AS kmv_est,
+         e.exact_users
+  FROM (SELECT event_type, COUNT(*) AS n_sketch, MAX(h) AS kth_hash
+        FROM sk GROUP BY event_type) p
+  JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+        FROM events GROUP BY event_type) e USING (event_type)
+),
+merged AS (SELECT DISTINCT h FROM sk ORDER BY h LIMIT {_KMV_K}),
+urow AS (
+  SELECT 'union:all' AS set_name, COUNT(*) AS n_sketch, MAX(h) AS kth_hash,
+         ROUND({_kmv_est_sql('COUNT(*)', 'MAX(h)')}, 4) AS kmv_est,
+         (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users
+  FROM merged
+),
+a AS (SELECT h FROM sk WHERE event_type = 'view'),
+b AS (SELECT h FROM sk WHERE event_type = 'purchase'),
+pair AS (
+  SELECT h FROM (
+    SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b)
+  ) ORDER BY h LIMIT {_KMV_K}
+),
+pflag AS (
+  SELECT p.h,
+         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+  FROM pair p LEFT JOIN a ON a.h = p.h LEFT JOIN b ON b.h = p.h
+),
+irow AS (
+  SELECT 'intersect:view*purchase' AS set_name,
+         COUNT(*) AS n_sketch, MAX(h) AS kth_hash,
+         ROUND((CAST(SUM(in_a * in_b) AS DOUBLE) / COUNT(*))
+               * ({_kmv_est_sql('COUNT(*)', 'MAX(h)')}), 4) AS kmv_est,
+         (SELECT COUNT(*) FROM
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v
+            JOIN (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase') pu USING (user_id)
+         ) AS exact_users
+  FROM pflag
+)
+SELECT * FROM typed
+UNION ALL SELECT * FROM urow
+UNION ALL SELECT * FROM irow
+ORDER BY set_name
+"""
+
+
+@register(
+    "sketch_distinct_kmv_setops",
+    None,  # installed below (composes md5_prefix_int_sql at import)
+    doc="Mergeable KMV (bottom-k) distinct sketch with set operations "
+    "— the sketch family HLL can't do: per-event-type sketches keep "
+    f"the {_KMV_K} smallest 48-bit md5 hashes of the user set; the "
+    "'union:all' row is estimated from the MERGED sketch members only "
+    "(bottom-k of the k-sized per-type sketches — never re-reading "
+    "events, exactly how 100 TB per-partition sketches combine on the "
+    "driver), and the 'intersect:view*purchase' row applies the "
+    "Beyer et al. rho-scaling (|M & A & B| / |M| times the pair-union "
+    "estimate). Every hash is an md5 prefix, so the DuckDB oracle "
+    "replays the identical algorithm and the value hash pins the "
+    "estimates bitwise; exact_users columns carry the ground truth "
+    "for accuracy reading. A pure-Python third implementation guards "
+    "both twins in pytest (shared-bug lesson from the BPE trainer).",
+)
+def sketch_distinct_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    h = hex_prefix_int(F.md5(F.col("user_id").cast("string")), _KMV_HEX)
+    hashed = events.select("event_type", h.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= _KMV_K)
+        .select("event_type", "h")
+    )
+
+    per_sk = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    typed = per_sk.join(exact, "event_type").select(
+        F.col("event_type").alias("set_name"),
+        "n_sketch",
+        "kth_hash",
+        F.round(_kmv_est_raw(F.col("n_sketch"), F.col("kth_hash")), 4).alias(
+            "kmv_est"
+        ),
+        "exact_users",
+    )
+
+    # merge = bottom-k of the sketch MEMBERS (<= 5k rows), not the data
+    merged = sk.select("h").distinct().orderBy("h").limit(_KMV_K)
+    magg = merged.agg(
+        F.count(F.lit(1)).alias("n_sketch"), F.max("h").alias("kth_hash")
+    )
+    uexact = events.agg(F.count_distinct("user_id").alias("exact_users"))
+    # 1-row scalar agg x 1-row scalar agg — bounded by construction
+    urow = magg.crossJoin(uexact).select(
+        F.lit("union:all").alias("set_name"),
+        "n_sketch",
+        "kth_hash",
+        F.round(_kmv_est_raw(F.col("n_sketch"), F.col("kth_hash")), 4).alias(
+            "kmv_est"
+        ),
+        "exact_users",
+    )
+
+    a = sk.where(F.col("event_type") == "view").select("h")
+    b = sk.where(F.col("event_type") == "purchase").select("h")
+    pair = a.unionByName(b).distinct().orderBy("h").limit(_KMV_K)
+    flag = pair.join(
+        a.withColumn("in_a", F.lit(1)), "h", "left"
+    ).join(b.withColumn("in_b", F.lit(1)), "h", "left")
+    pagg = flag.agg(
+        F.count(F.lit(1)).alias("n_sketch"),
+        F.max("h").alias("kth_hash"),
+        F.sum(
+            F.coalesce("in_a", F.lit(0)) * F.coalesce("in_b", F.lit(0))
+        ).alias("n_both"),
+    )
+    iexact = (
+        events.where(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .join(
+            events.where(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    # 1-row scalar agg x 1-row scalar agg — bounded by construction
+    irow = pagg.crossJoin(iexact).select(
+        F.lit("intersect:view*purchase").alias("set_name"),
+        "n_sketch",
+        "kth_hash",
+        F.round(
+            (F.col("n_both").cast("double") / F.col("n_sketch"))
+            * _kmv_est_raw(F.col("n_sketch"), F.col("kth_hash")),
+            4,
+        ).alias("kmv_est"),
+        "exact_users",
+    )
+
+    return typed.unionByName(urow).unionByName(irow).orderBy("set_name")
+
+
+from _imdb_etl_spark.plans.registry import REGISTRY as _REG_KMV  # noqa: E402
+
+_REG_KMV["sketch_distinct_kmv_setops"] = _REG_KMV[
+    "sketch_distinct_kmv_setops"
+].__class__(
+    name="sketch_distinct_kmv_setops",
+    spark=_REG_KMV["sketch_distinct_kmv_setops"].spark,
+    oracle=_kmv_sql(),
+    doc=_REG_KMV["sketch_distinct_kmv_setops"].doc,
+)

@@ -1841,3 +1841,69 @@ def test_ivfpq_refined_recall_dominates_adc(spark, sf_dir):
         )
         cos = [r.exact_cos for r in ranked]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_kmv_setops_matches_pure_python(spark, sf_dir):
+    """Third implementation (shared-twin-bug guard): replay the KMV
+    bottom-k sketch, merge, and rho-scaled intersection in plain
+    Python over pandas and require row-identical output, then sanity-
+    check the saturated estimates against exact cardinalities within
+    the analytic 3*rsd KMV bound."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from _imdb_etl_spark.plans.advanced import _KMV_HEX, _KMV_K, _KMV_SPACE
+
+    got = {
+        r.set_name: (r.n_sketch, r.kth_hash, r.kmv_est, r.exact_users)
+        for r in REGISTRY["sketch_distinct_kmv_setops"].spark(spark, sf_dir).collect()
+    }
+
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def h64(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:_KMV_HEX], 16)
+
+    sketches, exacts = {}, {}
+    for et, grp in pdf.groupby("event_type"):
+        users = set(grp["user_id"])
+        exacts[et] = len(users)
+        sketches[et] = sorted({h64(u) for u in users})[:_KMV_K]
+
+    def est(sk):
+        if len(sk) < _KMV_K:
+            return float(len(sk))
+        return float(_KMV_K - 1) / (float(sk[-1]) / _KMV_SPACE)
+
+    for et, sk in sketches.items():
+        assert got[et] == (len(sk), sk[-1], round(est(sk), 4), exacts[et]), et
+
+    merged = sorted(set().union(*sketches.values()))[:_KMV_K]
+    assert got["union:all"] == (
+        len(merged),
+        merged[-1],
+        round(est(merged), 4),
+        len(set(pdf["user_id"])),
+    )
+
+    av, bv = set(sketches["view"]), set(sketches["purchase"])
+    pair = sorted(av | bv)[:_KMV_K]
+    rho = sum(1 for x in pair if x in av and x in bv) / len(pair)
+    exact_inter = len(
+        set(pdf[pdf.event_type == "view"]["user_id"])
+        & set(pdf[pdf.event_type == "purchase"]["user_id"])
+    )
+    assert got["intersect:view*purchase"] == (
+        len(pair),
+        pair[-1],
+        round(rho * est(pair), 4),
+        exact_inter,
+    )
+
+    # analytic accuracy: saturated sketches within 3/sqrt(k-2) of exact
+    bound = 3.0 / math.sqrt(_KMV_K - 2)
+    for name, (n, _, e, exact) in got.items():
+        if n == _KMV_K and exact > 0:
+            assert abs(e - exact) <= bound * exact, (name, e, exact)
