@@ -1134,3 +1134,84 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # narrow literal-replace chain — no shuffle, bounded cost
     final_stream.unpersist()
     return out
+
+
+# --- privacy audit: k-anonymity + l-diversity -------------------------
+
+_KANON_K = 5  # minimum group size to release
+_LDIV_L = 2  # minimum sensitive-value diversity to release unchanged
+
+_KANON_SQL = f"""
+WITH enriched AS (
+  SELECT doc_id, lang, source, n_chars // 100 AS len_bucket,
+         {_ENRICH_SQL.replace("STRING", "VARCHAR")} AS body
+  FROM documents
+),
+classed AS (
+  SELECT lang, source, len_bucket,
+         CASE
+           WHEN regexp_matches(body, '{_EMAIL_RE}')
+                AND regexp_matches(body, '{_IPV4_RE}') THEN 'both'
+           WHEN regexp_matches(body, '{_EMAIL_RE}') THEN 'email'
+           WHEN regexp_matches(body, '{_IPV4_RE}') THEN 'ip'
+           ELSE 'clean'
+         END AS pii_class
+  FROM enriched
+)
+SELECT lang, source, len_bucket,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT pii_class) AS l_diversity,
+       CASE WHEN COUNT(*) < {_KANON_K} THEN 'suppress'
+            WHEN COUNT(DISTINCT pii_class) < {_LDIV_L} THEN 'generalize'
+            ELSE 'release' END AS action
+FROM classed
+GROUP BY lang, source, len_bucket
+ORDER BY lang, source, len_bucket
+"""
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    _KANON_SQL,
+    doc=f"Pre-release privacy audit (Sweeney k-anonymity + Machanavajjhala "
+    "l-diversity): documents grouped by the quasi-identifier tuple "
+    "(lang, source, 100-char length bucket); a group smaller than "
+    f"k={_KANON_K} is re-identifiable and marked 'suppress', a group "
+    "whose sensitive attribute (PII class from the same deterministic "
+    "enrichment text_pii_redact scrubs) shows fewer than "
+    f"l={_LDIV_L} distinct values leaks by homogeneity and is marked "
+    "'generalize'. One hash aggregation on the QI key with map-side "
+    "partials (the sensitive domain is 4 values, so COUNT(DISTINCT) "
+    "stays a bounded map-side set) — corpus-linear at 100 TB.",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    body = F.expr(_ENRICH_SQL)
+    has_email = F.regexp_count(body, F.lit(_EMAIL_RE)) > 0
+    has_ip = F.regexp_count(body, F.lit(_IPV4_RE)) > 0
+    pii_class = (
+        F.when(has_email & has_ip, "both")
+        .when(has_email, "email")
+        .when(has_ip, "ip")
+        .otherwise("clean")
+    )
+    grouped = docs.select(
+        "lang",
+        "source",
+        (F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        pii_class.alias("pii_class"),
+    ).groupBy("lang", "source", "len_bucket")
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("pii_class").alias("l_diversity"),
+    ).select(
+        "lang",
+        "source",
+        "len_bucket",
+        "n_docs",
+        "l_diversity",
+        F.when(F.col("n_docs") < _KANON_K, "suppress")
+        .when(F.col("l_diversity") < _LDIV_L, "generalize")
+        .otherwise("release")
+        .alias("action"),
+    ).orderBy("lang", "source", "len_bucket")

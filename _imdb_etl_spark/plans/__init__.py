@@ -137,6 +137,8 @@ _GATE_REST = [
     "multimodal_audio_segments",
     "text_remove_duplicate_spans",
     "sketch_distinct_kmv_setops",
+    "events_attribution_last_touch",
+    "privacy_k_anonymity_audit",
     "sim_knn_ivfpq_refined",
     # sim_knn_ivfpq's scoring stage was factored into the shared
     # _ivfpq_scored helper the refined face composes — pure code

@@ -1755,3 +1755,103 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("longest_error_run"),
     ).orderBy("user_id")
+
+
+# --- last-touch attribution ------------------------------------------
+
+_ATTR_WINDOW_MS = 24 * 3600 * 1000  # lookback: touch within 24h converts
+
+_ATTR_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type, value FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+seq AS (
+  SELECT *, MAX(CASE WHEN event_type IN ('view', 'click') THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS prev_touch_ts
+  FROM s
+),
+tk AS (
+  SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+  FROM s WHERE event_type IN ('view', 'click') GROUP BY user_id, ts
+),
+p AS (
+  SELECT q.user_id, q.ts, q.value, q.prev_touch_ts, t.touch_type
+  FROM seq q
+  LEFT JOIN tk t ON t.user_id = q.user_id AND t.ts = q.prev_touch_ts
+  WHERE q.event_type = 'purchase'
+)
+SELECT CASE WHEN prev_touch_ts IS NOT NULL
+             AND epoch_ms(ts) - epoch_ms(prev_touch_ts) <= {_ATTR_WINDOW_MS}
+             AND touch_type IS NOT NULL
+        THEN touch_type ELSE 'none' END AS touch_type,
+       COUNT(*) AS conversions,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+FROM p
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "events_attribution_last_touch",
+    _ATTR_SQL,
+    doc="Marketing-style last-touch attribution: each purchase credits "
+    "the user's most recent earlier view/click if it happened within "
+    "24 h, else falls into the 'none' bucket. Built from the asof "
+    "conditional-running-MAX pattern (one shuffle on user_id, no range "
+    "join) plus one join back to the touch rows to recover the touch "
+    "TYPE — ties of several touches at the identical microsecond are "
+    "broken deterministically by max event_id (max_by/arg_max in both "
+    "engines). Attributed revenue follows the exact-decimal sum "
+    "policy. At 100 TB this stays two key-partitioned exchanges "
+    "(user_id window, then the touch-key join); no per-pair work.",
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    s = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_ts = F.max(
+        F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
+    ).over(w)
+    purch = (
+        s.withColumn("prev_touch_ts", prev_ts)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value", "prev_touch_ts")
+    )
+    tk = (
+        s.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts").alias("tts"))
+        .agg(F.expr("max_by(event_type, event_id)").alias("touch_type"))
+    )
+    j = purch.join(
+        tk,
+        (purch["user_id"] == tk["user_id"])
+        & (purch["prev_touch_ts"] == tk["tts"]),
+        "left",
+    ).select(purch["user_id"], "ts", "value", "prev_touch_ts", "touch_type")
+    in_win = F.col("prev_touch_ts").isNotNull() & (
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.col("prev_touch_ts"))
+        <= _ATTR_WINDOW_MS
+    )
+    label = F.when(
+        in_win & F.col("touch_type").isNotNull(), F.col("touch_type")
+    ).otherwise(F.lit("none"))
+    return (
+        j.groupBy(label.alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            dsum(dec("value"), "attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
