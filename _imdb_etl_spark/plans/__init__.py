@@ -139,6 +139,8 @@ _GATE_REST = [
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",
+    "scalar_map_suite",
+    "distinct_users_bitmap_exact",
     "sim_knn_ivfpq_refined",
     # sim_knn_ivfpq's scoring stage was factored into the shared
     # _ivfpq_scored helper the refined face composes — pure code

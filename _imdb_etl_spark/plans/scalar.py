@@ -355,3 +355,105 @@ def scalar_timestamp_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# --- map-function suite ------------------------------------------------
+
+_MAP_SQL = """
+WITH o AS (
+  SELECT o_orderkey,
+         o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr
+  FROM orders WHERE o_orderkey <= 400
+)
+SELECT o_orderkey,
+       2 AS m_size,
+       o_orderstatus AS status_val,
+       array_to_string(list_sort(['price=' || CAST(cents * 2 AS VARCHAR),
+                                  'year=' || CAST(yr * 2 AS VARCHAR)]), ',')
+         AS doubled,
+       array_to_string(list_sort(list_filter(
+           ['price=' || CAST(cents AS VARCHAR), 'year=' || CAST(yr AS VARCHAR)],
+           x -> CAST(string_split(x, '=')[2] AS BIGINT) > 100000)), ',')
+         AS big_entries,
+       array_to_string(list_sort(['price=' || CAST(cents + yr AS VARCHAR),
+                                  'year=' || CAST(yr + cents AS VARCHAR)]), ',')
+         AS zipped,
+       array_to_string(list_sort(['prio', 'status']), ',') AS keys_sorted
+FROM o
+ORDER BY o_orderkey
+"""
+
+
+def _map_str(m) -> "F.Column":
+    """Canonical cross-engine map rendering: sorted 'k=v' entry list."""
+    return F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat_ws("=", e.key, e.value.cast("string")),
+            )
+        ),
+        ",",
+    )
+
+
+@register(
+    "scalar_map_suite",
+    _MAP_SQL,
+    doc="Map-type function parity: create_map / map_from_arrays "
+    "construction, element_at lookup, transform_values, map_filter "
+    "(lambda over entries), map_zip_with (per-key combine), map_keys, "
+    "size — the Spark map surface. Maps have no deterministic physical "
+    "entry order in either engine, so every map-valued result is "
+    "rendered through ONE canonical serialization (sorted 'k=v' entry "
+    "strings); the DuckDB twin computes the expected entries directly "
+    "from the same construction, so the hash pins lookup, lambda, and "
+    "combine semantics, not storage order. All codegen-side, "
+    "per-row-narrow — no shuffle beyond the final presentation sort.",
+)
+def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    o = orders.where(F.col("o_orderkey") <= 400).select(
+        "o_orderkey",
+        "o_orderstatus",
+        # decimal first: a double*100 truncates vs rounds differently
+        # across engines on .xx5 representations
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+    )
+    nums = F.map_from_arrays(
+        F.array(F.lit("price"), F.lit("year")),
+        F.array(F.col("cents"), F.col("yr")),
+    )
+    strs = F.map_concat(
+        F.create_map(F.lit("status"), F.col("o_orderstatus")),
+        F.create_map(F.lit("prio"), F.lit("std")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.size(nums).alias("m_size"),
+        F.element_at(strs, "status").alias("status_val"),
+        _map_str(F.transform_values(nums, lambda k, v: v * 2)).alias(
+            "doubled"
+        ),
+        _map_str(F.map_filter(nums, lambda k, v: v > 100000)).alias(
+            "big_entries"
+        ),
+        _map_str(
+            F.map_zip_with(
+                nums,
+                F.map_from_arrays(
+                    F.array(F.lit("price"), F.lit("year")),
+                    F.array(F.col("yr"), F.col("cents")),
+                ),
+                lambda k, v1, v2: v1 + v2,
+            )
+        ).alias("zipped"),
+        F.array_join(F.array_sort(F.map_keys(strs)), ",").alias(
+            "keys_sorted"
+        ),
+    ).orderBy("o_orderkey")

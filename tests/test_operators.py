@@ -1907,3 +1907,21 @@ def test_kmv_setops_matches_pure_python(spark, sf_dir):
     for name, (n, _, e, exact) in got.items():
         if n == _KMV_K and exact > 0:
             assert abs(e - exact) <= bound * exact, (name, e, exact)
+
+
+def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
+    """The bitmap popcount path must be EXACT: every per-type row and
+    the merged union row equal the straightforward COUNT(DISTINCT)."""
+    rows = {
+        r.set_name: r.distinct_users
+        for r in REGISTRY["distinct_users_bitmap_exact"].spark(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expect = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    expect["union:all"] = ev.select("user_id").distinct().count()
+    assert rows == expect
