@@ -141,6 +141,7 @@ _GATE_REST = [
     "privacy_k_anonymity_audit",
     "scalar_map_suite",
     "distinct_users_bitmap_exact",
+    "streaming_foreachbatch_upsert",
     "sim_knn_ivfpq_refined",
     # sim_knn_ivfpq's scoring stage was factored into the shared
     # _ivfpq_scored helper the refined face composes — pure code

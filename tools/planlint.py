@@ -105,6 +105,8 @@ SKIP = {
     "streaming_join_view_purchase",
     "streaming_pysource_bucket_counts",
     "streaming_corpus_ingest",
+    "streaming_foreachbatch_upsert",  # runs two stream passes eagerly;
+    # the final merge plan is an 8-file scan + hash agg
     "sim_knn_ivf_trained",
     "tokenizer_bpe_train_n",  # iterative trainer: building the DF runs
     # the 8 merge rounds; per-round plans are the narrow-map + hash-agg
