@@ -31,6 +31,7 @@ from _imdb_etl_spark.sources import pysource  # noqa: E402,F401
 from _imdb_etl_spark.sources import jsonl  # noqa: E402,F401
 from _imdb_etl_spark.sources import xml  # noqa: E402,F401
 from _imdb_etl_spark.sources import orc  # noqa: E402,F401
+from _imdb_etl_spark.sources import partitioned  # noqa: E402,F401
 from _imdb_etl_spark.operators import quality  # noqa: E402,F401
 from _imdb_etl_spark.operators import evaluation  # noqa: E402,F401
 from _imdb_etl_spark import streaming  # noqa: E402,F401
@@ -142,6 +143,8 @@ _GATE_REST = [
     "scalar_map_suite",
     "distinct_users_bitmap_exact",
     "streaming_foreachbatch_upsert",
+    "sink_dynamic_partition_backfill",
+    "events_attribution_linear",
     "sim_knn_ivfpq_refined",
     # sim_knn_ivfpq's scoring stage was factored into the shared
     # _ivfpq_scored helper the refined face composes — pure code

@@ -1855,3 +1855,143 @@ def events_attribution_last_touch(
         )
         .orderBy("touch_type")
     )
+
+
+# --- linear (multi-touch) attribution ----------------------------------
+
+_LATTR_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+tn AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         AS next_pts
+  FROM s
+),
+touches AS (
+  SELECT user_id, next_pts, event_type AS touch_type
+  FROM tn
+  WHERE event_type IN ('view', 'click') AND next_pts IS NOT NULL
+    AND epoch_ms(next_pts) - epoch_ms(ts) <= {_ATTR_WINDOW_MS}
+),
+purch AS (
+  SELECT user_id, ts AS pts, COUNT(*) AS n_purch
+  FROM s WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+grp AS (
+  SELECT user_id, next_pts, COUNT(*) AS n_touch
+  FROM touches GROUP BY user_id, next_pts
+),
+credited AS (
+  SELECT t.touch_type,
+         COUNT(*) AS touches,
+         CAST(SUM(p.n_purch) AS BIGINT) AS conversions,
+         CAST(SUM(CAST(floor(p.n_purch * 1000000.0 / g.n_touch)
+                       AS BIGINT)) AS BIGINT) AS credit_micro
+  FROM touches t
+  JOIN grp g ON g.user_id = t.user_id AND g.next_pts = t.next_pts
+  JOIN purch p ON p.user_id = t.user_id AND p.pts = t.next_pts
+  GROUP BY t.touch_type
+),
+unattributed AS (
+  SELECT 'none' AS touch_type,
+         0 AS touches,
+         CAST(SUM(p.n_purch) AS BIGINT) AS conversions,
+         CAST(SUM(p.n_purch) * 1000000 AS BIGINT) AS credit_micro
+  FROM purch p
+  LEFT JOIN grp g ON g.user_id = p.user_id AND g.next_pts = p.pts
+  WHERE g.user_id IS NULL
+)
+SELECT * FROM credited
+UNION ALL SELECT * FROM unattributed
+ORDER BY touch_type
+"""
+
+
+@register(
+    "events_attribution_linear",
+    _LATTR_SQL,
+    doc="Linear multi-touch attribution, the fan-out sibling of "
+    "events_attribution_last_touch: every view/click within 24 h "
+    "before the user's NEXT purchase shares that conversion's credit "
+    "equally. Credit is integer micro-units with floor — per-group "
+    "floor(n_purch*1e6/n_touch) — because summing fractional doubles "
+    "is shuffle-order-dependent and would break hash determinism; "
+    "conservation (total credit ~ 1e6 per purchase) is pinned in "
+    "pytest. Touch->conversion assignment is the conditional running "
+    "MIN over the following frame (journey resets at each purchase); "
+    "one user_id window plus two key-partitioned joins, no range "
+    "explosion at 100 TB.",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    s = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_pts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    touches = (
+        s.withColumn("next_pts", next_pts)
+        .where(
+            F.col("event_type").isin("view", "click")
+            & F.col("next_pts").isNotNull()
+            & (
+                F.unix_millis(F.col("next_pts")) - F.unix_millis(F.col("ts"))
+                <= _ATTR_WINDOW_MS
+            )
+        )
+        .select("user_id", "next_pts", F.col("event_type").alias("touch_type"))
+    )
+    purch = (
+        s.where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+        )
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    grp = touches.groupBy("user_id", "next_pts").agg(
+        F.count(F.lit(1)).alias("n_touch")
+    )
+    credited = (
+        touches.join(grp, ["user_id", "next_pts"])
+        .join(
+            purch,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("next_pts") == F.col("pts")),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.sum("n_purch").alias("conversions"),
+            F.sum(
+                F.floor(
+                    F.col("n_purch") * 1000000.0 / F.col("n_touch")
+                ).cast("long")
+            ).alias("credit_micro"),
+        )
+    )
+    unattributed = (
+        purch.join(
+            grp,
+            (F.col("pu") == grp["user_id"])
+            & (F.col("pts") == grp["next_pts"]),
+            "left_anti",
+        )
+        .agg(F.sum("n_purch").alias("conversions"))
+        .select(
+            F.lit("none").alias("touch_type"),
+            F.lit(0).cast("long").alias("touches"),
+            "conversions",
+            (F.col("conversions") * 1000000).alias("credit_micro"),
+        )
+    )
+    return credited.unionByName(unattributed).orderBy("touch_type")

@@ -1925,3 +1925,26 @@ def test_bitmap_distinct_equals_count_distinct(spark, sf_dir):
     }
     expect["union:all"] = ev.select("user_id").distinct().count()
     assert rows == expect
+
+
+def test_linear_attribution_conserves_credit(spark, sf_dir):
+    """Every purchase carries exactly 1e6 micro-credits: attributed
+    groups lose at most (n_touch - 1) micro-units each to the floor,
+    unattributed purchases carry theirs whole — so the grand total is
+    within #groups of 1e6 * purchases, and never above."""
+    rows = REGISTRY["events_attribution_linear"].spark(spark, sf_dir).collect()
+    total_credit = sum(r.credit_micro for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_purch = ev.where(F.col("event_type") == "purchase").count()
+    n_groups = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+        .count()
+    )
+    assert total_credit <= n_purch * 1_000_000
+    assert total_credit >= n_purch * 1_000_000 - n_groups * 1_000_000
+    # every touch type present appears with positive credit
+    for r in rows:
+        if r.touch_type != "none":
+            assert r.credit_micro > 0 and r.touches > 0
