@@ -1341,3 +1341,107 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- prefix-filter (PPJoin-style) exact set-similarity join -----------
+#
+# The THIRD route to near-dup pairs next to the quadratic shared-shingle
+# join (pytest verifier) and MinHash-LSH banding (probabilistic): prefix
+# filtering is EXACT and sub-quadratic. Order every doc's shingle set by
+# a single global rarity order (doc-frequency asc, shingle asc); for
+# Jaccard >= tau two sets must share at least one shingle among each
+# one's first n - ceil(tau*n) + 1 rarest shingles (Chaudhuri/Bayardo
+# prefix-filter theorem), so candidate generation joins ONLY on prefix
+# shingles — and because prefixes hold the RAREST shingles, the join is
+# anti-skew by construction: a boilerplate shingle shared by half the
+# corpus has maximal df and lands at the END of every ordering, never in
+# a prefix. Lossless => the oracle is the plain exact all-pairs Jaccard
+# SQL; a hash match IS the no-missed-pair proof at full output strength.
+
+_PREFIX_TAU = 0.6
+
+_JACCARD_PREFIX_SQL = _JACCARD_SQL
+
+
+@register(
+    "dedup_jaccard_prefix",
+    _JACCARD_PREFIX_SQL,
+    doc="Exact set-similarity self-join via prefix filtering "
+    "(PPJoin-lite, Xiao et al. / Vernica et al.'s MapReduce form): "
+    "global rarity order (df asc, shingle asc), per-doc prefix of the "
+    "n - ceil(tau*n) + 1 rarest shingles, candidates = prefix-shingle "
+    "collisions + length filter, then exact verify by sorted-set "
+    "intersection on candidates only. Same result set as the quadratic "
+    "dedup_ngram_jaccard (prefix filtering is lossless) at a fraction "
+    "of the pair-stage cost, and unlike MinHash-LSH it has NO false "
+    "negatives — the route a compliance-grade dedup takes at 100 TB. "
+    "The oracle is the unfiltered exact all-pairs Jaccard SQL, so the "
+    "hash match doubles as the losslessness proof.",
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    # global shingle doc-frequency = the rarity ordering key. The join
+    # back to sh shuffles on the shingle — same exchange the df agg
+    # already keyed, so AQE coalesces; no doc-side explosion.
+    df_t = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    doc_sets = (
+        sh.join(df_t, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.col("ord.sh").alias("shs"),
+            F.size("ord").alias("n_sh"),
+        )
+        .withColumn(
+            "p_len",
+            (
+                F.col("n_sh")
+                - F.ceil(F.lit(_PREFIX_TAU) * F.col("n_sh")).cast("int")
+                + 1
+            ),
+        )
+    )
+    pre_a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_sh").alias("na"),
+        F.explode(F.slice("shs", F.lit(1), F.col("p_len"))).alias("ptok"),
+    )
+    pre_b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_sh").alias("nb"),
+        F.explode(F.slice("shs", F.lit(1), F.col("p_len"))).alias("ptok"),
+    )
+    # length filter: tau*na <= nb and tau*nb <= na (necessary for
+    # Jaccard >= tau), applied during candidate generation so oversize
+    # mismatches never reach the verify stage
+    cand = (
+        pre_a.join(pre_b, "ptok")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb").cast("double") >= F.lit(_PREFIX_TAU) * F.col("na"))
+            & (F.col("na").cast("double") >= F.lit(_PREFIX_TAU) * F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    da = doc_sets.select(
+        F.col("doc_id").alias("ka"),
+        F.col("shs").alias("shs_a"),
+        F.col("n_sh").alias("na2"),
+    )
+    db = doc_sets.select(
+        F.col("doc_id").alias("kb"),
+        F.col("shs").alias("shs_b"),
+        F.col("n_sh").alias("nb2"),
+    )
+    inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+    jacc = inter / (F.col("na2") + F.col("nb2") - inter)
+    return (
+        cand.join(da, F.col("doc_a") == F.col("ka"))
+        .join(db, F.col("doc_b") == F.col("kb"))
+        .where(jacc >= _PREFIX_TAU)
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

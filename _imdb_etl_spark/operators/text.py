@@ -759,3 +759,101 @@ def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- pointwise mutual information of co-occurring tokens --------------
+#
+# Corpus-level collocation mining: which token pairs co-occur in the
+# same document far more often than independence predicts. The classic
+# distributional-semantics primitive (Church & Hanks 1990) and the
+# feature extractor behind phrase detection in word2vec-style
+# pipelines. Scale shape: the pair stage is vocab-capped — only the
+# top-V tokens by document frequency enter the per-doc self-join, so
+# pairs-per-doc is <= V*(V-1)/2 regardless of document length, and the
+# candidate stream stays bounded at any corpus size. PMI's log is
+# rounded to 6 decimals in both engines (the ln-rounding convention
+# unigram_logprob_quality established).
+
+_PMI_VOCAB = 50
+_PMI_MIN_CO = 5
+_PMI_TOP = 50
+
+_PMI_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dft AS (SELECT token, COUNT(*) AS df FROM tok2 GROUP BY token),
+vocab AS (SELECT token, df FROM dft ORDER BY df DESC, token LIMIT {_PMI_VOCAB}),
+vt AS (SELECT t.doc_id, t.token, v.df FROM tok2 t JOIN vocab v USING (token)),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b,
+         a.df AS df_a, b.df AS df_b, COUNT(*) AS n_co
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2, 3, 4
+)
+SELECT token_a, token_b, n_co, df_a, df_b,
+       ROUND(ln(CAST(n_co AS DOUBLE) * n_docs / (df_a * df_b)), 6) AS pmi
+FROM pairs, n
+WHERE n_co >= {_PMI_MIN_CO}
+ORDER BY pmi DESC, token_a, token_b
+LIMIT {_PMI_TOP}
+"""
+
+
+@register(
+    "text_cooccurrence_pmi",
+    _PMI_SQL,
+    doc="Document-level PMI collocations over the top-"
+    f"{_PMI_VOCAB} vocabulary: presence-based co-occurrence counts "
+    "from a doc-keyed self-join of the vocab-filtered token table "
+    "(pairs-per-doc bounded by the vocab cap, not document length), "
+    "PMI = ln(n_co * N / (df_a * df_b)), support floor "
+    f"{_PMI_MIN_CO}, top {_PMI_TOP} by PMI with a total-order "
+    "tiebreak. The vocab table broadcasts; the only real exchange is "
+    "the doc-keyed pair aggregation.",
+)
+def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    tok = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_toks())).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    dft = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dft.orderBy(F.desc("df"), "token").limit(_PMI_VOCAB)
+    vt = tok.join(F.broadcast(vocab), "token")
+    a = vt.select(
+        "doc_id", F.col("token").alias("token_a"), F.col("df").alias("df_a")
+    )
+    b = vt.select(
+        "doc_id", F.col("token").alias("token_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .where(F.col("n_co") >= _PMI_MIN_CO)
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    pmi = F.round(
+        F.log(
+            F.col("n_co").cast("double")
+            * F.col("n_docs")
+            / (F.col("df_a") * F.col("df_b"))
+        ),
+        6,
+    )
+    # 1-row crossJoin broadcasts the corpus size (bounded by construction)
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select("token_a", "token_b", "n_co", "df_a", "df_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "token_a", "token_b")
+        .limit(_PMI_TOP)
+    )

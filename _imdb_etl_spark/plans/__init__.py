@@ -18,6 +18,7 @@ from _imdb_etl_spark.plans import advanced  # noqa: E402,F401
 from _imdb_etl_spark.plans import scale  # noqa: E402,F401
 from _imdb_etl_spark.plans import scalar  # noqa: E402,F401
 from _imdb_etl_spark.plans import parity  # noqa: E402,F401
+from _imdb_etl_spark.plans import audit  # noqa: E402,F401
 from _imdb_etl_spark.operators import text  # noqa: E402,F401
 from _imdb_etl_spark.operators import dedup  # noqa: E402,F401
 from _imdb_etl_spark.operators import similarity  # noqa: E402,F401
@@ -132,6 +133,13 @@ _GATE_REST = [
     # registered in the round-6 continuation (window full): local gate
     # replay green at sf0.001/sf0.01 + independent pytest references
     "dedup_incremental_minhash",
+    "cube_orders_status_year",
+    "median_exact_price_per_brand",
+    "audit_referential_integrity",
+    "profile_table_orders",
+    "dedup_jaccard_prefix",
+    "text_cooccurrence_pmi",
+    "events_gapfill_interpolate",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

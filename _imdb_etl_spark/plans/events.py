@@ -1995,3 +1995,127 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return credited.unionByName(unattributed).orderBy("touch_type")
+
+
+# --- gap fill with linear interpolation --------------------------------
+#
+# The interpolating sibling of events_gapfill_hourly (which carries the
+# last observation forward): missing hours get the straight line between
+# the nearest observed neighbors — the fill policy for continuous-valued
+# sensor/metric series where LOCF introduces step artifacts. Two
+# IGNORE-NULLS window passes per series (prev neighbor over an
+# unbounded-preceding frame, next neighbor over an unbounded-following
+# frame) — both partition on the series key, so series parallelize
+# independently and no window ever sees more than one series. Interp
+# arithmetic runs on epoch-millis BIGINTs and a decimal-summed hourly
+# mean, so both engines divide identical operands; ROUND(6) seals it.
+
+_INTERP_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+),
+nbr AS (
+  SELECT s.event_type, s.hr, h.avg_v,
+         last_value(h.avg_v IGNORE NULLS) OVER w_prev AS prev_v,
+         last_value(CASE WHEN h.avg_v IS NOT NULL THEN epoch_ms(s.hr) END
+                    IGNORE NULLS) OVER w_prev AS prev_ms,
+         first_value(h.avg_v IGNORE NULLS) OVER w_next AS next_v,
+         first_value(CASE WHEN h.avg_v IS NOT NULL THEN epoch_ms(s.hr) END
+                     IGNORE NULLS) OVER w_next AS next_ms
+  FROM spine s
+  LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+  WINDOW
+    w_prev AS (PARTITION BY s.event_type ORDER BY s.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY s.event_type ORDER BY s.hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:00:00') AS hour_bucket,
+       (avg_v IS NOT NULL) AS is_observed,
+       ROUND(CASE
+         WHEN avg_v IS NOT NULL THEN avg_v
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v)
+              * CAST(epoch_ms(hr) - prev_ms AS DOUBLE) / (next_ms - prev_ms)
+       END, 6) AS v_interp
+FROM nbr
+ORDER BY event_type, hour_bucket
+"""
+
+
+@register(
+    "events_gapfill_interpolate",
+    _INTERP_SQL,
+    doc="Dense hourly spine per series with LINEAR interpolation across "
+    "gaps (nearest-neighbor fallback at series edges) — the fill "
+    "policy events_gapfill_hourly's LOCF can't express. Per-series "
+    "windows only; the spine is generated, never materialized.",
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(
+            (
+                dsum(F.col("value").cast("decimal(18,6)"), "s")
+                / F.count(F.lit(1))
+            ).alias("avg_v")
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ms = F.when(
+        F.col("avg_v").isNotNull(), F.unix_millis(F.col("hr").cast("timestamp"))
+    )
+    nbr = (
+        spine.join(hourly, ["event_type", "hr"], "left")
+        .withColumn("prev_v", F.last("avg_v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_ms", F.last(obs_ms, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("avg_v", ignorenulls=True).over(w_next))
+        .withColumn("next_ms", F.first(obs_ms, ignorenulls=True).over(w_next))
+    )
+    here_ms = F.unix_millis(F.col("hr").cast("timestamp"))
+    interp = (
+        F.when(F.col("avg_v").isNotNull(), F.col("avg_v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (here_ms - F.col("prev_ms")).cast("double")
+            / (F.col("next_ms") - F.col("prev_ms"))
+        )
+    )
+    return nbr.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+        F.col("avg_v").isNotNull().alias("is_observed"),
+        F.round(interp, 6).alias("v_interp"),
+    ).orderBy("event_type", "hour_bucket")

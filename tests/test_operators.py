@@ -1948,3 +1948,93 @@ def test_linear_attribution_conserves_credit(spark, sf_dir):
     for r in rows:
         if r.touch_type != "none":
             assert r.credit_micro > 0 and r.touches > 0
+
+
+def test_prefix_filter_matches_exact_jaccard(spark, sf_dir):
+    """Losslessness pin for dedup_jaccard_prefix: the prefix-filtered
+    join must return EXACTLY the quadratic all-pairs result (prefix
+    filtering prunes candidates, never results)."""
+    from _imdb_etl_spark.operators.dedup import (
+        dedup_jaccard_prefix,
+        dedup_ngram_jaccard,
+    )
+
+    exact = {tuple(r) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    pref = {tuple(r) for r in dedup_jaccard_prefix(spark, sf_dir).collect()}
+    assert pref == exact
+
+
+def test_prefix_filter_antiskew_under_hot_shingle(spark):
+    """The prefix join's anti-skew claim, empirically: a boilerplate
+    shingle shared by 30% of docs has maximal doc-frequency, so the
+    rarity ordering pushes it out of every doc's prefix — the prefix
+    pair stage stays bounded where the naive shared-shingle stage is
+    quadratic in the hot-doc count (same corpus as the LSH skew test)."""
+    import random
+
+    from _imdb_etl_spark.operators.dedup import _PREFIX_TAU, _shingles
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(5000)]
+    rows = []
+    for d in range(200):
+        toks = rng.sample(words, 12)
+        if d % 10 < 3:
+            toks[4:4] = ["click", "here", "now"]
+        rows.append((d, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = _shingles(docs)
+    df_t = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    doc_sets = (
+        sh.join(df_t, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .select("doc_id", F.col("ord.sh").alias("shs"), F.size("ord").alias("n_sh"))
+        .withColumn(
+            "p_len",
+            F.col("n_sh")
+            - F.ceil(F.lit(_PREFIX_TAU) * F.col("n_sh")).cast("int")
+            + 1,
+        )
+    )
+    pre = doc_sets.select(
+        "doc_id", F.explode(F.slice("shs", F.lit(1), F.col("p_len"))).alias("ptok")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    prefix_pair_stage = a.join(
+        b,
+        (F.col("a.ptok") == F.col("b.ptok"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    # naive stage is >= C(60,2) = 1770 on this corpus (pinned by the
+    # LSH skew test); the prefix stage must stay an order smaller
+    assert prefix_pair_stage <= 177, prefix_pair_stage
+
+
+def test_gapfill_interpolate_brackets_and_observed(spark, sf_dir):
+    """Interpolated fills lie within [min(prev,next), max(prev,next)]
+    and observed hours reproduce the hourly mean exactly."""
+    from _imdb_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["events_gapfill_interpolate"].spark(spark, sf_dir).collect()
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    n_gap = 0
+    for series in by_series.values():
+        series.sort(key=lambda r: r["hour_bucket"])
+        obs_idx = [i for i, r in enumerate(series) if r["is_observed"]]
+        for i, r in enumerate(series):
+            if r["is_observed"]:
+                continue
+            n_gap += 1
+            prev = max((j for j in obs_idx if j < i), default=None)
+            nxt = min((j for j in obs_idx if j > i), default=None)
+            vals = [
+                series[j]["v_interp"] for j in (prev, nxt) if j is not None
+            ]
+            assert vals, "gap with no observed neighbor at all"
+            assert min(vals) - 1e-6 <= r["v_interp"] <= max(vals) + 1e-6, r
+    # the sf0.001+ event stream must actually exercise gaps
+    assert n_gap > 0
