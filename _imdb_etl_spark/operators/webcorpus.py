@@ -1065,3 +1065,91 @@ _REG["dedup_incremental_minhash"] = _REG["dedup_incremental_minhash"].__class__(
     oracle=_incremental_minhash_sql(),
     doc=_REG["dedup_incremental_minhash"].doc,
 )
+
+
+# --- weighted reservoir sampling per source (Efraimidis-Spirakis) ------
+#
+# Sample k docs per source WITHOUT replacement with inclusion
+# probability proportional to document length — the length-aware
+# variant of the md5-prefix samplers (sample_deterministic_orders
+# family): a token-budget subsample should prefer long documents, and
+# uniform row sampling under-weights them. A-ES (Efraimidis & Spirakis
+# 2006): draw u ~ U(0,1) per item, rank by u^(1/w) — equivalently
+# ln(u)/w — and keep the top k per key. One map-side key computation +
+# one per-source top-k window; no global sort, no state. u derives from
+# md5(seed:doc_id), so the sample is content-stable and both engines
+# rank identical doubles (ln last-bit variance is ~1e-16 against u
+# spacings of ~1e-10 — ordering-safe; the emitted key is rounded to 9).
+
+_WRES_SEED = "wres0"
+_WRES_K = 10
+_WRES_DENOM = float(16**8 + 1)
+
+
+def _wres_sql() -> str:
+    u = (
+        f"(({_hex4_sql_n8('CAST(doc_id AS VARCHAR)', _WRES_SEED)}) + 1.0)"
+        f" / {_WRES_DENOM}"
+    )
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ln({u}) / n_chars AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_chars, es_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT source, rnk, doc_id, n_chars, ROUND(es_key, 9) AS es_key
+FROM ranked
+WHERE rnk <= {_WRES_K}
+ORDER BY source, rnk
+"""
+
+
+def _hex4_sql_n8(expr: str, seed: str) -> str:
+    from _imdb_etl_spark.functions import md5_prefix_int_sql
+
+    return md5_prefix_int_sql(f"'{seed}:' || {expr}", 8)
+
+
+@register(
+    "corpus_weighted_reservoir",
+    _wres_sql(),
+    doc=f"Length-weighted sampling without replacement, {_WRES_K} docs "
+    "per source, via Efraimidis-Spirakis exponential keys ln(u)/w with "
+    "u from md5(seed:doc_id) — deterministic, single-pass, and "
+    "embarrassingly parallel: the key is computed map-side and the "
+    "only exchange is the per-source top-k window (WindowGroupLimit "
+    "prunes to k rows per partition before the shuffle at scale). "
+    "Inclusion probability ~ n_chars, the token-budget-aware subsample "
+    "uniform row sampling cannot express.",
+)
+def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    h = hex_prefix_int(
+        F.md5(F.concat(F.lit(f"{_WRES_SEED}:"), F.col("doc_id").cast("string"))),
+        8,
+    )
+    u = (h + F.lit(1.0)) / F.lit(_WRES_DENOM)
+    keyed = spread(docs).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _WRES_K)
+        .select(
+            "source", "rnk", "doc_id", "n_chars",
+            F.round("es_key", 9).alias("es_key"),
+        )
+        .orderBy("source", "rnk")
+    )

@@ -140,6 +140,7 @@ _GATE_REST = [
     "dedup_jaccard_prefix",
     "text_cooccurrence_pmi",
     "events_gapfill_interpolate",
+    "corpus_weighted_reservoir",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -2038,3 +2038,31 @@ def test_gapfill_interpolate_brackets_and_observed(spark, sf_dir):
             assert min(vals) - 1e-6 <= r["v_interp"] <= max(vals) + 1e-6, r
     # the sf0.001+ event stream must actually exercise gaps
     assert n_gap > 0
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, tmp_path):
+    """A-ES property pin: with 10x weight separation, the per-source
+    top-k is dominated by heavy docs (P[light doc beats heavy doc] is
+    tiny at this weight ratio), and counts are exactly min(k, n)."""
+    from _imdb_etl_spark.operators.webcorpus import (
+        _WRES_K,
+        corpus_weighted_reservoir,
+    )
+
+    rows = [
+        # 40 light docs (w=20) vs 20 heavy docs (w=2000) in one source
+        (i, "x" * 5, "en", "s0", 20 if i < 40 else 2000)
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "wres")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    out = corpus_weighted_reservoir(spark, d).collect()
+    assert len(out) == _WRES_K
+    n_heavy = sum(1 for r in out if r["n_chars"] == 2000)
+    # E[heavy share] ~ w_h/(w_h+w_l) per slot; with 100:1 weights the
+    # top-10 being mostly heavy is overwhelming, allow 2 light outliers
+    assert n_heavy >= _WRES_K - 2, [r["n_chars"] for r in out]
