@@ -141,6 +141,7 @@ _GATE_REST = [
     "text_cooccurrence_pmi",
     "events_gapfill_interpolate",
     "corpus_weighted_reservoir",
+    "bucketed_join_orders_lineitem",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -251,3 +251,30 @@ def test_zorder_layout_tightens_file_stats(spark, sf_dir, tmp_path):
     # hash layout sees the full 256x256 space per file; z-order files
     # must cover a materially smaller rectangle on average
     assert z_area < h_area / 2, (z_area, h_area)
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """The bucketing claim, pinned on the physical plan: with broadcast
+    disabled, joining the two orderkey-bucketed tables produces ZERO
+    Exchange nodes — bucket i joins bucket i directly (the ingest-time
+    shuffle is the only shuffle, amortized over every later join)."""
+    from _imdb_etl_spark.sources.partitioned import (
+        _bucket_table,
+        bucketed_orders_lineitem,
+    )
+
+    bucketed_orders_lineitem(spark, sf_dir)
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(thresh_key)
+    spark.conf.set(thresh_key, "-1")
+    try:
+        o = spark.table(_bucket_table("o"))
+        li = spark.table(_bucket_table("l"))
+        joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the join actually returns the full fan-out
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set(thresh_key, old)
