@@ -142,6 +142,7 @@ _GATE_REST = [
     "events_gapfill_interpolate",
     "corpus_weighted_reservoir",
     "bucketed_join_orders_lineitem",
+    "events_mannwhitney_u",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -2119,3 +2119,147 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_v").isNotNull().alias("is_observed"),
         F.round(interp, 6).alias("v_interp"),
     ).orderBy("event_type", "hour_bucket")
+
+
+# --- Mann-Whitney U (rank-sum) test ------------------------------------
+#
+# The nonparametric sibling of events_welch_ttest: does 'purchase'
+# value stochastically dominate 'view' value, without assuming
+# normality. The hard part at scale is GLOBAL ranking; this uses the
+# two-stage distributed ranking pattern (the TeraSort shape): values
+# bucket by floor(value) (order-preserving), stage 1 computes per-bucket
+# totals and prefix offsets (a window over #buckets rows — bounded by
+# the value range, never by row count), stage 2 ranks WITHIN buckets
+# (windows partitioned on bkt). Average ranks are carried as exact
+# integers (2*avg_rank = 2*rank_min + ties - 1), so every rank sum is
+# integer arithmetic and the only float ops are the final closed-form
+# z — identical IEEE expressions in both engines, rounded to 6.
+
+_MWU_A, _MWU_B = "purchase", "view"
+
+_MWU_SQL = f"""
+WITH d AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{_MWU_A}', '{_MWU_B}')
+),
+vc AS (
+  SELECT CAST(floor(value) AS BIGINT) AS bkt, value,
+         COUNT(*) FILTER (WHERE event_type = '{_MWU_A}') AS n1v,
+         COUNT(*) FILTER (WHERE event_type = '{_MWU_B}') AS n2v
+  FROM d GROUP BY 1, 2
+),
+bt AS (SELECT bkt, CAST(SUM(n1v + n2v) AS BIGINT) AS nb FROM vc GROUP BY bkt),
+off AS (
+  SELECT bkt,
+         COALESCE(CAST(SUM(nb) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS bkt_off
+  FROM bt
+),
+rk AS (
+  SELECT v.n1v, v.n2v, (v.n1v + v.n2v) AS t,
+         o.bkt_off + COALESCE(CAST(SUM(v.n1v + v.n2v) OVER (
+             PARTITION BY v.bkt ORDER BY v.value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS rank0
+  FROM vc v JOIN off o USING (bkt)
+),
+agg AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+         CAST(SUM(n2v) AS BIGINT) AS n2,
+         CAST(SUM(n1v * (2 * rank0 + t + 1)) AS BIGINT) AS r1_twice,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum
+  FROM rk
+),
+stat AS (
+  SELECT n1, n2,
+         r1_twice / 2.0 - n1 * (n1 + 1) / 2.0 AS u1,
+         n1 * CAST(n2 AS DOUBLE) / 2.0 AS mu,
+         (n1 * CAST(n2 AS DOUBLE) / 12.0)
+           * ((n1 + n2 + 1)
+              - CAST(tie_sum AS DOUBLE)
+                / ((n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))) AS var
+  FROM agg
+)
+SELECT n1, n2, u1 AS u_stat,
+       ROUND((u1 - mu) / sqrt(var), 6) AS z_stat,
+       (abs((u1 - mu) / sqrt(var)) > 1.96) AS significant
+FROM stat
+"""
+
+
+@register(
+    "events_mannwhitney_u",
+    _MWU_SQL,
+    doc=f"Mann-Whitney U test ({_MWU_A} vs {_MWU_B} value), "
+    "tie-corrected normal approximation — exact average ranks via "
+    "two-stage distributed ranking: order-preserving floor(value) "
+    "buckets, prefix offsets over the (range-bounded) bucket table, "
+    "per-bucket windows for within-bucket ranks. Rank sums stay in "
+    "integer space (2*avg_rank is an integer) so the twins agree "
+    "bit-for-bit before the one closed-form float step.",
+)
+def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    d = events.where(F.col("event_type").isin(_MWU_A, _MWU_B))
+    vc = d.groupBy(
+        F.floor("value").cast("long").alias("bkt"), "value"
+    ).agg(
+        F.count_if(F.col("event_type") == _MWU_A).alias("n1v"),
+        F.count_if(F.col("event_type") == _MWU_B).alias("n2v"),
+    )
+    bt = vc.groupBy("bkt").agg(
+        F.sum(F.col("n1v") + F.col("n2v")).cast("long").alias("nb")
+    )
+    # prefix offsets: a window over one row PER BUCKET — cardinality is
+    # the value range (floor buckets), not the row count, so the
+    # single-partition sort is bounded by construction
+    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    off = bt.select(
+        "bkt",
+        F.coalesce(F.sum("nb").over(w_b), F.lit(0)).cast("long").alias("bkt_off"),
+    )
+    w_v = (
+        Window.partitionBy("bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = (
+        vc.join(off, "bkt")
+        .withColumn("t", F.col("n1v") + F.col("n2v"))
+        .withColumn(
+            "rank0",
+            F.col("bkt_off")
+            + F.coalesce(
+                F.sum(F.col("n1v") + F.col("n2v")).over(w_v), F.lit(0)
+            ).cast("long"),
+        )
+    )
+    agg = rk.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+        F.sum(
+            F.col("n1v") * (2 * F.col("rank0") + F.col("t") + 1)
+        ).cast("long").alias("r1_twice"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("long").alias("tie_sum"),
+    )
+    u1 = F.col("r1_twice") / 2.0 - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2").cast("double") / 2.0
+    var = (F.col("n1") * F.col("n2").cast("double") / 12.0) * (
+        (F.col("n1") + F.col("n2") + 1)
+        - F.col("tie_sum").cast("double")
+        / (
+            (F.col("n1") + F.col("n2"))
+            * (F.col("n1") + F.col("n2") - 1).cast("double")
+        )
+    )
+    z = (u1 - mu) / F.sqrt(var)
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u_stat"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

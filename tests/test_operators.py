@@ -2066,3 +2066,28 @@ def test_weighted_reservoir_prefers_heavy_docs(spark, tmp_path):
     # E[heavy share] ~ w_h/(w_h+w_l) per slot; with 100:1 weights the
     # top-10 being mostly heavy is overwhelming, allow 2 light outliers
     assert n_heavy >= _WRES_K - 2, [r["n_chars"] for r in out]
+
+
+def test_mannwhitney_matches_scipy_formula(spark, sf_dir):
+    """Cross-check the distributed rank computation against a direct
+    in-memory computation of the same tie-corrected U/z statistics."""
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    row = REGISTRY["events_mannwhitney_u"].spark(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev.event_type.isin(["purchase", "view"])]
+    ranks = ev["value"].rank(method="average")
+    a = ev.event_type == "purchase"
+    n1, n2 = int(a.sum()), int((~a).sum())
+    r1 = float(ranks[a].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    assert row["n1"] == n1 and row["n2"] == n2
+    assert abs(row["u_stat"] - u1) < 1e-9, (row["u_stat"], u1)
+    n = n1 + n2
+    t = ev.groupby("value").size()
+    tie = float((t**3 - t).sum())
+    var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2.0) / var**0.5
+    assert abs(row["z_stat"] - round(z, 6)) <= 1e-6
