@@ -2211,13 +2211,19 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     bt = vc.groupBy("bkt").agg(
         F.sum(F.col("n1v") + F.col("n2v")).cast("long").alias("nb")
     )
-    # prefix offsets: a window over one row PER BUCKET — cardinality is
-    # the value range (floor buckets), not the row count, so the
-    # single-partition sort is bounded by construction
-    w_b = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    off = bt.select(
-        "bkt",
-        F.coalesce(F.sum("nb").over(w_b), F.lit(0)).cast("long").alias("bkt_off"),
+    # prefix offsets over the bucket table WITHOUT a single-partition
+    # window: a broadcast triangular self-join (b.bkt < a.bkt, summed).
+    # Quadratic only in the BUCKET count — bounded by the value range,
+    # never by row count — and fully parallel.
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(bt.select(F.col("bkt").alias("bkt_b"), F.col("nb").alias("nb_b"))),
+            F.col("bkt_b") < F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("nb_b"), F.lit(0)).cast("long").alias("bkt_off"))
     )
     w_v = (
         Window.partitionBy("bkt")
