@@ -143,6 +143,8 @@ _GATE_REST = [
     "corpus_weighted_reservoir",
     "bucketed_join_orders_lineitem",
     "events_mannwhitney_u",
+    "audit_benford_totalprice",
+    "customers_rfm_segments",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

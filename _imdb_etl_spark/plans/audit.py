@@ -10,7 +10,7 @@ primitives: you cannot eyeball a 100 TB staging load, you profile it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import dec, dsum
@@ -259,4 +259,225 @@ def profile_table_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.agg(*aggs)
         .select(F.inline(F.array(*structs)))
         .orderBy("col_name")
+    )
+
+
+# --- Benford first-digit audit ----------------------------------------
+#
+# Fraud/anomaly screening for financial columns: natural multi-scale
+# amounts follow Benford's law P(d) = log10(1 + 1/d); a synthetic or
+# manipulated column deviates. Observed first-digit counts are exact
+# integers; expected counts and the chi-square statistic are one
+# closed-form float step from identical inputs in both engines. The
+# uniform-ish synthetic o_totalprice deliberately FAILS Benford — the
+# audit's job is to say so, and benford_rejected pins that both engines
+# agree on the verdict, not that the data is natural.
+
+_BENFORD_SQL = """
+WITH digits AS (
+  -- floor, not a bare int cast: DuckDB ROUNDS double->int casts while
+  -- Spark truncates (a 89999.997 order flips first digit 8 -> 9)
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS d,
+         COUNT(*) AS n
+  FROM orders
+  WHERE o_totalprice >= 1
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM digits)
+SELECT d, n,
+       ROUND(CAST(n AS DOUBLE) / nt, 6) AS observed_p,
+       ROUND(log10(1.0 + 1.0 / d), 6) AS benford_p,
+       ROUND((CAST(n AS DOUBLE) - nt * log10(1.0 + 1.0 / d))
+             * (CAST(n AS DOUBLE) - nt * log10(1.0 + 1.0 / d))
+             / (nt * log10(1.0 + 1.0 / d)), 6) AS chi2_term,
+       -- chi2(8 df) critical value at alpha=0.001 is 26.125
+       (SELECT ROUND(SUM((CAST(n AS DOUBLE) - nt * log10(1.0 + 1.0 / d))
+                     * (CAST(n AS DOUBLE) - nt * log10(1.0 + 1.0 / d))
+                     / (nt * log10(1.0 + 1.0 / d))), 4) > 26.125
+        FROM digits, tot) AS benford_rejected
+FROM digits, tot
+ORDER BY d
+"""
+
+
+@register(
+    "audit_benford_totalprice",
+    _BENFORD_SQL,
+    doc="Benford first-digit audit of o_totalprice: exact per-digit "
+    "counts (one scan, 9-row aggregate), observed vs log10(1+1/d) "
+    "expected shares, per-digit chi-square terms and the global "
+    "chi2(8)>26.125 rejection verdict. The synthetic driver amounts "
+    "are ~uniform, so rejection is the EXPECTED outcome — the query "
+    "proves the audit fires, cross-engine.",
+)
+def audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    digits = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .groupBy(
+            F.substring(
+                F.floor("o_totalprice").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.agg(F.sum("n").cast("long").alias("nt"))
+    exp_p = F.log10(1.0 + 1.0 / F.col("d"))
+    chi2_term = (
+        (F.col("n").cast("double") - F.col("nt") * exp_p)
+        * (F.col("n").cast("double") - F.col("nt") * exp_p)
+        / (F.col("nt") * exp_p)
+    )
+    terms = digits.crossJoin(F.broadcast(tot))  # 1-row broadcast scalar
+    verdict = terms.agg(
+        (F.round(F.sum(chi2_term), 4) > 26.125).alias("benford_rejected")
+    )
+    return (
+        terms.crossJoin(F.broadcast(verdict))  # 1-row broadcast scalar
+        .select(
+            "d",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("nt"), 6).alias(
+                "observed_p"
+            ),
+            F.round(exp_p, 6).alias("benford_p"),
+            F.round(chi2_term, 6).alias("chi2_term"),
+            "benford_rejected",
+        )
+        .orderBy("d")
+    )
+
+
+# --- RFM customer segmentation ----------------------------------------
+#
+# The classic CRM cube: quintile scores for Recency (days since last
+# order), Frequency (order count), Monetary (decimal-exact spend) per
+# customer, then segment sizes. Scoring is boundary-based rather than
+# NTILE: exact-percentile quintile boundaries come from a scalar
+# aggregate (one row -> broadcast), and each customer scores by
+# comparing against them map-side — no global sort window anywhere,
+# which is what lets the same plan run at any customer cardinality.
+# Tied values land in one quintile (boundary comparison), a semantic
+# the oracle mirrors exactly; interpolated boundaries are bitwise
+# cross-engine (the median_exact_price_per_brand finding).
+
+_RFM_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', MAX(o_orderdate),
+                   (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+bounds AS (
+  SELECT quantile_cont(recency_days, 0.2) AS r20,
+         quantile_cont(recency_days, 0.4) AS r40,
+         quantile_cont(recency_days, 0.6) AS r60,
+         quantile_cont(recency_days, 0.8) AS r80,
+         quantile_cont(frequency, 0.2) AS f20,
+         quantile_cont(frequency, 0.4) AS f40,
+         quantile_cont(frequency, 0.6) AS f60,
+         quantile_cont(frequency, 0.8) AS f80,
+         quantile_cont(monetary, 0.2) AS m20,
+         quantile_cont(monetary, 0.4) AS m40,
+         quantile_cont(monetary, 0.6) AS m60,
+         quantile_cont(monetary, 0.8) AS m80
+  FROM base
+),
+scored AS (
+  SELECT custkey,
+         1 + CAST(recency_days > r20 AS INT) + CAST(recency_days > r40 AS INT)
+           + CAST(recency_days > r60 AS INT) + CAST(recency_days > r80 AS INT)
+           AS r_score,
+         1 + CAST(frequency < f80 AS INT) + CAST(frequency < f60 AS INT)
+           + CAST(frequency < f40 AS INT) + CAST(frequency < f20 AS INT)
+           AS f_score,
+         1 + CAST(monetary < m80 AS INT) + CAST(monetary < m60 AS INT)
+           + CAST(monetary < m40 AS INT) + CAST(monetary < m20 AS INT)
+           AS m_score
+  FROM base, bounds
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@register(
+    "customers_rfm_segments",
+    _RFM_SQL,
+    doc="RFM segmentation via quantile-boundary scoring: per-customer "
+    "recency/frequency/monetary from ONE orders aggregate, quintile "
+    "boundaries from a scalar exact-percentile aggregate (one row, "
+    "broadcast), scores by boundary comparison, 125-cell segment "
+    "histogram. Unlike NTILE, there is NO global sort anywhere: the "
+    "scoring pass is map-side against broadcast boundaries, so the "
+    "shape is two scans + one small shuffle at any scale (swap the "
+    "exact percentile for approx_percentile at 100 TB, same plan). "
+    "Score direction: 1 = best quintile (most recent / most frequent / "
+    "highest spend).",
+)
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    maxdate = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(dec("o_totalprice"), "monetary"),
+        )
+        .crossJoin(F.broadcast(maxdate))  # 1-row broadcast scalar
+        .select(
+            "custkey",
+            F.datediff(
+                F.col("maxd").cast("date"), F.col("last_order").cast("date")
+            ).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    bounds = base.agg(
+        *[
+            F.percentile(metric, F.lit(q)).alias(f"{m}{int(q * 100)}")
+            for metric, m in (
+                ("recency_days", "r"),
+                ("frequency", "f"),
+                ("monetary", "m"),
+            )
+            for q in qs
+        ]
+    )
+    gt = lambda col, b: (F.col(col) > F.col(b)).cast("int")  # noqa: E731
+    lt = lambda col, b: (F.col(col) < F.col(b)).cast("int")  # noqa: E731
+    scored = base.crossJoin(F.broadcast(bounds)).select(  # 1-row scalar
+        "custkey",
+        (
+            F.lit(1)
+            + gt("recency_days", "r20") + gt("recency_days", "r40")
+            + gt("recency_days", "r60") + gt("recency_days", "r80")
+        ).alias("r_score"),
+        (
+            F.lit(1)
+            + lt("frequency", "f80") + lt("frequency", "f60")
+            + lt("frequency", "f40") + lt("frequency", "f20")
+        ).alias("f_score"),
+        (
+            F.lit(1)
+            + lt("monetary", "m80") + lt("monetary", "m60")
+            + lt("monetary", "m40") + lt("monetary", "m20")
+        ).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
     )
