@@ -481,3 +481,129 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --- Gini coefficient of customer spend --------------------------------
+#
+# Concentration/inequality audit: how skewed is revenue across
+# customers (the whale-detection metric behind spend-concentration
+# alerts). Gini = sum((2*rank - n - 1) * x) / (n * sum(x)) over
+# ascending-sorted spend. Everything before the final division is
+# EXACT integer arithmetic: spend is decimal cents (BIGINT), ranks
+# come from the same two-stage distributed ranking as
+# events_mannwhitney_u (order-preserving spend buckets, broadcast
+# triangular prefix offsets over the range-bounded bucket table,
+# per-bucket rank windows) — no corpus-sized single-partition sort,
+# and ties are rank-order-invariant because equal x contribute
+# identically wherever they land. top_decile_share (spend share of the
+# top 10% of customers) rides along from the same ranks.
+
+_GINI_SQL = """
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+bt AS (
+  SELECT CAST(floor(cents / 10000000) AS BIGINT) AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS nb
+  FROM base GROUP BY 1
+),
+off AS (
+  SELECT a.bkt,
+         CAST(COALESCE(SUM(b.nb), 0) AS BIGINT) AS bkt_off
+  FROM bt a LEFT JOIN bt b ON b.bkt < a.bkt
+  GROUP BY a.bkt
+),
+rk AS (
+  SELECT b.cents,
+         o.bkt_off + ROW_NUMBER() OVER (
+             PARTITION BY CAST(floor(b.cents / 10000000) AS BIGINT)
+             ORDER BY b.cents, b.custkey) AS rnk
+  FROM base b
+  JOIN off o ON o.bkt = CAST(floor(b.cents / 10000000) AS BIGINT)
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         CAST(SUM((2 * rnk - (SELECT COUNT(*) FROM base) - 1) * cents)
+              AS BIGINT) AS gini_num,
+         CAST(SUM(CASE WHEN rnk > (SELECT COUNT(*) FROM base) * 0.9
+                       THEN cents ELSE 0 END) AS BIGINT) AS top_cents
+  FROM rk
+)
+SELECT n AS n_customers,
+       CAST(total_cents AS DOUBLE) / 100.0 AS total_spend,
+       ROUND(CAST(gini_num AS DOUBLE)
+             / (CAST(n AS DOUBLE) * total_cents), 6) AS gini,
+       ROUND(CAST(top_cents AS DOUBLE) / total_cents, 6)
+         AS top_decile_share
+FROM agg
+"""
+
+
+@register(
+    "customers_gini_spend",
+    _GINI_SQL,
+    doc="Gini coefficient + top-decile share of per-customer spend: "
+    "decimal-cents BIGINT spend, two-stage distributed ranking "
+    "(spend-range-bounded buckets, broadcast triangular offsets, "
+    "per-bucket windows), numerator summed in exact integer space — "
+    "the one float step is the final division. Tie placement cannot "
+    "change the statistic (equal x, interchangeable ranks).",
+)
+def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        (F.sum(dec("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    bkt = F.floor(F.col("cents") / 10000000).cast("long")
+    bt = base.groupBy(bkt.alias("bkt")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    # broadcast triangular prefix-sum: quadratic only in the
+    # range-bounded bucket count (see events_mannwhitney_u)
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(
+                bt.select(F.col("bkt").alias("bkt_b"), F.col("nb").alias("nb_b"))
+            ),
+            F.col("bkt_b") < F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("nb_b"), F.lit(0)).cast("long").alias("bkt_off"))
+    )
+    w = Window.partitionBy("bkt").orderBy("cents", "custkey")
+    rk = (
+        base.withColumn("bkt", bkt)
+        .join(off, "bkt")
+        .withColumn("rnk", F.col("bkt_off") + F.row_number().over(w))
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    agg = rk.crossJoin(F.broadcast(n_row)).agg(  # 1-row broadcast scalar
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum(
+            (2 * F.col("rnk") - F.col("n_all") - 1) * F.col("cents")
+        ).cast("long").alias("gini_num"),
+        F.sum(
+            F.when(F.col("rnk") > F.col("n_all") * 0.9, F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long").alias("top_cents"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        (F.col("total_cents").cast("double") / 100.0).alias("total_spend"),
+        F.round(
+            F.col("gini_num").cast("double")
+            / (F.col("n").cast("double") * F.col("total_cents")),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top_cents").cast("double") / F.col("total_cents"), 6
+        ).alias("top_decile_share"),
+    )

@@ -2091,3 +2091,29 @@ def test_mannwhitney_matches_scipy_formula(spark, sf_dir):
     var = n1 * n2 / 12.0 * ((n + 1) - tie / (n * (n - 1)))
     z = (u1 - n1 * n2 / 2.0) / var**0.5
     assert abs(row["z_stat"] - round(z, 6)) <= 1e-6
+
+
+def test_gini_matches_direct_computation(spark, sf_dir):
+    """Cross-check the distributed two-stage-ranked Gini against the
+    direct sorted-array formula in pandas."""
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    row = REGISTRY["customers_gini_spend"].spark(spark, sf_dir).collect()[0]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (
+        orders.assign(c=(orders.o_totalprice * 100).round().astype("int64"))
+        .groupby("o_custkey")["c"]
+        .sum()
+        .sort_values()
+        .to_numpy()
+    )
+    n = len(cents)
+    ranks = range(1, n + 1)
+    num = sum((2 * r - n - 1) * int(x) for r, x in zip(ranks, cents))
+    gini = num / (n * int(cents.sum()))
+    assert row["n_customers"] == n
+    assert abs(row["gini"] - round(gini, 6)) <= 1e-6
+    top = int(cents[int(n * 0.9):].sum()) / int(cents.sum())
+    assert abs(row["top_decile_share"] - round(top, 6)) <= 2e-6
