@@ -145,6 +145,8 @@ _GATE_REST = [
     "events_mannwhitney_u",
     "audit_benford_totalprice",
     "customers_rfm_segments",
+    "customers_gini_spend",
+    "orders_spearman_price_items",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

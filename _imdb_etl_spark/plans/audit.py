@@ -527,8 +527,11 @@ rk AS (
 agg AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(cents) AS BIGINT) AS total_cents,
-         CAST(SUM((2 * rnk - (SELECT COUNT(*) FROM base) - 1) * cents)
-              AS BIGINT) AS gini_num,
+         -- decimal(38) accumulator: each term is <= 2n*max_cents (can
+         -- pass int64 at ~1.5M customers); the sum is exact in decimal
+         -- and converts to double identically in both engines
+         CAST(SUM(CAST((2 * rnk - (SELECT COUNT(*) FROM base) - 1) * cents
+                  AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS gini_num,
          CAST(SUM(CASE WHEN rnk > (SELECT COUNT(*) FROM base) * 0.9
                        THEN cents ELSE 0 END) AS BIGINT) AS top_cents
   FROM rk
@@ -586,9 +589,13 @@ def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = rk.crossJoin(F.broadcast(n_row)).agg(  # 1-row broadcast scalar
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("total_cents"),
+        # decimal(38) accumulator — terms can pass int64 at ~1.5M
+        # customers; exact decimal sum, identical double conversion
         F.sum(
-            (2 * F.col("rnk") - F.col("n_all") - 1) * F.col("cents")
-        ).cast("long").alias("gini_num"),
+            ((2 * F.col("rnk") - F.col("n_all") - 1) * F.col("cents")).cast(
+                "decimal(28,0)"
+            )
+        ).alias("gini_num"),
         F.sum(
             F.when(F.col("rnk") > F.col("n_all") * 0.9, F.col("cents")).otherwise(
                 F.lit(0)
@@ -606,4 +613,168 @@ def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("top_cents").cast("double") / F.col("total_cents"), 6
         ).alias("top_decile_share"),
+    )
+
+
+# --- Spearman rank correlation ----------------------------------------
+#
+# Monotone-association audit between order price and order width
+# (lineitem count): Pearson on average ranks, the tie-correct Spearman.
+# Ranks come from the value-count form of two-stage distributed
+# ranking (rank per DISTINCT value, then joined back — no row-level
+# global sort), carried as exact integers R' = 2*avg_rank =
+# 2*rank0 + ties + 1. All five Pearson sums accumulate in
+# DECIMAL(38,0) (R'^2 terms pass int64 at ~1.3M orders), and the one
+# float step is the closed-form correlation; Pearson is
+# scale-invariant, so using R' instead of R changes nothing.
+
+def _rank_cte(src: str, val: str, bkt_div: int) -> str:
+    """SQL CTE body computing (value -> t, rank0) for one variable."""
+    return f"""
+vc_{val} AS (
+  SELECT {val} AS v, CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(floor({val} / {bkt_div}) AS BIGINT) AS bkt
+  FROM {src} GROUP BY 1, 3
+),
+bt_{val} AS (SELECT bkt, CAST(SUM(t) AS BIGINT) AS nb FROM vc_{val} GROUP BY bkt),
+off_{val} AS (
+  SELECT a.bkt, CAST(COALESCE(SUM(b.nb), 0) AS BIGINT) AS bkt_off
+  FROM bt_{val} a LEFT JOIN bt_{val} b ON b.bkt < a.bkt GROUP BY a.bkt
+),
+rk_{val} AS (
+  SELECT v.v, v.t,
+         o.bkt_off + COALESCE(CAST(SUM(v.t) OVER (
+             PARTITION BY v.bkt ORDER BY v.v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+             0) AS rank0
+  FROM vc_{val} v JOIN off_{val} o USING (bkt)
+)"""
+
+
+_SPEARMAN_SQL = f"""
+WITH base AS (
+  SELECT o.o_orderkey,
+         CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+{_rank_cte("base", "cents", 1000000)},
+{_rank_cte("base", "n_items", 1)},
+rp AS (
+  SELECT (2 * rc.rank0 + rc.t + 1) AS rx,
+         (2 * ri.rank0 + ri.t + 1) AS ry
+  FROM base b
+  JOIN rk_cents rc ON rc.v = b.cents
+  JOIN rk_n_items ri ON ri.v = b.n_items
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(rx AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s1,
+         CAST(SUM(CAST(ry AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s2,
+         CAST(SUM(CAST(rx * rx AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s11,
+         CAST(SUM(CAST(ry * ry AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s22,
+         CAST(SUM(CAST(rx * ry AS DECIMAL(28,0))) AS DECIMAL(38,0)) AS s12
+  FROM rp
+)
+SELECT n AS n_orders,
+       ROUND((n * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+             / (sqrt(n * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                * sqrt(n * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))),
+             6) AS spearman_rho
+FROM sums
+"""
+
+
+@register(
+    "orders_spearman_price_items",
+    _SPEARMAN_SQL,
+    doc="Spearman rank correlation between order price and lineitem "
+    "count: tie-correct average ranks per DISTINCT value (value-count "
+    "two-stage ranking — broadcast triangular bucket offsets, "
+    "per-bucket windows), integer R'=2*avg_rank joined back to "
+    "orders, Pearson closed form over DECIMAL(38,0)-exact sums. The "
+    "rank tables are distinct-value-sized, the join back is keyed, "
+    "and no row-level global sort exists anywhere.",
+)
+def orders_spearman_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    base = (
+        orders.join(
+            lineitem.select("l_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "o_orderkey",
+            (dec("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+    def ranks(df, val, bkt_div):
+        vc = df.groupBy(
+            F.col(val).alias("v"),
+            F.floor(F.col(val) / bkt_div).cast("long").alias("bkt"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+        bt = vc.groupBy("bkt").agg(F.sum("t").cast("long").alias("nb"))
+        off = (
+            bt.alias("a")
+            .join(
+                F.broadcast(
+                    bt.select(
+                        F.col("bkt").alias("bkt_b"), F.col("nb").alias("nb_b")
+                    )
+                ),
+                F.col("bkt_b") < F.col("a.bkt"),
+                "left",
+            )
+            .groupBy(F.col("a.bkt").alias("bkt"))
+            .agg(
+                F.coalesce(F.sum("nb_b"), F.lit(0)).cast("long").alias("bkt_off")
+            )
+        )
+        w = (
+            Window.partitionBy("bkt")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            vc.join(off, "bkt")
+            .withColumn(
+                "rank0",
+                F.col("bkt_off")
+                + F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long"),
+            )
+            .select(
+                F.col("v"),
+                (2 * F.col("rank0") + F.col("t") + 1).alias("rprime"),
+            )
+        )
+
+    rx = ranks(base, "cents", 1000000).withColumnsRenamed(
+        {"v": "vx", "rprime": "rx"}
+    )
+    ry = ranks(base, "n_items", 1).withColumnsRenamed(
+        {"v": "vy", "rprime": "ry"}
+    )
+    rp = base.join(rx, F.col("cents") == F.col("vx")).join(
+        ry, F.col("n_items") == F.col("vy")
+    )
+    sums = rp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx").cast("decimal(28,0)")).alias("s1"),
+        F.sum(F.col("ry").cast("decimal(28,0)")).alias("s2"),
+        F.sum((F.col("rx") * F.col("rx")).cast("decimal(28,0)")).alias("s11"),
+        F.sum((F.col("ry") * F.col("ry")).cast("decimal(28,0)")).alias("s22"),
+        F.sum((F.col("rx") * F.col("ry")).cast("decimal(28,0)")).alias("s12"),
+    )
+    n = F.col("n").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    s11, s22 = F.col("s11").cast("double"), F.col("s22").cast("double")
+    s12 = F.col("s12").cast("double")
+    rho = (n * s12 - s1 * s2) / (
+        F.sqrt(n * s11 - s1 * s1) * F.sqrt(n * s22 - s2 * s2)
+    )
+    return sums.select(
+        F.col("n").alias("n_orders"), F.round(rho, 6).alias("spearman_rho")
     )

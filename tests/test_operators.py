@@ -2117,3 +2117,28 @@ def test_gini_matches_direct_computation(spark, sf_dir):
     assert abs(row["gini"] - round(gini, 6)) <= 1e-6
     top = int(cents[int(n * 0.9):].sum()) / int(cents.sum())
     assert abs(row["top_decile_share"] - round(top, 6)) <= 2e-6
+
+
+def test_spearman_matches_pandas(spark, sf_dir):
+    """Cross-check distributed tie-correct Spearman against pandas'
+    rank-then-Pearson on the same per-order table."""
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    row = (
+        REGISTRY["orders_spearman_price_items"].spark(spark, sf_dir).collect()[0]
+    )
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    items = li.groupby("l_orderkey").size().rename("n_items")
+    base = orders.set_index("o_orderkey").join(items, how="inner")
+    rho = (
+        base["o_totalprice"].rank(method="average")
+        .corr(base["n_items"].rank(method="average"))
+    )
+    assert row["n_orders"] == len(base)
+    assert abs(row["spearman_rho"] - round(rho, 6)) <= 1e-5, (
+        row["spearman_rho"],
+        rho,
+    )
