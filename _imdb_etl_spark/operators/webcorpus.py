@@ -1153,3 +1153,107 @@ def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rnk")
     )
+
+
+# --- Jensen-Shannon divergence between source distributions ------------
+#
+# The data-mixing drift metric: how far apart are two sources' unigram
+# distributions (symmetric, bounded by ln 2 — unlike KL it tolerates
+# disjoint support). Key scale trick: one-sided tokens NEVER
+# materialize per pair. For tokens only in P, the JSD term is
+# p*ln(2p/(p+0)) = p*ln2, and sum(p over only-P) = 1 - sum(p over
+# common) — so the pairwise join is INNER on common tokens and the
+# one-sided mass arrives via the complement, turning a full-outer
+# explosion into (common vocab x source-pairs) where source count is a
+# config-bounded constant. Float log terms sum under round(6)
+# (established entropy policy).
+
+_JSD_SQL = """
+WITH tc AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+  ) GROUP BY 1, 2
+),
+ns AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM tc GROUP BY source),
+common AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_common_tokens,
+         SUM(a.c / na.n) AS p_common,
+         SUM(b.c / nb.n) AS q_common,
+         SUM((a.c / na.n)
+             * ln(2 * (a.c / na.n) / (a.c / na.n + b.c / nb.n))) AS p_term,
+         SUM((b.c / nb.n)
+             * ln(2 * (b.c / nb.n) / (a.c / na.n + b.c / nb.n))) AS q_term
+  FROM tc a
+  JOIN tc b ON a.w = b.w AND a.source < b.source
+  JOIN ns na ON na.source = a.source
+  JOIN ns nb ON nb.source = b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common_tokens,
+       ROUND(0.5 * (p_term + (1 - p_common) * ln(2))
+             + 0.5 * (q_term + (1 - q_common) * ln(2)), 6) AS jsd_nats
+FROM common
+ORDER BY source_a, source_b
+"""
+
+
+@register(
+    "corpus_js_divergence",
+    _JSD_SQL,
+    doc="Pairwise Jensen-Shannon divergence (nats, <= ln 2) between "
+    "every pair of sources' unigram distributions — the drift/mixing "
+    "audit behind pretraining mix design. One (source, token) count "
+    "shuffle; the pair stage joins common tokens only (per-token work "
+    "bounded by source-pairs, a config constant), with one-sided "
+    "probability mass recovered as (1 - common mass) * ln 2 instead "
+    "of a full-outer join.",
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    tc = (
+        spread(docs)
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ns = tc.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    a = (
+        tc.join(ns, "source")
+        .select(
+            F.col("source").alias("source_a"),
+            "w",
+            (F.col("c") / F.col("n")).alias("p"),
+        )
+    )
+    b = (
+        tc.join(ns, "source")
+        .select(
+            F.col("source").alias("source_b"),
+            "w",
+            (F.col("c") / F.col("n")).alias("q"),
+        )
+    )
+    pq = F.col("p") + F.col("q")
+    common = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_tokens"),
+            F.sum("p").alias("p_common"),
+            F.sum("q").alias("q_common"),
+            F.sum(F.col("p") * F.log(2 * F.col("p") / pq)).alias("p_term"),
+            F.sum(F.col("q") * F.log(2 * F.col("q") / pq)).alias("q_term"),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    jsd = 0.5 * (F.col("p_term") + (1 - F.col("p_common")) * ln2) + 0.5 * (
+        F.col("q_term") + (1 - F.col("q_common")) * ln2
+    )
+    return common.select(
+        "source_a",
+        "source_b",
+        "n_common_tokens",
+        F.round(jsd, 6).alias("jsd_nats"),
+    ).orderBy("source_a", "source_b")

@@ -2142,3 +2142,34 @@ def test_spearman_matches_pandas(spark, sf_dir):
         row["spearman_rho"],
         rho,
     )
+
+
+def test_js_divergence_properties(spark, sf_dir):
+    """JSD invariants: symmetric by construction (a<b canonical),
+    bounded in [0, ln 2], and self-JSD of identical distributions is
+    0 — checked by scipy-free direct computation for one pair."""
+    import math
+
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["corpus_js_divergence"].spark(spark, sf_dir).collect()
+    assert rows, "no source pairs"
+    ln2 = math.log(2)
+    for r in rows:
+        assert 0.0 <= r["jsd_nats"] <= ln2 + 1e-9, r
+    # direct check for the first pair
+    r0 = rows[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def dist(src):
+        toks = docs[docs.source == src].text.str.split(" ").explode()
+        c = toks.value_counts()
+        return c / c.sum()
+
+    p, q = dist(r0["source_a"]), dist(r0["source_b"])
+    m = p.add(q, fill_value=0.0) / 2
+    kl = lambda d: float((d * (d / m[d.index]).apply(math.log)).sum())  # noqa: E731
+    jsd = 0.5 * kl(p) + 0.5 * kl(q)
+    assert abs(r0["jsd_nats"] - round(jsd, 6)) <= 1e-5, (r0["jsd_nats"], jsd)
