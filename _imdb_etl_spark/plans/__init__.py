@@ -148,6 +148,7 @@ _GATE_REST = [
     "customers_gini_spend",
     "orders_spearman_price_items",
     "corpus_js_divergence",
+    "events_seasonal_anomaly",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -2269,3 +2269,104 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# --- seasonal-baseline anomaly detection -------------------------------
+#
+# The seasonality-aware sibling of events_anomaly_mad: raw hourly
+# volume has a daily rhythm, so a flat global baseline flags every
+# evening peak. Here each hour compares against ITS OWN
+# hour-of-day baseline (mean/std of the same clock hour across the
+# month) — one-pass exact moments (counts are integers, so s and ss
+# are BIGINT-exact and both engines derive identical doubles), then a
+# broadcast-sized (type x 24) baseline join back to the hourly series.
+# This is the degenerate-but-real form of STL: seasonal component by
+# cyclic subseries mean, residual z-scored.
+
+_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+baseline AS (
+  SELECT event_type, CAST(hour(hr) AS BIGINT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(n) AS BIGINT) AS s,
+         CAST(SUM(n * n) AS BIGINT) AS ss
+  FROM hourly GROUP BY 1, 2
+),
+scored AS (
+  SELECT h.event_type,
+         strftime(h.hr, '%Y-%m-%d %H:00:00') AS hour_bucket,
+         h.n,
+         CAST(b.s AS DOUBLE) / b.n_obs AS mu,
+         sqrt((CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n_obs)
+              / (b.n_obs - 1)) AS sigma
+  FROM hourly h
+  JOIN baseline b ON b.event_type = h.event_type
+                 AND b.hod = CAST(hour(h.hr) AS BIGINT)
+  WHERE b.n_obs > 1
+)
+SELECT event_type, hour_bucket, n,
+       ROUND((n - mu) / sigma, 6) AS z_seasonal,
+       (abs((n - mu) / sigma) > 3.0) AS is_anomaly
+FROM scored
+WHERE sigma > 0
+ORDER BY event_type, hour_bucket
+"""
+
+
+@register(
+    "events_seasonal_anomaly",
+    _SEASONAL_SQL,
+    doc="Hour-of-day seasonal baseline anomaly detection: per "
+    "(type, clock-hour) exact integer moments -> mean/std, broadcast "
+    "join back to the hourly series, |z| > 3 flags. The cyclic-"
+    "subseries seasonal baseline a flat threshold (events_anomaly_mad) "
+    "cannot express; baseline table is (types x 24) rows at any scale.",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    baseline = hourly.groupBy(
+        "event_type", F.hour("hr").cast("long").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("n").cast("long").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("ss"),
+    ).where(F.col("n_obs") > 1)
+    mu = F.col("s").cast("double") / F.col("n_obs")
+    sigma = F.sqrt(
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n_obs")
+        )
+        / (F.col("n_obs") - 1)
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        hourly.withColumn("hod", F.hour("hr").cast("long"))
+        .join(
+            F.broadcast(
+                baseline.select(
+                    F.col("event_type").alias("bt"),
+                    F.col("hod").alias("bhod"),
+                    mu.alias("mu"),
+                    sigma.alias("sigma"),
+                )
+            ),
+            (F.col("event_type") == F.col("bt")) & (F.col("hod") == F.col("bhod")),
+        )
+        .where(F.col("sigma") > 0)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            "n",
+            F.round(z, 6).alias("z_seasonal"),
+            (F.abs(z) > 3.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
