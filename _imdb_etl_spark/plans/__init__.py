@@ -149,6 +149,7 @@ _GATE_REST = [
     "orders_spearman_price_items",
     "corpus_js_divergence",
     "events_seasonal_anomaly",
+    "parts_abc_classification",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -778,3 +778,140 @@ def orders_spearman_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         F.col("n").alias("n_orders"), F.round(rho, 6).alias("spearman_rho")
     )
+
+
+# --- ABC (Pareto) classification of parts by revenue -------------------
+#
+# The inventory-management classic: class A = parts covering the first
+# 70% of cumulative revenue (ranked by revenue, descending), B = next
+# 20%, C = the tail. Needs a DESCENDING prefix sum of revenue by rank
+# — same two-stage machinery as customers_gini_spend but accumulating
+# CENTS (not counts) in the triangular offsets: bucket by revenue,
+# offsets from HIGHER buckets, within-bucket running decimal sums.
+# Everything through cum_cents is exact integer/decimal; class
+# boundaries compare exact integers against total*0.7 / total*0.9.
+
+_ABC_SQL = """
+WITH base AS (
+  SELECT l_partkey AS partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+bt AS (
+  SELECT CAST(floor(cents / 10000000) AS BIGINT) AS bkt,
+         CAST(SUM(CAST(cents AS DECIMAL(28,0))) AS BIGINT) AS bkt_cents
+  FROM base GROUP BY 1
+),
+off AS (
+  SELECT a.bkt, CAST(COALESCE(SUM(b.bkt_cents), 0) AS BIGINT) AS off_cents
+  FROM bt a LEFT JOIN bt b ON b.bkt > a.bkt GROUP BY a.bkt
+),
+cum AS (
+  SELECT b.partkey, b.cents,
+         o.off_cents
+         + CAST(SUM(b.cents) OVER (
+               PARTITION BY CAST(floor(b.cents / 10000000) AS BIGINT)
+               ORDER BY b.cents DESC, b.partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_cents
+  FROM base b
+  JOIN off o ON o.bkt = CAST(floor(b.cents / 10000000) AS BIGINT)
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM base),
+classed AS (
+  SELECT CASE WHEN cum_cents * 10 <= total_cents * 7 THEN 'A'
+              WHEN cum_cents * 10 <= total_cents * 9 THEN 'B'
+              ELSE 'C' END AS abc_class,
+         cents
+  FROM cum, tot
+)
+SELECT abc_class,
+       COUNT(*) AS n_parts,
+       ROUND(CAST(SUM(CAST(cents AS DECIMAL(28,0))) AS DOUBLE)
+             / (SELECT total_cents FROM tot), 6) AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@register(
+    "parts_abc_classification",
+    _ABC_SQL,
+    doc="ABC / Pareto revenue classification of parts: decimal-cents "
+    "revenue per part, DESCENDING cumulative revenue via two-stage "
+    "ranking (revenue buckets, triangular offsets accumulating cents, "
+    "per-bucket running sums), integer boundary tests cum*10 <= "
+    "total*7 / total*9 — no float enters until the reported shares. "
+    "Class A covering ~70% of revenue in few parts is the "
+    "concentration fact inventory policy keys on.",
+)
+def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    base = lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.sum(rev * 100).cast("long").alias("cents")
+    )
+    bkt = F.floor(F.col("cents") / 10000000).cast("long")
+    bt = base.groupBy(bkt.alias("bkt")).agg(
+        F.sum(F.col("cents").cast("decimal(28,0)")).cast("long").alias("bkt_cents")
+    )
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(
+                bt.select(
+                    F.col("bkt").alias("bkt_b"),
+                    F.col("bkt_cents").alias("cents_b"),
+                )
+            ),
+            F.col("bkt_b") > F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(
+            F.coalesce(F.sum("cents_b"), F.lit(0)).cast("long").alias("off_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("cents"), "partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        base.withColumn("bkt", bkt)
+        .join(off, "bkt")
+        .withColumn(
+            "cum_cents",
+            F.col("off_cents") + F.sum("cents").over(w).cast("long"),
+        )
+    )
+    tot = base.agg(F.sum("cents").cast("long").alias("total_cents"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(  # 1-row scalar
+        F.when(
+            F.col("cum_cents") * 10 <= F.col("total_cents") * 7, "A"
+        )
+        .when(F.col("cum_cents") * 10 <= F.col("total_cents") * 9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total_cents",
+    )
+    return (
+        classed.groupBy("abc_class", "total_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("cents").cast("decimal(28,0)")).alias("class_cents"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            F.round(
+                F.col("class_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

@@ -2173,3 +2173,33 @@ def test_js_divergence_properties(spark, sf_dir):
     kl = lambda d: float((d * (d / m[d.index]).apply(math.log)).sum())  # noqa: E731
     jsd = 0.5 * kl(p) + 0.5 * kl(q)
     assert abs(r0["jsd_nats"] - round(jsd, 6)) <= 1e-5, (r0["jsd_nats"], jsd)
+
+
+def test_abc_classification_invariants(spark, sf_dir):
+    """ABC pins: classes partition all parts, shares sum to 1, class A
+    has the fewest parts but the largest share (Pareto shape), and the
+    boundary matches a direct sorted cumulative computation."""
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    rows = {
+        r["abc_class"]: r
+        for r in REGISTRY["parts_abc_classification"].spark(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    cents = (
+        (li.l_extendedprice * (1 - li.l_discount) * 100)
+        .round(0)
+        .astype("int64")
+        .groupby(li.l_partkey)
+        .sum()
+        .sort_values(ascending=False)
+    )
+    assert sum(r["n_parts"] for r in rows.values()) == len(cents)
+    assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) <= 3e-6
+    cum = cents.cumsum()
+    total = int(cents.sum())
+    n_a = int((cum * 10 <= total * 7).sum())
+    assert rows["A"]["n_parts"] == n_a
+    assert rows["A"]["revenue_share"] > rows["C"]["revenue_share"] or len(cents) < 50
