@@ -1321,3 +1321,136 @@ def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- Matryoshka truncation recall audit --------------------------------
+#
+# The dim-reduction decision op behind MRL-style embeddings: how much
+# exact-kNN recall survives truncating vectors to a prefix of 8/16/32
+# of the 64 dims? Composes the brute-force machinery at each prefix
+# length (broadcast queries x corpus, prefix dot products, rounded
+# rank) against the full-dim exact top-k; recall@k per dim is the
+# curve a serving team reads before running ANN at a cheaper width.
+# All pair scores round to 6 before ranking (the brute-force
+# determinism contract), so both engines produce identical ranks.
+
+_MATRYOSHKA_DIMS = [8, 16, 32]
+
+
+def _brute_topk_sql(dim: int) -> str:
+    d = _DOT_SQL.format(a="q.qe", b="e.embedding", dim=dim)
+    na = _DOT_SQL.format(a="q.qe", b="q.qe", dim=dim)
+    nb = _DOT_SQL.format(a="e.embedding", b="e.embedding", dim=dim)
+    return f"""
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND(({d}) / (sqrt({na}) * sqrt({nb})), 6) DESC,
+                      e.vec_id) AS rnk
+    FROM (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id < {_N_QUERIES}) q
+    CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.query_id
+  ) WHERE rnk <= {_TOP_K}"""
+
+
+_MATRYOSHKA_SQL = (
+    "WITH full_k AS (" + _brute_topk_sql(_DIM) + "),\n"
+    + ",\n".join(
+        f"d{d} AS ({_brute_topk_sql(d)})" for d in _MATRYOSHKA_DIMS
+    )
+    + ",\nnq AS (SELECT COUNT(DISTINCT query_id) AS n FROM full_k)\n"
+    + "\nUNION ALL\n".join(
+        f"""
+SELECT CAST({d} AS BIGINT) AS trunc_dim,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_matched,
+       ROUND(CAST(COUNT(t.neighbor_id) AS DOUBLE) / (nq.n * {_TOP_K}), 6)
+         AS recall_at_k
+FROM full_k f
+LEFT JOIN d{d} t ON t.query_id = f.query_id
+                AND t.neighbor_id = f.neighbor_id, nq
+GROUP BY nq.n
+""".strip()
+        for d in _MATRYOSHKA_DIMS
+    )
+    + "\nORDER BY trunc_dim"
+)
+
+
+@register(
+    "embedding_matryoshka_recall",
+    _MATRYOSHKA_SQL,
+    doc=f"Matryoshka truncation recall curve: exact top-{_TOP_K} at "
+    f"prefix widths {_MATRYOSHKA_DIMS} vs the full {_DIM}-dim exact "
+    "top-k, recall@k per width — the measurement that licenses "
+    "serving ANN at a cheaper vector width. Prefix dot products are "
+    "plain slices (no re-embedding); each width is one broadcast-"
+    "queries pass over the corpus.",
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+
+    def topk(dim: int) -> DataFrame:
+        sl = (
+            F.col("embedding")
+            if dim == _DIM
+            else F.slice("embedding", 1, dim)
+        )
+        normed = emb.select(
+            "vec_id",
+            sl.alias("v"),
+        ).select(
+            "vec_id", "v", F.sqrt(_dot("v", "v")).alias("nrm")
+        )
+        q = normed.where(F.col("vec_id") < _N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qe"),
+            F.col("nrm").alias("qnrm"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            F.broadcast(q)
+            .crossJoin(normed)
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(
+                    _dot(F.col("qe"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                    6,
+                ).alias("cos"),
+            )
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= _TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_k = topk(_DIM).localCheckpoint()
+    nq = full_k.agg(F.count_distinct("query_id").alias("n"))
+    out = None
+    for d in _MATRYOSHKA_DIMS:
+        t = topk(d).withColumnsRenamed(
+            {"query_id": "tq", "neighbor_id": "tn"}
+        )
+        matched = (
+            full_k.join(
+                t,
+                (F.col("query_id") == F.col("tq"))
+                & (F.col("neighbor_id") == F.col("tn")),
+                "left",
+            )
+            .crossJoin(F.broadcast(nq))  # 1-row broadcast scalar
+            .groupBy("n")
+            .agg(F.count("tn").cast("long").alias("n_matched"))
+            .select(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                "n_matched",
+                F.round(
+                    F.col("n_matched").cast("double") / (F.col("n") * _TOP_K), 6
+                ).alias("recall_at_k"),
+            )
+        )
+        out = matched if out is None else out.unionByName(matched)
+    return out.orderBy("trunc_dim")

@@ -150,6 +150,7 @@ _GATE_REST = [
     "corpus_js_divergence",
     "events_seasonal_anomaly",
     "parts_abc_classification",
+    "embedding_matryoshka_recall",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",
