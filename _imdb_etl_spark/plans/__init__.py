@@ -151,6 +151,7 @@ _GATE_REST = [
     "events_seasonal_anomaly",
     "parts_abc_classification",
     "embedding_matryoshka_recall",
+    "orders_cohort_ltv",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

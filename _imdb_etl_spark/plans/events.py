@@ -2370,3 +2370,109 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_bucket")
     )
+
+
+# --- cohort lifetime-value (LTV) curves --------------------------------
+#
+# The revenue sibling of events_retention_cohorts: customers cohorted
+# by first-order month, revenue bucketed by account age in months, and
+# the running cumulative LTV per cohort — the curve a growth team
+# reads payback periods from. Cohort assignment is one min-aggregate
+# joined back (broadcast at dimension cardinality); the cumulative
+# window partitions by cohort, so cohorts parallelize and no window
+# sees more than one cohort's months. Month arithmetic is integer
+# (year*12 + month) in both engines; revenue is decimal-exact.
+
+_LTV_SQL = """
+WITH firsts AS (
+  SELECT o_custkey AS custkey,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY o_custkey
+),
+facts AS (
+  SELECT f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.cohort_m
+           AS age_month,
+         o.o_custkey,
+         CAST(o.o_totalprice AS DECIMAL(12,2)) AS price
+  FROM orders o JOIN firsts f ON f.custkey = o.o_custkey
+),
+grid AS (
+  SELECT cohort_m, age_month,
+         COUNT(DISTINCT o_custkey) AS n_active,
+         CAST(SUM(price) AS DOUBLE) AS revenue,
+         SUM(price) AS revenue_dec
+  FROM facts GROUP BY 1, 2
+)
+-- floor((m-1)/12): December (m % 12 = 0) belongs to year m/12 - 1;
+-- explicit floor because DuckDB's / is float division and its
+-- double->int CAST rounds while Spark's truncates
+SELECT CAST(floor((cohort_m - 1) / 12.0) AS BIGINT) || '-' ||
+         CASE WHEN cohort_m % 12 = 0 THEN '12'
+              ELSE lpad(CAST(cohort_m % 12 AS VARCHAR), 2, '0') END
+         AS cohort_month,
+       CAST(age_month AS BIGINT) AS age_month,
+       CAST(n_active AS BIGINT) AS n_active,
+       revenue,
+       CAST(SUM(revenue_dec) OVER (PARTITION BY cohort_m ORDER BY age_month
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS cum_ltv
+FROM grid
+ORDER BY cohort_month, age_month
+"""
+
+
+@register(
+    "orders_cohort_ltv",
+    _LTV_SQL,
+    doc="Cohort LTV curves: first-order-month cohorts, integer month "
+    "arithmetic (year*12+month, identical in both engines), "
+    "decimal-exact revenue per (cohort, age) cell, and cumulative LTV "
+    "via a cohort-partitioned running window. The cohort-month label "
+    "needs care: month 12 belongs to year m/12 - 1's December "
+    "(m % 12 == 0), mirrored in both twins.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    firsts = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.min(m).alias("cohort_m")
+    )
+    facts = orders.join(
+        firsts, F.col("o_custkey") == F.col("custkey")
+    ).select(
+        "cohort_m",
+        (m - F.col("cohort_m")).alias("age_month"),
+        "o_custkey",
+        dec("o_totalprice").alias("price"),
+    )
+    grid = facts.groupBy("cohort_m", "age_month").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("price").cast("double").alias("revenue"),
+        F.sum("price").alias("revenue_dec"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    label = F.concat(
+        F.floor((F.col("cohort_m") - 1) / 12.0).cast("long").cast("string"),
+        F.lit("-"),
+        F.when(F.col("cohort_m") % 12 == 0, F.lit("12")).otherwise(
+            F.lpad((F.col("cohort_m") % 12).cast("string"), 2, "0")
+        ),
+    )
+    return (
+        grid.withColumn(
+            "cum_ltv", F.sum("revenue_dec").over(w).cast("double")
+        )
+        .select(
+            label.alias("cohort_month"),
+            F.col("age_month").cast("long").alias("age_month"),
+            "n_active",
+            "revenue",
+            "cum_ltv",
+        )
+        .orderBy("cohort_month", "age_month")
+    )

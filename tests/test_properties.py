@@ -454,3 +454,61 @@ def test_interval_coalesce_matches_pure_python(spark, data):
             sum(e - s for s, e in islands),
         )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(-(10**6), 10**6), min_size=2, max_size=300
+    ),
+    bkt_div=st.sampled_from([1, 7, 100, 10**4, 10**7]),
+)
+def test_two_stage_ranking_matches_global_rank(spark, vals, bkt_div):
+    """Property pin for the shared two-stage distributed-ranking
+    pattern (events_mannwhitney_u / customers_gini_spend /
+    orders_spearman_price_items / parts_abc_classification): bucket
+    prefix offsets via the triangular self-join plus per-bucket rank
+    windows must reproduce the GLOBAL dense 0-based rank (count of
+    strictly-smaller values), for any value distribution and any
+    bucket granularity — including one-bucket (pure window) and
+    one-value-per-bucket (pure offsets) extremes."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v long")
+    vc = df.groupBy(
+        "v", F.floor(F.col("v") / bkt_div).cast("long").alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("t"))
+    bt = vc.groupBy("bkt").agg(F.sum("t").cast("long").alias("nb"))
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(bt.select(F.col("bkt").alias("b2"), F.col("nb").alias("nb2"))),
+            F.col("b2") < F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("nb2"), F.lit(0)).cast("long").alias("bkt_off"))
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        r["v"]: r["rank0"]
+        for r in vc.join(off, "bkt")
+        .withColumn(
+            "rank0",
+            F.col("bkt_off") + F.coalesce(F.sum("t").over(w), F.lit(0)).cast("long"),
+        )
+        .collect()
+    }
+    svals = sorted(vals)
+    import bisect
+
+    for v in set(vals):
+        assert got[v] == bisect.bisect_left(svals, v), (v, got[v])
