@@ -152,6 +152,7 @@ _GATE_REST = [
     "parts_abc_classification",
     "embedding_matryoshka_recall",
     "orders_cohort_ltv",
+    "events_ab_srm_check",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

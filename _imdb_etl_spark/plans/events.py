@@ -2476,3 +2476,83 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_month")
     )
+
+
+# --- A/B sample-ratio-mismatch (SRM) check -----------------------------
+#
+# The experiment-integrity gate that runs BEFORE any effect test
+# (events_welch_ttest / events_mannwhitney_u): users hash-assigned
+# 50/50 by the content-stable md5 bucket; if observed assignment
+# counts deviate from the design ratio beyond chi-square(1) at
+# p < 0.001 (10.83), the experiment is corrupted and effect tests are
+# void. Assignment is map-side (one hash per user), counting is one
+# distinct-user aggregate; everything is integer until the chi-square
+# terms.
+
+_SRM_SQL = """
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+),
+assigned AS (
+  SELECT CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM users
+),
+counts AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM assigned GROUP BY variant
+),
+tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS nt FROM counts)
+SELECT variant, n_users,
+       CAST(nt AS DOUBLE) / 2 AS expected,
+       ROUND((n_users - CAST(nt AS DOUBLE) / 2)
+             * (n_users - CAST(nt AS DOUBLE) / 2)
+             / (CAST(nt AS DOUBLE) / 2), 6) AS chi2_term,
+       ((SELECT SUM((c.n_users - CAST(t.nt AS DOUBLE) / 2)
+                    * (c.n_users - CAST(t.nt AS DOUBLE) / 2)
+                    / (CAST(t.nt AS DOUBLE) / 2))
+         FROM counts c, tot t) > 10.83) AS srm_detected
+FROM counts, tot
+ORDER BY variant
+"""
+
+
+@register(
+    "events_ab_srm_check",
+    _SRM_SQL,
+    doc="Sample-ratio-mismatch gate for hash-assigned A/B splits: "
+    "md5-first-nibble parity assigns users 50/50 (content-stable, "
+    "map-side), observed counts tested against the design ratio with "
+    "chi-square(1) at p < 0.001. A clean hash SHOULD pass — "
+    "srm_detected=false is the expected verdict, and both engines "
+    "agreeing on the full decision path is what the hash checks.",
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    variant = F.when(
+        hex_prefix_int(F.md5(F.col("user_id").cast("string")), 1) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    counts = users.select(variant.alias("variant")).groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = counts.agg(F.sum("n_users").cast("long").alias("nt"))
+    exp = F.col("nt").cast("double") / 2
+    term = (F.col("n_users") - exp) * (F.col("n_users") - exp) / exp
+    with_tot = counts.crossJoin(F.broadcast(tot))  # 1-row broadcast scalar
+    verdict = with_tot.agg((F.sum(term) > 10.83).alias("srm_detected"))
+    return (
+        with_tot.crossJoin(F.broadcast(verdict))  # 1-row broadcast scalar
+        .select(
+            "variant",
+            "n_users",
+            exp.alias("expected"),
+            F.round(term, 6).alias("chi2_term"),
+            "srm_detected",
+        )
+        .orderBy("variant")
+    )
