@@ -153,6 +153,8 @@ _GATE_REST = [
     "embedding_matryoshka_recall",
     "orders_cohort_ltv",
     "events_ab_srm_check",
+    "orders_mom_yoy_growth",
+    "events_dau_wau_mau",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -2556,3 +2556,185 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --- month-over-month / year-over-year growth --------------------------
+#
+# The BI staple: monthly revenue with MoM and YoY growth rates via LAG
+# over the month series. The series is month-cardinality (bounded by
+# the calendar, not the fact table), so the un-partitioned LAG window
+# runs over a table the size of the date range — the fact-scale work
+# is all in the one decimal-exact monthly aggregate.
+
+_YOY_SQL = """
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+           AS rev
+  FROM orders GROUP BY 1
+),
+laged AS (
+  -- keyed self-joins instead of a global LAG window: no
+  -- single-partition exchange anywhere, same offsets
+  SELECT c.m, c.rev, pm.rev AS prev_m, py.rev AS prev_y
+  FROM monthly c
+  LEFT JOIN monthly pm ON pm.m = c.m - 1
+  LEFT JOIN monthly py ON py.m = c.m - 12
+)
+SELECT CAST(floor((m - 1) / 12.0) AS BIGINT) || '-' ||
+         CASE WHEN m % 12 = 0 THEN '12'
+              ELSE lpad(CAST(m % 12 AS VARCHAR), 2, '0') END AS month,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(rev - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE), 6)
+         AS mom_growth,
+       ROUND(CAST(rev - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE), 6)
+         AS yoy_growth
+FROM laged
+ORDER BY month
+"""
+
+
+@register(
+    "orders_mom_yoy_growth",
+    _YOY_SQL,
+    doc="Monthly revenue with MoM and YoY growth (offset 1 / 12) "
+    "over the month series — the window input is calendar-bounded "
+    "(months), never fact-bounded, so the global LAG window is benign "
+    "at any scale; growth ratios divide identical decimal-exact "
+    "revenues. Month labels share orders_cohort_ltv's explicit "
+    "floor((m-1)/12) convention.",
+)
+def orders_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    m = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    monthly = orders.groupBy(m.alias("m")).agg(
+        F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("rev")
+    )
+    # keyed self-joins instead of a global LAG window: the month table
+    # is calendar-bounded, but even so no single-partition funnel
+    pm = monthly.select(F.col("m").alias("m1"), F.col("rev").alias("prev_m"))
+    py = monthly.select(F.col("m").alias("m12"), F.col("rev").alias("prev_y"))
+    laged = (
+        monthly.join(pm, F.col("m1") == F.col("m") - 1, "left")
+        .join(py, F.col("m12") == F.col("m") - 12, "left")
+        .select("m", "rev", "prev_m", "prev_y")
+    )
+    label = F.concat(
+        F.floor((F.col("m") - 1) / 12.0).cast("long").cast("string"),
+        F.lit("-"),
+        F.when(F.col("m") % 12 == 0, F.lit("12")).otherwise(
+            F.lpad((F.col("m") % 12).cast("string"), 2, "0")
+        ),
+    )
+    growth = lambda cur, prev: F.round(  # noqa: E731
+        (F.col(cur) - F.col(prev)).cast("double") / F.col(prev).cast("double"),
+        6,
+    )
+    return laged.select(
+        label.alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        growth("rev", "prev_m").alias("mom_growth"),
+        growth("rev", "prev_y").alias("yoy_growth"),
+    ).orderBy("month")
+
+
+# --- DAU / WAU / MAU engagement ladder ---------------------------------
+#
+# Exact rolling distinct actives: users active on day d (DAU), in the
+# trailing 7 days (WAU), and trailing 30 (MAU), plus stickiness
+# DAU/MAU. COUNT(DISTINCT) does not slide, so the trailing sets come
+# from a bounded fan-out: each (day, user) activity row joins to the
+# day spine within its trailing window — <= 30 spine days per activity
+# row, a constant multiplier, then one distinct-count per (spine day,
+# window). The approximate sibling (events_sliding_distinct_hll)
+# replaces the fan-out with mergeable sketches at 100 TB; this is the
+# exact face the sketch verifies against.
+
+_DAU_SQL = """
+WITH activity AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+spine AS (SELECT DISTINCT d FROM activity),
+wau AS (
+  SELECT t.sd AS d, COUNT(DISTINCT a.user_id) AS wau
+  FROM activity a,
+       LATERAL (SELECT unnest(generate_series(a.d, a.d + INTERVAL 6 DAY,
+                        INTERVAL 1 DAY))::DATE AS sd) t
+  WHERE t.sd IN (SELECT d FROM spine)
+  GROUP BY t.sd
+),
+mau AS (
+  SELECT t.sd AS d, COUNT(DISTINCT a.user_id) AS mau
+  FROM activity a,
+       LATERAL (SELECT unnest(generate_series(a.d, a.d + INTERVAL 29 DAY,
+                        INTERVAL 1 DAY))::DATE AS sd) t
+  WHERE t.sd IN (SELECT d FROM spine)
+  GROUP BY t.sd
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM activity GROUP BY d)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(mau.mau AS BIGINT) AS mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN wau ON wau.d = dau.d JOIN mau ON mau.d = dau.d
+ORDER BY day
+"""
+
+
+@register(
+    "events_dau_wau_mau",
+    _DAU_SQL,
+    doc="Exact DAU/WAU/MAU + stickiness: per-day distinct activity "
+    "rows fan out MAP-SIDE to their trailing-window target days "
+    "(constant <= 30 multiplier, no range join), semi-join to the "
+    "observed-day spine, then one keyed distinct-count per day. The exact face of events_sliding_distinct_hll's sketch "
+    "path — at 100 TB the sketch slides in O(1) state while this "
+    "verifies it at audit scale.",
+)
+def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    activity = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    spine = activity.select("d").distinct()
+    dau = activity.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+
+    def trailing(days: int, name: str) -> DataFrame:
+        # map-side fan-out: each activity day contributes to its own
+        # trailing-window target days (constant <= days multiplier),
+        # then a keyed distinct-count — no range/nested-loop join
+        fanned = activity.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.date_add(F.col("d"), days - 1),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("sd"),
+        )
+        return (
+            fanned.join(spine.select(F.col("d").alias("sd")), "sd", "left_semi")
+            .groupBy("sd")
+            .agg(F.count_distinct("user_id").cast("long").alias(name))
+        )
+
+    wau = trailing(7, "wau").withColumnRenamed("sd", "wd")
+    mau = trailing(30, "mau").withColumnRenamed("sd", "md")
+    return (
+        dau.join(wau, F.col("d") == F.col("wd"))
+        .join(mau, F.col("d") == F.col("md"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
