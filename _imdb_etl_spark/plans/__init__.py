@@ -155,6 +155,7 @@ _GATE_REST = [
     "events_ab_srm_check",
     "orders_mom_yoy_growth",
     "events_dau_wau_mau",
+    "events_attribution_first_touch",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

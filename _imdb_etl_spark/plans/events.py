@@ -2738,3 +2738,100 @@ def events_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- first-touch attribution ------------------------------------------
+#
+# Completes the attribution family (last-touch, linear -> first-touch):
+# each purchase credits the EARLIEST view/click inside its 24 h
+# lookback. Unlike last-touch (conditional running MAX over all prior
+# rows), first-touch needs the window's lower bound — a RANGE frame
+# over epoch-millis bounded at 24 h PRECEDING, so the running MIN only
+# sees in-window touches. Same one user-keyed exchange, same
+# deterministic tie policy (min event_id at the tied first millisecond
+# via arg_min/min_by).
+
+_FIRST_ATTR_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type, value FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+seq AS (
+  SELECT *, MIN(CASE WHEN event_type IN ('view', 'click') THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+               RANGE BETWEEN {_ATTR_WINDOW_MS} PRECEDING AND 1 PRECEDING)
+         AS first_touch_ts
+  FROM s
+),
+tk AS (
+  SELECT user_id, ts, arg_min(event_type, event_id) AS touch_type
+  FROM s WHERE event_type IN ('view', 'click') GROUP BY user_id, ts
+),
+p AS (
+  SELECT q.user_id, q.value, q.first_touch_ts, t.touch_type
+  FROM seq q
+  LEFT JOIN tk t ON t.user_id = q.user_id AND t.ts = q.first_touch_ts
+  WHERE q.event_type = 'purchase'
+)
+SELECT CASE WHEN first_touch_ts IS NOT NULL AND touch_type IS NOT NULL
+        THEN touch_type ELSE 'none' END AS touch_type,
+       COUNT(*) AS conversions,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS attributed_value
+FROM p
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "events_attribution_first_touch",
+    _FIRST_ATTR_SQL,
+    doc="First-touch attribution: each purchase credits the EARLIEST "
+    "view/click in its 24 h lookback via a RANGE-framed running MIN "
+    "over epoch-millis (the frame's lower bound IS the lookback, so "
+    "no post-filter); touch type recovered by one keyed join with "
+    "min-event_id tie-break. One user-keyed exchange, no range join.",
+)
+def events_attribution_first_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    s = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-_ATTR_WINDOW_MS, -1)
+    )
+    first_ts = F.min(
+        F.when(F.col("event_type").isin("view", "click"), F.col("ts"))
+    ).over(w)
+    purch = (
+        s.withColumn("first_touch_ts", first_ts)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "value", "first_touch_ts")
+    )
+    tk = (
+        s.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts").alias("tts"))
+        .agg(F.expr("min_by(event_type, event_id)").alias("touch_type"))
+    )
+    j = purch.join(
+        tk,
+        (purch["user_id"] == tk["user_id"])
+        & (purch["first_touch_ts"] == tk["tts"]),
+        "left",
+    ).select(purch["user_id"], "value", "first_touch_ts", "touch_type")
+    bucket = F.when(
+        F.col("first_touch_ts").isNotNull() & F.col("touch_type").isNotNull(),
+        F.col("touch_type"),
+    ).otherwise("none")
+    return (
+        j.groupBy(bucket.alias("touch_type"))
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            dsum(dec("value"), "attributed_value"),
+        )
+        .orderBy("touch_type")
+    )
