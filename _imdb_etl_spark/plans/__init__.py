@@ -156,6 +156,7 @@ _GATE_REST = [
     "orders_mom_yoy_growth",
     "events_dau_wau_mau",
     "events_attribution_first_touch",
+    "scalar_bitwise_suite",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -457,3 +457,57 @@ def scalar_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keys_sorted"
         ),
     ).orderBy("o_orderkey")
+
+
+# --- bitwise scalar + aggregate surface --------------------------------
+#
+# Bit-manipulation parity: shifts, masks, xor folding, popcount, and
+# the BIT_AND/BIT_OR/BIT_XOR aggregate family — the primitives behind
+# bitmap indexes (distinct_users_bitmap_exact), bloom filters, and
+# simhash-style signatures, surfaced as a first-class scalar suite.
+# Integer-only: every value is exact in both engines.
+
+_BITWISE_SQL = """
+SELECT user_id % 64 AS bucket,
+       COUNT(*) AS n,
+       CAST(BIT_AND(event_id & 255) AS BIGINT) AS and_mask,
+       CAST(BIT_OR(event_id & 255) AS BIGINT) AS or_mask,
+       CAST(BIT_XOR(event_id) AS BIGINT) AS xor_fold,
+       CAST(SUM(bit_count(CAST(event_id & 1023 AS BIGINT))) AS BIGINT)
+         AS total_popcount,
+       CAST(MAX((event_id & 15) << 2) AS BIGINT) AS max_shifted,
+       CAST(MIN(event_id >> 4) AS BIGINT) AS min_shifted_down
+FROM events
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register(
+    "scalar_bitwise_suite",
+    _BITWISE_SQL,
+    doc="Bitwise parity suite: &, |, xor-fold, shifts, popcount "
+    "(bit_count) and the BIT_AND/BIT_OR/BIT_XOR aggregates per user "
+    "bucket — integer-exact in both engines, the primitive layer under "
+    "the bitmap/bloom/simhash operators.",
+)
+def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return (
+        events.groupBy((F.col("user_id") % 64).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and(eid.bitwiseAND(255)).cast("long").alias("and_mask"),
+            F.bit_or(eid.bitwiseAND(255)).cast("long").alias("or_mask"),
+            F.bit_xor(eid).cast("long").alias("xor_fold"),
+            F.sum(F.bit_count(eid.bitwiseAND(1023).cast("long")))
+            .cast("long")
+            .alias("total_popcount"),
+            F.max(F.shiftleft(eid.bitwiseAND(15), 2))
+            .cast("long")
+            .alias("max_shifted"),
+            F.min(F.shiftright(eid, 4)).cast("long").alias("min_shifted_down"),
+        )
+        .orderBy("bucket")
+    )
