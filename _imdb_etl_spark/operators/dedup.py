@@ -1445,3 +1445,106 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- near-dup rate by source pair --------------------------------------
+#
+# Provenance-level dedup audit: WHICH sources duplicate each other —
+# the report a crawl-curation team reads to find mirror sites and
+# cross-source boilerplate. Pure composition: the MinHash-LSH verified
+# pair stream (one doc-keyed exchange, banding, exact verify) joined
+# twice to the doc->source map, aggregated per unordered source pair
+# and normalized by the pair's doc-count product (an upper-bound rate
+# proxy that is scale-free across source sizes).
+
+_SRC_PAIR_SQL = f"""{_LSH_CAND_CTE},
+verified AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN sizes sa ON c.doc_a = sa.doc_id
+  JOIN sizes sb ON c.doc_b = sb.doc_id
+  JOIN (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.6
+),
+srcs AS (SELECT doc_id, source FROM documents),
+pairs AS (
+  SELECT LEAST(x.source, y.source) AS source_a,
+         GREATEST(x.source, y.source) AS source_b,
+         COUNT(*) AS n_dup_pairs
+  FROM verified v
+  JOIN srcs x ON x.doc_id = v.doc_a
+  JOIN srcs y ON y.doc_id = v.doc_b
+  GROUP BY 1, 2
+),
+scount AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+SELECT p.source_a, p.source_b, CAST(p.n_dup_pairs AS BIGINT) AS n_dup_pairs,
+       ROUND(CAST(p.n_dup_pairs AS DOUBLE)
+             / (ca.n_docs * CAST(cb.n_docs AS DOUBLE)), 9) AS dup_rate
+FROM pairs p
+JOIN scount ca ON ca.source = p.source_a
+JOIN scount cb ON cb.source = p.source_b
+ORDER BY n_dup_pairs DESC, source_a, source_b
+"""
+
+
+@register(
+    "neardup_rate_by_source",
+    _SRC_PAIR_SQL,
+    doc="Provenance audit over the LSH-verified near-dup pair stream: "
+    "duplicate-pair counts per unordered source pair, normalized by "
+    "the doc-count product — mirrors and cross-source boilerplate "
+    "surface first. Composition of dedup_minhash_lsh's one-exchange "
+    "candidate+verify stages with two broadcast-sized source joins; "
+    "no new shuffle shape.",
+)
+def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    doc_sets, cand = lsh_candidates(docs)
+    pairs = _jaccard_verify(doc_sets, cand, with_est=False).select(
+        "doc_a", "doc_b"
+    )
+    srcs = docs.select("doc_id", "source")
+    scount = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    joined = (
+        pairs.join(
+            srcs.select(
+                F.col("doc_id").alias("da"), F.col("source").alias("sa")
+            ),
+            F.col("doc_a") == F.col("da"),
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("db"), F.col("source").alias("sb")
+            ),
+            F.col("doc_b") == F.col("db"),
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_pairs"))
+    )
+    ca = scount.select(F.col("source").alias("ka"), F.col("n_docs").alias("na"))
+    cb = scount.select(F.col("source").alias("kb"), F.col("n_docs").alias("nb"))
+    return (
+        joined.join(F.broadcast(ca), F.col("source_a") == F.col("ka"))
+        .join(F.broadcast(cb), F.col("source_b") == F.col("kb"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_dup_pairs",
+            F.round(
+                F.col("n_dup_pairs").cast("double")
+                / (F.col("na") * F.col("nb").cast("double")),
+                9,
+            ).alias("dup_rate"),
+        )
+        .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
+    )

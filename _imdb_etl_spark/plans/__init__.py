@@ -157,6 +157,8 @@ _GATE_REST = [
     "events_dau_wau_mau",
     "events_attribution_first_touch",
     "scalar_bitwise_suite",
+    "events_bot_regularity",
+    "neardup_rate_by_source",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

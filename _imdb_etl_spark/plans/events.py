@@ -2835,3 +2835,92 @@ def events_attribution_first_touch(
         )
         .orderBy("touch_type")
     )
+
+
+# --- bot / automation detection heuristics -----------------------------
+#
+# Abuse-filtering primitive: scripted clients fire events at
+# near-constant intervals, humans don't. Per user: inter-event gaps
+# (LAG over the user's own ordered stream), exact integer millisecond
+# moments -> coefficient of variation of the gap distribution; low CV
+# with enough events flags automation. One user-keyed exchange; the
+# gap moments are BIGINT-exact (ms gaps squared stay under int64 for
+# month-scale spans), so both engines compute identical doubles.
+
+_BOT_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+),
+m AS (
+  SELECT user_id,
+         CAST(COUNT(gap_ms) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_ms) AS BIGINT) AS s,
+         CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS ss
+  FROM gaps WHERE gap_ms IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(gap_ms) >= 20
+)
+SELECT user_id, n_gaps,
+       ROUND(CAST(s AS DOUBLE) / n_gaps / 1000, 6) AS mean_gap_s,
+       ROUND(sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_gaps)
+                  / (n_gaps - 1))
+             / (CAST(s AS DOUBLE) / n_gaps), 6) AS gap_cv,
+       (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n_gaps)
+             / (n_gaps - 1))
+        / (CAST(s AS DOUBLE) / n_gaps) < 0.3) AS regular_flag
+FROM m
+ORDER BY gap_cv, user_id
+LIMIT 50
+"""
+
+
+@register(
+    "events_bot_regularity",
+    _BOT_SQL,
+    doc="Automation detection by inter-event regularity: per-user gap "
+    "stream via LAG over the user's own ordered events (user-keyed "
+    "window), BIGINT-exact millisecond moments, coefficient of "
+    "variation with a support floor; the 50 most-regular users "
+    "surface first. CV < 0.3 is the scripted-client heuristic — on "
+    "this synthetic arrival process the flag is expected to stay "
+    "false, and both engines agreeing on the full decision path is "
+    "what the hash checks.",
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)
+        ).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_ms").cast("long").alias("n_gaps"),
+            F.sum("gap_ms").cast("long").alias("s"),
+            F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("long").alias("ss"),
+        )
+        .where(F.col("n_gaps") >= 20)
+    )
+    mean = F.col("s").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1)
+    )
+    cv = sd / mean
+    return (
+        m.select(
+            "user_id",
+            "n_gaps",
+            F.round(mean / 1000, 6).alias("mean_gap_s"),
+            F.round(cv, 6).alias("gap_cv"),
+            (cv < 0.3).alias("regular_flag"),
+        )
+        .orderBy("gap_cv", "user_id")
+        .limit(50)
+    )
