@@ -738,3 +738,97 @@ def _pca_top_component(
         eigval = nrm
         v = [c / nrm for c in w]
     return v, eigval, n, trace
+
+
+# --- diagonal-Mahalanobis embedding outliers ---------------------------
+#
+# Embedding-quality audit: vectors far from the corpus distribution
+# under a per-dimension variance scaling (diagonal Mahalanobis) —
+# catches collapsed/corrupted embeddings that plain L2-to-centroid
+# misses when dimensions have very different spreads. Per-dim moments
+# follow the centroid-cohesion policy (accumulate f64, ROUND(6) at
+# the boundary before reuse), the 64-term score folds in fixed j
+# order, and the one broadcast is the 2x64 moment table.
+
+_MAHA_TOP = 20
+
+_MAHA_SQL = f"""
+WITH comp AS (
+  SELECT j, ROUND(AVG(CAST(embedding[j] AS DOUBLE)), 6) AS mu,
+         ROUND(VAR_SAMP(CAST(embedding[j] AS DOUBLE)), 6) AS v
+  FROM embeddings, range(1, {_DIM} + 1) t(j)
+  GROUP BY j
+),
+moments AS (
+  SELECT list(mu ORDER BY j) AS mus, list(v ORDER BY j) AS vars FROM comp
+),
+scored AS (
+  SELECT e.vec_id, e.label,
+         ROUND(list_sum(list_transform(range(1, {_DIM} + 1),
+               j -> (CAST(e.embedding[j] AS DOUBLE) - m.mus[j])
+                    * (CAST(e.embedding[j] AS DOUBLE) - m.mus[j])
+                    / m.vars[j])), 6) AS maha_sq
+  FROM embeddings e, moments m
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, maha_sq
+FROM scored
+ORDER BY maha_sq DESC, vec_id
+LIMIT {_MAHA_TOP}
+"""
+
+
+@register(
+    "embedding_outlier_mahalanobis",
+    _MAHA_SQL,
+    doc=f"Top-{_MAHA_TOP} embedding outliers by diagonal Mahalanobis "
+    "distance: per-dim mean/variance (f64 accumulate, round-at-"
+    "boundary), one 2x64 broadcast, fixed-order 64-term fold per "
+    "vector — corpus-linear with a constant-size model, the "
+    "distribution-aware sibling of L2-to-centroid screening.",
+)
+def embedding_outlier_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            F.posexplode("embedding").alias("j0", "x")
+        )
+        .groupBy((F.col("j0") + 1).alias("j"))
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("mu"),
+            F.round(F.var_samp(F.col("x").cast("double")), 6).alias("v"),
+        )
+    )
+    moments = comp.agg(
+        F.array_sort(
+            F.collect_list(F.struct("j", "mu"))
+        ).alias("mu_s"),
+        F.array_sort(
+            F.collect_list(F.struct("j", "v"))
+        ).alias("v_s"),
+    ).select(
+        F.col("mu_s.mu").alias("mus"), F.col("v_s.v").alias("vars")
+    )
+    scored = emb.crossJoin(F.broadcast(moments)).select(  # 1-row moment table
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(_DIM)),
+                    lambda j: (
+                        F.element_at("embedding", j).cast("double")
+                        - F.element_at("mus", j)
+                    )
+                    * (
+                        F.element_at("embedding", j).cast("double")
+                        - F.element_at("mus", j)
+                    )
+                    / F.element_at("vars", j),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("maha_sq"),
+    )
+    return scored.orderBy(F.desc("maha_sq"), "vec_id").limit(_MAHA_TOP)

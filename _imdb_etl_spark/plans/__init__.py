@@ -159,6 +159,7 @@ _GATE_REST = [
     "scalar_bitwise_suite",
     "events_bot_regularity",
     "neardup_rate_by_source",
+    "embedding_outlier_mahalanobis",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",
