@@ -160,6 +160,8 @@ _GATE_REST = [
     "events_bot_regularity",
     "neardup_rate_by_source",
     "embedding_outlier_mahalanobis",
+    "privacy_dp_noisy_counts",
+    "events_ks_two_sample",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

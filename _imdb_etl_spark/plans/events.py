@@ -2924,3 +2924,227 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("gap_cv", "user_id")
         .limit(50)
     )
+
+
+# --- differentially-private noisy counts (seeded Laplace) --------------
+#
+# The DP release mechanism, made oracle-checkable: per-type event
+# counts plus Laplace(1/eps) noise drawn by inverse-CDF from a
+# DETERMINISTIC uniform (md5 of seed:type -> (0,1)) — both engines
+# compute bit-identical noise, so the full mechanism (sensitivity-1
+# count, scale, quantile transform, post-processing round) is what the
+# hash verifies. Production swaps the seeded uniform for a CSPRNG and
+# nothing else changes; the docstring IS the privacy caveat: a
+# content-derived seed is NOT private, it is the test harness.
+
+_DP_EPS = 0.5
+_DP_SEED = "dp0"
+
+
+def _dp_u_sql() -> str:
+    from _imdb_etl_spark.functions import md5_prefix_int_sql
+
+    h = md5_prefix_int_sql(f"'{_DP_SEED}:' || event_type", 8)
+    return f"(({h}) + 1.0) / {float(16**8 + 1)}"
+
+
+_DP_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY event_type
+),
+noised AS (
+  SELECT event_type, true_count,
+         {_dp_u_sql()} AS u
+  FROM c
+)
+SELECT event_type,
+       true_count,
+       ROUND(CASE WHEN u < 0.5
+              THEN (1.0 / {_DP_EPS}) * ln(2 * u)
+              ELSE -(1.0 / {_DP_EPS}) * ln(2 * (1 - u)) END, 6) AS noise,
+       CAST(greatest(0, CAST(round(true_count + CASE WHEN u < 0.5
+              THEN (1.0 / {_DP_EPS}) * ln(2 * u)
+              ELSE -(1.0 / {_DP_EPS}) * ln(2 * (1 - u)) END) AS BIGINT))
+            AS BIGINT) AS released_count
+FROM noised
+ORDER BY event_type
+"""
+
+
+@register(
+    "privacy_dp_noisy_counts",
+    _DP_SQL,
+    doc=f"Laplace mechanism for count release (eps={_DP_EPS}, "
+    "sensitivity 1): inverse-CDF noise from a seeded md5 uniform so "
+    "both engines draw bit-identical samples and the WHOLE mechanism "
+    "(scale, transform, clamp-to-nonnegative post-processing) is "
+    "hash-verified; production replaces the seeded uniform with a "
+    "CSPRNG — the seeded draw here is the test harness, not a privacy "
+    "claim. Map-side per group; one type-cardinality aggregate.",
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    c = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    h = hex_prefix_int(
+        F.md5(F.concat(F.lit(f"{_DP_SEED}:"), F.col("event_type"))), 8
+    )
+    u = (h + F.lit(1.0)) / F.lit(float(16**8 + 1))
+    scale = 1.0 / _DP_EPS
+    noise = F.when(u < 0.5, scale * F.log(2 * u)).otherwise(
+        -scale * F.log(2 * (1 - u))
+    )
+    released = F.greatest(
+        F.lit(0).cast("long"),
+        F.round(F.col("true_count") + noise).cast("long"),
+    )
+    return (
+        c.select(
+            "event_type",
+            "true_count",
+            F.round(noise, 6).alias("noise"),
+            released.alias("released_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Kolmogorov-Smirnov two-sample test --------------------------------
+#
+# Completes the nonparametric family (Welch -> mean shift,
+# Mann-Whitney -> stochastic dominance, KS -> ANY distributional
+# difference): D = max |ECDF_1 - ECDF_2| over the pooled support. The
+# ECDFs come from the same two-stage machinery as events_mannwhitney_u
+# — per-distinct-value group counts, bucket offsets via the broadcast
+# triangular join, per-bucket cumulative windows — so the cumulative
+# counts are exact integers and D is a max over exact rationals
+# divided once. The asymptotic alpha=0.01 threshold
+# c(a)*sqrt((n1+n2)/(n1*n2)) with c(0.01)=1.628 gates the verdict.
+
+_KS_A, _KS_B = "purchase", "view"
+
+_KS_SQL = f"""
+WITH d AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+),
+vc AS (
+  SELECT CAST(floor(value) AS BIGINT) AS bkt, value,
+         COUNT(*) FILTER (WHERE event_type = '{_KS_A}') AS n1v,
+         COUNT(*) FILTER (WHERE event_type = '{_KS_B}') AS n2v
+  FROM d GROUP BY 1, 2
+),
+bt AS (
+  SELECT bkt, CAST(SUM(n1v) AS BIGINT) AS b1, CAST(SUM(n2v) AS BIGINT) AS b2
+  FROM vc GROUP BY bkt
+),
+off AS (
+  SELECT a.bkt,
+         CAST(COALESCE(SUM(b.b1), 0) AS BIGINT) AS off1,
+         CAST(COALESCE(SUM(b.b2), 0) AS BIGINT) AS off2
+  FROM bt a LEFT JOIN bt b ON b.bkt < a.bkt GROUP BY a.bkt
+),
+cum AS (
+  SELECT o.off1 + CAST(SUM(v.n1v) OVER w AS BIGINT) AS c1,
+         o.off2 + CAST(SUM(v.n2v) OVER w AS BIGINT) AS c2
+  FROM vc v JOIN off o USING (bkt)
+  WINDOW w AS (PARTITION BY v.bkt ORDER BY v.value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(n2v) AS BIGINT) AS n2
+  FROM vc
+)
+SELECT n1, n2,
+       ROUND(MAX(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)), 6)
+         AS ks_d,
+       ROUND(1.628 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (n1 * CAST(n2 AS DOUBLE))), 6)
+         AS crit_01,
+       (MAX(abs(CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2))
+        > 1.628 * sqrt((n1 + CAST(n2 AS DOUBLE)) / (n1 * CAST(n2 AS DOUBLE))))
+         AS reject_01
+FROM cum, tot
+GROUP BY n1, n2
+"""
+
+
+@register(
+    "events_ks_two_sample",
+    _KS_SQL,
+    doc=f"Kolmogorov-Smirnov two-sample test ({_KS_A} vs {_KS_B} "
+    "value): D = max ECDF gap over the pooled support, cumulative "
+    "counts exact via the shared two-stage ranking shape "
+    "(range-bounded buckets, broadcast triangular offsets, per-bucket "
+    "windows), asymptotic alpha=0.01 verdict. The distribution-shape "
+    "sibling of events_welch_ttest / events_mannwhitney_u.",
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    d = events.where(F.col("event_type").isin(_KS_A, _KS_B))
+    vc = d.groupBy(
+        F.floor("value").cast("long").alias("bkt"), "value"
+    ).agg(
+        F.count_if(F.col("event_type") == _KS_A).alias("n1v"),
+        F.count_if(F.col("event_type") == _KS_B).alias("n2v"),
+    )
+    bt = vc.groupBy("bkt").agg(
+        F.sum("n1v").cast("long").alias("b1"),
+        F.sum("n2v").cast("long").alias("b2"),
+    )
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(
+                bt.select(
+                    F.col("bkt").alias("bkt_b"),
+                    F.col("b1").alias("b1b"),
+                    F.col("b2").alias("b2b"),
+                )
+            ),
+            F.col("bkt_b") < F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(
+            F.coalesce(F.sum("b1b"), F.lit(0)).cast("long").alias("off1"),
+            F.coalesce(F.sum("b2b"), F.lit(0)).cast("long").alias("off2"),
+        )
+    )
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        vc.join(off, "bkt")
+        .withColumn("c1", F.col("off1") + F.sum("n1v").over(w).cast("long"))
+        .withColumn("c2", F.col("off2") + F.sum("n2v").over(w).cast("long"))
+    )
+    tot = vc.agg(
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum("n2v").cast("long").alias("n2"),
+    )
+    gap = F.abs(
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c2").cast("double") / F.col("n2")
+    )
+    crit = 1.628 * F.sqrt(
+        (F.col("n1") + F.col("n2").cast("double"))
+        / (F.col("n1") * F.col("n2").cast("double"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row broadcast scalar
+        .groupBy("n1", "n2")
+        .agg(F.max(gap).alias("d_raw"))
+        .select(
+            "n1",
+            "n2",
+            F.round(F.col("d_raw"), 6).alias("ks_d"),
+            F.round(crit, 6).alias("crit_01"),
+            (F.col("d_raw") > crit).alias("reject_01"),
+        )
+    )

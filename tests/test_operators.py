@@ -2203,3 +2203,28 @@ def test_abc_classification_invariants(spark, sf_dir):
     n_a = int((cum * 10 <= total * 7).sum())
     assert rows["A"]["n_parts"] == n_a
     assert rows["A"]["revenue_share"] > rows["C"]["revenue_share"] or len(cents) < 50
+
+
+def test_ks_two_sample_matches_scipy_formula(spark, sf_dir):
+    """Cross-check the distributed ECDF max-gap against a direct
+    in-memory KS computation on the same two samples."""
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    row = REGISTRY["events_ks_two_sample"].spark(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    a = ev[ev.event_type == "purchase"]["value"].sort_values().to_numpy()
+    b = ev[ev.event_type == "view"]["value"].sort_values().to_numpy()
+    import bisect
+
+    support = sorted(set(a) | set(b))
+    d = max(
+        abs(
+            bisect.bisect_right(list(a), v) / len(a)
+            - bisect.bisect_right(list(b), v) / len(b)
+        )
+        for v in support
+    )
+    assert row["n1"] == len(a) and row["n2"] == len(b)
+    assert abs(row["ks_d"] - round(d, 6)) <= 1e-6, (row["ks_d"], d)
