@@ -162,6 +162,8 @@ _GATE_REST = [
     "embedding_outlier_mahalanobis",
     "privacy_dp_noisy_counts",
     "events_ks_two_sample",
+    "events_attribution_time_decay",
+    "lineitem_weighted_median_price",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -915,3 +915,116 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# --- weighted median ---------------------------------------------------
+#
+# The quantity-weighted median unit price per return flag — the
+# weighted-percentile primitive Spark has no built-in for (percentile
+# weights rows equally; here a 50-unit line counts 50x). Lower
+# weighted median: smallest price whose cumulative quantity reaches
+# half the group's total. Cumulative weights come from the grouped
+# form of the two-stage ranking machinery (buckets within each group,
+# triangular offsets joined on (group, bucket-order), per-(group,
+# bucket) windows); quantities are integer-exact, and the median
+# selection is a conditional MIN — no float enters except the output
+# price itself.
+
+_WMEDIAN_SQL = """
+WITH vc AS (
+  SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bkt,
+         l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2, 3
+),
+bt AS (
+  SELECT flag, bkt, CAST(SUM(w) AS BIGINT) AS nb
+  FROM vc GROUP BY flag, bkt
+),
+off AS (
+  SELECT a.flag, a.bkt, CAST(COALESCE(SUM(b.nb), 0) AS BIGINT) AS bkt_off
+  FROM bt a LEFT JOIN bt b ON b.flag = a.flag AND b.bkt < a.bkt
+  GROUP BY a.flag, a.bkt
+),
+cum AS (
+  SELECT v.flag, v.price,
+         o.bkt_off + CAST(SUM(v.w) OVER (
+             PARTITION BY v.flag, v.bkt ORDER BY v.price
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cw
+  FROM vc v JOIN off o ON o.flag = v.flag AND o.bkt = v.bkt
+),
+tot AS (SELECT flag, CAST(SUM(w) AS BIGINT) AS tw FROM vc GROUP BY flag)
+SELECT c.flag AS l_returnflag,
+       t.tw AS total_quantity,
+       MIN(CASE WHEN 2 * c.cw >= t.tw THEN c.price END)
+         AS weighted_median_price
+FROM cum c JOIN tot t ON t.flag = c.flag
+GROUP BY c.flag, t.tw
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "lineitem_weighted_median_price",
+    _WMEDIAN_SQL,
+    doc="Quantity-weighted median unit price per return flag — the "
+    "weighted-percentile primitive percentile() cannot express (rows "
+    "weigh equally there). Grouped two-stage cumulative weights "
+    "(integer-exact), conditional-MIN selection at half the total; "
+    "the same shape computes any weighted quantile by changing the "
+    "threshold.",
+)
+def lineitem_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    vc = lineitem.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / 10000).cast("long").alias("bkt"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    bt = vc.groupBy("flag", "bkt").agg(F.sum("w").cast("long").alias("nb"))
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(
+                bt.select(
+                    F.col("flag").alias("fb"),
+                    F.col("bkt").alias("bkt_b"),
+                    F.col("nb").alias("nb_b"),
+                )
+            ),
+            (F.col("fb") == F.col("a.flag")) & (F.col("bkt_b") < F.col("a.bkt")),
+            "left",
+        )
+        .groupBy(F.col("a.flag").alias("flag"), F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("nb_b"), F.lit(0)).cast("long").alias("bkt_off"))
+    )
+    w = (
+        Window.partitionBy("flag", "bkt")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.join(off, ["flag", "bkt"]).withColumn(
+        "cw", F.col("bkt_off") + F.sum("w").over(w).cast("long")
+    )
+    tot = vc.groupBy(F.col("flag").alias("tf")).agg(
+        F.sum("w").cast("long").alias("tw")
+    )
+    return (
+        cum.join(F.broadcast(tot), F.col("flag") == F.col("tf"))
+        .groupBy(F.col("flag").alias("l_returnflag"), F.col("tw"))
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))
+            ).alias("weighted_median_price")
+        )
+        .select(
+            "l_returnflag",
+            F.col("tw").alias("total_quantity"),
+            "weighted_median_price",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -3148,3 +3148,128 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d_raw") > crit).alias("reject_01"),
         )
     )
+
+
+# --- time-decay multi-touch attribution --------------------------------
+#
+# Fourth member of the attribution family: touches closer to the
+# conversion earn exponentially more credit, w = exp(-age/tau),
+# tau = 6 h. Determinism contract: weights quantize to integer
+# NANO-units (round(exp*1e9) -> BIGINT) before any summation, so the
+# per-conversion normalizer is an exact integer sum (float exp
+# last-bit noise is absorbed by the 1e-9 grid) and the credit split
+# floor(1e6 * w_n / sum_w_n) is pure integer arithmetic — the same
+# reasoning as linear attribution's micro-unit floors, extended to
+# weighted shares.
+
+_DECAY_TAU_MS = 6 * 3600 * 1000
+
+_TDATTR_SQL = f"""
+WITH s AS (
+  SELECT event_id, user_id, ts, event_type FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+tn AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+         AS next_pts
+  FROM s
+),
+touches AS (
+  SELECT user_id, next_pts, event_type AS touch_type,
+         CAST(round(exp(-(epoch_ms(next_pts) - epoch_ms(ts))
+                        / {float(_DECAY_TAU_MS)}) * 1000000000) AS BIGINT)
+           AS w_nano
+  FROM tn
+  WHERE event_type IN ('view', 'click') AND next_pts IS NOT NULL
+    AND epoch_ms(next_pts) - epoch_ms(ts) <= {_ATTR_WINDOW_MS}
+),
+purch AS (
+  SELECT user_id, ts AS pts, CAST(COUNT(*) AS BIGINT) AS n_purch
+  FROM s WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+grp AS (
+  SELECT user_id, next_pts, CAST(SUM(w_nano) AS BIGINT) AS sum_w
+  FROM touches GROUP BY user_id, next_pts
+)
+SELECT t.touch_type,
+       COUNT(*) AS touches,
+       CAST(SUM(CAST(floor(p.n_purch * 1000000.0 * t.w_nano / g.sum_w)
+                     AS BIGINT)) AS BIGINT) AS credit_micro
+FROM touches t
+JOIN grp g ON g.user_id = t.user_id AND g.next_pts = t.next_pts
+JOIN purch p ON p.user_id = t.user_id AND p.pts = t.next_pts
+GROUP BY t.touch_type
+ORDER BY t.touch_type
+"""
+
+
+@register(
+    "events_attribution_time_decay",
+    _TDATTR_SQL,
+    doc="Time-decay multi-touch attribution (tau = 6 h): per-touch "
+    "exp(-age/tau) weights quantized to integer nano-units BEFORE "
+    "summation, so the per-conversion normalizer and the "
+    "floor(1e6 * w/sum_w) credit split are exact integer arithmetic — "
+    "no order-sensitive float sums anywhere. Same one user-keyed "
+    "window + two keyed joins as the linear face.",
+)
+def events_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    s = events.where(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_pts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    age_ms = F.unix_millis(F.col("next_pts")) - F.unix_millis(F.col("ts"))
+    touches = (
+        s.withColumn("next_pts", next_pts)
+        .where(
+            F.col("event_type").isin("view", "click")
+            & F.col("next_pts").isNotNull()
+            & (age_ms <= _ATTR_WINDOW_MS)
+        )
+        .select(
+            "user_id",
+            "next_pts",
+            F.col("event_type").alias("touch_type"),
+            F.round(F.exp(-age_ms / float(_DECAY_TAU_MS)) * 1e9)
+            .cast("long")
+            .alias("w_nano"),
+        )
+    )
+    purch = (
+        s.where(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purch"))
+    )
+    grp = touches.groupBy("user_id", "next_pts").agg(
+        F.sum("w_nano").cast("long").alias("sum_w")
+    )
+    return (
+        touches.join(grp, ["user_id", "next_pts"])
+        .join(
+            purch,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("next_pts") == F.col("pts")),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("touches"),
+            F.sum(
+                F.floor(
+                    F.col("n_purch") * 1000000.0 * F.col("w_nano") / F.col("sum_w")
+                ).cast("long")
+            ).cast("long").alias("credit_micro"),
+        )
+        .orderBy("touch_type")
+    )
