@@ -1257,3 +1257,105 @@ def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common_tokens",
         F.round(jsd, 6).alias("jsd_nats"),
     ).orderBy("source_a", "source_b")
+
+
+# --- Zipf-law fit of the corpus frequency spectrum ---------------------
+#
+# Corpus-linguistics health check: natural text has token frequencies
+# f(r) ~ r^s with s near -1; a synthetic or heavily-filtered corpus
+# drifts. Fit = OLS of ln(freq) on ln(rank) over the full vocabulary.
+# Ranks come from the descending two-stage shape: the frequency
+# DISTRIBUTION table (one row per distinct frequency — far smaller
+# than the vocabulary) provides prefix offsets via a broadcast
+# triangular join, and row_number within each frequency tie resolves
+# by token — no vocabulary-sized single-partition sort. The OLS sums
+# accumulate f64 over vocabulary-bounded terms under ROUND(6).
+
+_ZIPF_SQL = """
+WITH vc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+ft AS (SELECT freq, CAST(COUNT(*) AS BIGINT) AS nt FROM vc GROUP BY freq),
+off AS (
+  SELECT a.freq, CAST(COALESCE(SUM(b.nt), 0) AS BIGINT) AS bkt_off
+  FROM ft a LEFT JOIN ft b ON b.freq > a.freq GROUP BY a.freq
+),
+rk AS (
+  SELECT v.freq,
+         o.bkt_off + ROW_NUMBER() OVER (
+             PARTITION BY v.freq ORDER BY v.w) AS rnk
+  FROM vc v JOIN off o ON o.freq = v.freq
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(ln(CAST(rnk AS DOUBLE))) AS sx,
+         SUM(ln(CAST(freq AS DOUBLE))) AS sy,
+         SUM(ln(CAST(rnk AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS sxy,
+         SUM(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))) AS sxx,
+         SUM(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE))) AS syy
+  FROM rk
+)
+SELECT n AS n_types,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM sums
+"""
+
+
+@register(
+    "vocab_zipf_slope",
+    _ZIPF_SQL,
+    doc="Zipf-law fit over the full vocabulary: OLS slope and R^2 of "
+    "ln(freq) on ln(rank), ranks from the descending two-stage shape "
+    "keyed on the frequency-distribution table (one row per distinct "
+    "frequency), ties resolved lexicographically. Natural corpora sit "
+    "near slope -1; the synthetic driver corpus reads much flatter — "
+    "the point is both engines agree on the whole fit.",
+)
+def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    vc = (
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ft = vc.groupBy("freq").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    off = (
+        ft.alias("a")
+        .join(
+            F.broadcast(
+                ft.select(F.col("freq").alias("fb"), F.col("nt").alias("ntb"))
+            ),
+            F.col("fb") > F.col("a.freq"),
+            "left",
+        )
+        .groupBy(F.col("a.freq").alias("freq"))
+        .agg(F.coalesce(F.sum("ntb"), F.lit(0)).cast("long").alias("bkt_off"))
+    )
+    w = Window.partitionBy("freq").orderBy("w")
+    rk = vc.join(off, "freq").withColumn(
+        "rnk", F.col("bkt_off") + F.row_number().over(w)
+    )
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    sums = rk.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("n").alias("n_types"),
+        F.round(num / denx, 6).alias("zipf_slope"),
+        F.round(num * num / (denx * deny), 6).alias("r2"),
+    )

@@ -164,6 +164,8 @@ _GATE_REST = [
     "events_ks_two_sample",
     "events_attribution_time_decay",
     "lineitem_weighted_median_price",
+    "supplier_hhi_by_nation",
+    "vocab_zipf_slope",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -1028,3 +1028,85 @@ def lineitem_weighted_median_price(
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- Herfindahl-Hirschman market concentration -------------------------
+#
+# Per-nation supplier concentration of lineitem revenue: HHI = sum of
+# squared market shares (x10000, the antitrust convention). Shares
+# come from decimal-exact cents; the share squares are the only float
+# step, summed per nation over a supplier-bounded group and rounded.
+# Pairs with customers_gini_spend: Gini measures inequality across the
+# whole population, HHI measures top-end concentration per market.
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT nationkey, CAST(SUM(cents) AS BIGINT) AS tc
+        FROM rev GROUP BY nationkey)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM((CAST(r.cents AS DOUBLE) / t.tc)
+                 * (CAST(r.cents AS DOUBLE) / t.tc)) * 10000, 4) AS hhi
+FROM rev r
+JOIN tot t ON t.nationkey = r.nationkey
+JOIN nation n ON n.n_nationkey = r.nationkey
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@register(
+    "supplier_hhi_by_nation",
+    _HHI_SQL,
+    doc="Herfindahl-Hirschman supplier concentration per nation "
+    "(x10000): decimal-exact revenue cents, share squares summed per "
+    "market, broadcast nation names. One fact aggregate + two keyed "
+    "joins; market count bounds the output.",
+)
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier, nation = load_tables(
+        spark, sf_dir, "lineitem", "supplier", "nation"
+    )
+    rev = (
+        lineitem.join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+                * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.groupBy(F.col("nationkey").alias("tk")).agg(
+        F.sum("cents").cast("long").alias("tc")
+    )
+    share = F.col("cents").cast("double") / F.col("tc")
+    return (
+        rev.join(tot, F.col("nationkey") == F.col("tk"))
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
+        )
+        .orderBy("nation")
+    )

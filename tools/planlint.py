@@ -42,6 +42,7 @@ ALLOW = {
     ("customers_gini_spend", "cartesian"): "same triangular bucket-table prefix-sum as events_mannwhitney_u (two-stage distributed ranking); bounded by the spend range, not customer count",
     ("orders_spearman_price_items", "cartesian"): "two triangular bucket-table prefix-sums (one per ranked variable, same two-stage ranking shape); bounded by the value ranges, not order count",
     ("events_ks_two_sample", "cartesian"): "same triangular bucket-table prefix-sum as events_mannwhitney_u (shared two-stage ECDF shape); bounded by the value range, not row count",
+    ("vocab_zipf_slope", "cartesian"): "triangular prefix-sum over the frequency-DISTRIBUTION table (one row per distinct frequency, << vocabulary) for descending rank offsets; same bounded two-stage shape as the other rank statistics",
     ("parts_abc_classification", "cartesian"): "descending triangular bucket-table prefix-sum (two-stage ranking, cents accumulator); bounded by the revenue range, not part count",
     ("embedding_matryoshka_recall", "cartesian"): "evaluation op: the brute-force broadcast-queries pass per prefix width, same bounded shape as sim_knn_bruteforce (|Q| fixed), measuring truncation recall",
     ("sim_recall_curve", "cartesian"): "evaluation op: k-grid x the <= queries*k matched-rank pairs (both sides bounded by construction), and it embeds the allow-listed brute-force baseline as its ground truth",
