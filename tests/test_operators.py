@@ -2256,3 +2256,58 @@ def test_time_decay_attribution_conservation(spark, sf_dir):
     n_conv_upper = total_credit / 1e6
     assert total_credit <= attributed_conversions * 1e6 or attributed_conversions == 0
     assert total_credit >= (n_conv_upper * 1e6) - total_touches
+
+
+def test_matryoshka_recall_monotone(spark, sf_dir):
+    """Recall@k must be nondecreasing in prefix width (more dims can
+    only refine the ranking toward the full-dim truth)."""
+    from _imdb_etl_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["embedding_matryoshka_recall"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["trunc_dim"],
+    )
+    recalls = [r["recall_at_k"] for r in rows]
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert recalls == sorted(recalls), recalls
+
+
+def test_dau_wau_mau_ladder_invariants(spark, sf_dir):
+    """DAU <= WAU <= MAU per day, stickiness in (0, 1]."""
+    from _imdb_etl_spark.plans import REGISTRY
+
+    for r in REGISTRY["events_dau_wau_mau"].spark(spark, sf_dir).collect():
+        assert r["dau"] <= r["wau"] <= r["mau"], r
+        assert 0.0 < r["stickiness"] <= 1.0, r
+
+
+def test_rfm_scores_partition_customers(spark, sf_dir):
+    """Every RFM score is a quintile in 1..5 and segment sizes sum to
+    the customer count."""
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    rows = REGISTRY["customers_rfm_segments"].spark(spark, sf_dir).collect()
+    n_cust = pd.read_parquet(f"{sf_dir}/orders.parquet")["o_custkey"].nunique()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 5, r
+
+
+def test_dp_noisy_counts_mechanism_invariants(spark, sf_dir):
+    """Released counts are nonnegative, reproduce across runs (seeded
+    noise), and equal round(true + noise) clamped at zero."""
+    from _imdb_etl_spark.plans import REGISTRY
+
+    q = REGISTRY["privacy_dp_noisy_counts"].spark
+    a = {r["event_type"]: r for r in q(spark, sf_dir).collect()}
+    b = {r["event_type"]: r for r in q(spark, sf_dir).collect()}
+    assert a.keys() == b.keys()
+    for t in a:
+        assert tuple(a[t]) == tuple(b[t])
+        assert a[t]["released_count"] >= 0
+        assert a[t]["released_count"] == max(
+            0, round(a[t]["true_count"] + a[t]["noise"])
+        )
