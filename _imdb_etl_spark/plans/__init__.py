@@ -166,6 +166,7 @@ _GATE_REST = [
     "lineitem_weighted_median_price",
     "supplier_hhi_by_nation",
     "vocab_zipf_slope",
+    "events_decompose_additive",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

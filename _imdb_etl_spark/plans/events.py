@@ -3273,3 +3273,99 @@ def events_attribution_time_decay(
         )
         .orderBy("touch_type")
     )
+
+
+# --- classical additive time-series decomposition ----------------------
+#
+# STL-lite: hourly series = trend (centered 25-hour moving average)
+# + seasonal (mean of the detrended values at each clock hour)
+# + residual. The moving-average window and the residual join both
+# partition on the series key; the seasonal table is (type x 24).
+# Counts are integers, the moving average divides an exact integer sum
+# by an exact window size (counted, not assumed, so series edges are
+# correct), and every emitted component rounds at 6 — the established
+# accumulate-f64/round-at-boundary policy, applied twice (detrended
+# means are computed from ROUNDED trend, so both engines seasonalize
+# identical inputs).
+
+_DECOMP_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+trend AS (
+  SELECT event_type, hr, n,
+         ROUND(CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w, 6) AS trend
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+seasonal AS (
+  SELECT event_type, CAST(hour(hr) AS BIGINT) AS hod,
+         ROUND(AVG(n - trend), 6) AS seasonal
+  FROM trend GROUP BY 1, 2
+)
+-- + 0.0 collapses IEEE negative zero: ROUND can yield -0.0 in one
+-- engine and 0.0 in the other, equal by == but not by canonical hash
+SELECT t.event_type,
+       strftime(t.hr, '%Y-%m-%d %H:00:00') AS hour_bucket,
+       t.n, t.trend, s.seasonal + 0.0 AS seasonal,
+       ROUND(t.n - t.trend - s.seasonal, 6) + 0.0 AS residual
+FROM trend t
+JOIN seasonal s ON s.event_type = t.event_type
+               AND s.hod = CAST(hour(t.hr) AS BIGINT)
+ORDER BY t.event_type, hour_bucket
+"""
+
+
+@register(
+    "events_decompose_additive",
+    _DECOMP_SQL,
+    doc="Classical additive decomposition of the hourly series: "
+    "centered 25-hour moving-average trend (window size COUNTED so "
+    "series edges divide by the true neighbor count), cyclic-"
+    "subseries seasonal means of the detrended values, residual — "
+    "the explainable form of events_seasonal_anomaly's z-scores. "
+    "Series-keyed windows only; the seasonal model is (types x 24).",
+)
+def events_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, 12)
+    )
+    trend = hourly.withColumn(
+        "trend",
+        F.round(
+            F.sum("n").over(w).cast("double") / F.count("n").over(w), 6
+        ),
+    )
+    seasonal = trend.groupBy(
+        F.col("event_type").alias("st"),
+        F.hour("hr").cast("long").alias("shod"),
+    ).agg(F.round(F.avg(F.col("n") - F.col("trend")), 6).alias("seasonal"))
+    return (
+        trend.withColumn("hod", F.hour("hr").cast("long"))
+        .join(
+            F.broadcast(seasonal),
+            (F.col("event_type") == F.col("st")) & (F.col("hod") == F.col("shod")),
+        )
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            "n",
+            "trend",
+            # + 0.0 collapses -0.0 (hash-visible, ==-invisible)
+            (F.col("seasonal") + 0.0).alias("seasonal"),
+            (
+                F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6)
+                + 0.0
+            ).alias("residual"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
