@@ -795,7 +795,7 @@ pairs AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT token_a, token_b, n_co, df_a, df_b,
-       ROUND(ln(CAST(n_co AS DOUBLE) * n_docs / (df_a * df_b)), 6) AS pmi
+       ROUND(ln(CAST(n_co AS DOUBLE) * n_docs / (df_a * df_b)), 6) + 0.0 AS pmi
 FROM pairs, n
 WHERE n_co >= {_PMI_MIN_CO}
 ORDER BY pmi DESC, token_a, token_b
@@ -853,7 +853,7 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1-row crossJoin broadcasts the corpus size (bounded by construction)
     return (
         pairs.crossJoin(F.broadcast(n_docs))
-        .select("token_a", "token_b", "n_co", "df_a", "df_b", pmi.alias("pmi"))
+        .select("token_a", "token_b", "n_co", "df_a", "df_b", (pmi + 0.0).alias("pmi"))
         .orderBy(F.desc("pmi"), "token_a", "token_b")
         .limit(_PMI_TOP)
     )

@@ -1298,7 +1298,7 @@ sums AS (
   FROM rk
 )
 SELECT n AS n_types,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) + 0.0 AS zipf_slope,
        ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
              / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
 FROM sums
@@ -1356,6 +1356,6 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     return sums.select(
         F.col("n").alias("n_types"),
-        F.round(num / denx, 6).alias("zipf_slope"),
+        (F.round(num / denx, 6) + 0.0).alias("zipf_slope"),
         F.round(num * num / (denx * deny), 6).alias("r2"),
     )

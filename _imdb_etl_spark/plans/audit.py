@@ -681,7 +681,7 @@ SELECT n AS n_orders,
        ROUND((n * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
              / (sqrt(n * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
                 * sqrt(n * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))),
-             6) AS spearman_rho
+             6) + 0.0 AS spearman_rho
 FROM sums
 """
 
@@ -776,7 +776,7 @@ def orders_spearman_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * s11 - s1 * s1) * F.sqrt(n * s22 - s2 * s2)
     )
     return sums.select(
-        F.col("n").alias("n_orders"), F.round(rho, 6).alias("spearman_rho")
+        F.col("n").alias("n_orders"), (F.round(rho, 6) + 0.0).alias("spearman_rho")
     )
 
 

@@ -1126,7 +1126,7 @@ m AS (
 )
 SELECT event_type, n,
        ROUND(m1, 6) AS mean_value,
-       ROUND((m1 - m0) / sqrt(v1 / n + v0 / n0), 6) AS t_stat,
+       ROUND((m1 - m0) / sqrt(v1 / n + v0 / n0), 6) + 0.0 AS t_stat,
        ROUND((v1 / n + v0 / n0) * (v1 / n + v0 / n0)
              / ((v1 / n) * (v1 / n) / (n - 1)
                 + (v0 / n0) * (v0 / n0) / (n0 - 1)), 2) AS welch_df,
@@ -1179,7 +1179,7 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         n.alias("n"),
         F.round(m1, 6).alias("mean_value"),
-        F.round(t, 6).alias("t_stat"),
+        (F.round(t, 6) + 0.0).alias("t_stat"),
         F.round(df_w, 2).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant"),
     ).orderBy("event_type")
@@ -2182,7 +2182,7 @@ stat AS (
   FROM agg
 )
 SELECT n1, n2, u1 AS u_stat,
-       ROUND((u1 - mu) / sqrt(var), 6) AS z_stat,
+       ROUND((u1 - mu) / sqrt(var), 6) + 0.0 AS z_stat,
        (abs((u1 - mu) / sqrt(var)) > 1.96) AS significant
 FROM stat
 """
@@ -2266,7 +2266,7 @@ def events_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         "n2",
         u1.alias("u_stat"),
-        F.round(z, 6).alias("z_stat"),
+        (F.round(z, 6) + 0.0).alias("z_stat"),
         (F.abs(z) > 1.96).alias("significant"),
     )
 
@@ -2309,7 +2309,7 @@ scored AS (
   WHERE b.n_obs > 1
 )
 SELECT event_type, hour_bucket, n,
-       ROUND((n - mu) / sigma, 6) AS z_seasonal,
+       ROUND((n - mu) / sigma, 6) + 0.0 AS z_seasonal,
        (abs((n - mu) / sigma) > 3.0) AS is_anomaly
 FROM scored
 WHERE sigma > 0
@@ -2365,7 +2365,7 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("hr", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
             "n",
-            F.round(z, 6).alias("z_seasonal"),
+            (F.round(z, 6) + 0.0).alias("z_seasonal"),
             (F.abs(z) > 3.0).alias("is_anomaly"),
         )
         .orderBy("event_type", "hour_bucket")
@@ -2586,9 +2586,9 @@ SELECT CAST(floor((m - 1) / 12.0) AS BIGINT) || '-' ||
               ELSE lpad(CAST(m % 12 AS VARCHAR), 2, '0') END AS month,
        CAST(rev AS DOUBLE) AS revenue,
        ROUND(CAST(rev - prev_m AS DOUBLE) / CAST(prev_m AS DOUBLE), 6)
-         AS mom_growth,
+         + 0.0 AS mom_growth,
        ROUND(CAST(rev - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE), 6)
-         AS yoy_growth
+         + 0.0 AS yoy_growth
 FROM laged
 ORDER BY month
 """
@@ -2629,7 +2629,7 @@ def orders_mom_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth = lambda cur, prev: F.round(  # noqa: E731
         (F.col(cur) - F.col(prev)).cast("double") / F.col(prev).cast("double"),
         6,
-    )
+    ) + 0.0
     return laged.select(
         label.alias("month"),
         F.col("rev").cast("double").alias("revenue"),
@@ -2962,7 +2962,7 @@ SELECT event_type,
        true_count,
        ROUND(CASE WHEN u < 0.5
               THEN (1.0 / {_DP_EPS}) * ln(2 * u)
-              ELSE -(1.0 / {_DP_EPS}) * ln(2 * (1 - u)) END, 6) AS noise,
+              ELSE -(1.0 / {_DP_EPS}) * ln(2 * (1 - u)) END, 6) + 0.0 AS noise,
        CAST(greatest(0, CAST(round(true_count + CASE WHEN u < 0.5
               THEN (1.0 / {_DP_EPS}) * ln(2 * u)
               ELSE -(1.0 / {_DP_EPS}) * ln(2 * (1 - u)) END) AS BIGINT))
@@ -3006,7 +3006,7 @@ def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.select(
             "event_type",
             "true_count",
-            F.round(noise, 6).alias("noise"),
+            (F.round(noise, 6) + 0.0).alias("noise"),
             released.alias("released_count"),
         )
         .orderBy("event_type")
