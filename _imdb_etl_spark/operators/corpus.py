@@ -498,7 +498,7 @@ SELECT lang, n,
        ROUND((CAST(sy AS DOUBLE)
               - ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0 AS intercept,
        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
@@ -542,7 +542,8 @@ def corpus_chars_tokens_regression(
         "lang",
         "n",
         slope.alias("slope"),
-        F.round((syd - slope * sxd) / nd, 6).alias("intercept"),
+        # + 0.0 collapses IEEE -0.0 (hash-visible, ==-invisible)
+        (F.round((syd - slope * sxd) / nd, 6) + 0.0).alias("intercept"),
         F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
     ).orderBy("lang")
 
