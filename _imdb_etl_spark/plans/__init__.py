@@ -167,6 +167,7 @@ _GATE_REST = [
     "supplier_hhi_by_nation",
     "vocab_zipf_slope",
     "events_decompose_additive",
+    "events_acf_lag1",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

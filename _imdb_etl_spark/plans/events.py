@@ -3369,3 +3369,93 @@ def events_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_bucket")
     )
+
+
+# --- lag-1 autocorrelation of the hourly series ------------------------
+#
+# Time-series diagnostic closing the toolkit (decomposition says WHAT
+# the structure is; autocorrelation says HOW MUCH memory the series
+# has): Pearson correlation between consecutive hourly counts per
+# event type. The lagged pairing is a keyed self-join on hr - 1 hour
+# (the orders_mom_yoy_growth pattern — no window funnel), and every
+# Pearson sum is an exact BIGINT (counts and count products), so the
+# one float step is the closed form, + 0.0-collapsed and rounded.
+
+_ACF_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.event_type, c.n AS x, p.n AS y
+  FROM hourly c
+  JOIN hourly p ON p.event_type = c.event_type
+               AND p.hr = c.hr - INTERVAL 1 HOUR
+),
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY event_type
+)
+SELECT event_type, n AS n_pairs,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             6) + 0.0 AS acf_lag1,
+       (abs((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+            / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)))
+        > 2.0 / sqrt(n)) AS significant
+FROM sums
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_acf_lag1",
+    _ACF_SQL,
+    doc="Lag-1 autocorrelation per hourly series: consecutive-hour "
+    "pairing by keyed self-join on hr-1 (no window funnel), "
+    "BIGINT-exact Pearson sums, |r| > 2/sqrt(n) white-noise "
+    "significance band. The memory diagnostic next to the "
+    "decomposition and seasonal-anomaly faces.",
+)
+def events_acf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    prev = hourly.select(
+        F.col("event_type").alias("pt"),
+        F.col("hr").alias("phr"),
+        F.col("n").alias("y"),
+    )
+    pairs = hourly.join(
+        prev,
+        (F.col("pt") == F.col("event_type"))
+        & (F.col("phr") == F.col("hr") - F.expr("interval 1 hour")),
+    ).select("event_type", F.col("n").alias("x"), "y")
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        (F.round(r, 6) + 0.0).alias("acf_lag1"),
+        (F.abs(r) > 2.0 / F.sqrt(nd)).alias("significant"),
+    ).orderBy("event_type")
