@@ -512,3 +512,85 @@ def test_two_stage_ranking_matches_global_rank(spark, vals, bkt_div):
 
     for v in set(vals):
         assert got[v] == bisect.bisect_left(svals, v), (v, got[v])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(-(10**4), 10**4),
+            st.integers(1, 50),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+)
+def test_weighted_median_machinery_matches_direct(spark, rows):
+    """The grouped two-stage cumulative-weight median (the
+    lineitem_weighted_median_price shape) equals the direct
+    definition: smallest value whose cumulative weight reaches half
+    the group total."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    vc = df.groupBy(
+        "g", F.floor(F.col("v") / 100).cast("long").alias("bkt"), "v"
+    ).agg(F.sum("w").cast("long").alias("w"))
+    bt = vc.groupBy("g", "bkt").agg(F.sum("w").cast("long").alias("nb"))
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(
+                bt.select(
+                    F.col("g").alias("gb"),
+                    F.col("bkt").alias("bkt_b"),
+                    F.col("nb").alias("nb_b"),
+                )
+            ),
+            (F.col("gb") == F.col("a.g")) & (F.col("bkt_b") < F.col("a.bkt")),
+            "left",
+        )
+        .groupBy(F.col("a.g").alias("g"), F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("nb_b"), F.lit(0)).cast("long").alias("bkt_off"))
+    )
+    w = (
+        Window.partitionBy("g", "bkt")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.join(off, ["g", "bkt"]).withColumn(
+        "cw", F.col("bkt_off") + F.sum("w").over(w).cast("long")
+    )
+    tot = vc.groupBy(F.col("g").alias("tg")).agg(
+        F.sum("w").cast("long").alias("tw")
+    )
+    got = {
+        r["g"]: r["med"]
+        for r in cum.join(F.broadcast(tot), F.col("g") == F.col("tg"))
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))
+            ).alias("med")
+        )
+        .collect()
+    }
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, v, wgt in rows:
+        by_g[g].append((v, wgt))
+    for g, items in by_g.items():
+        items.sort()
+        total = sum(w for _, w in items)
+        c = 0
+        for v, wgt in items:
+            c += wgt
+            if 2 * c >= total:
+                assert got[g] == v, (g, got[g], v)
+                break
