@@ -1359,3 +1359,116 @@ def vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(num / denx, 6) + 0.0).alias("zipf_slope"),
         F.round(num * num / (denx * deny), 6).alias("r2"),
     )
+
+
+# --- DSIR-style importance weights -------------------------------------
+#
+# Data Selection with Importance Resampling (Xie et al. 2023), the
+# unigram-LM form: score every candidate document by how much more
+# likely its tokens are under the TARGET distribution (docs from a
+# chosen high-quality source) than under the general corpus
+# distribution — log w(d) = sum_t [ln p_target(t) - ln p_corpus(t)].
+# Both LMs are add-1-smoothed unigram counts over a shared vocabulary
+# (the corpus vocab), so every probability is a ratio of exact
+# integers; the per-doc sum accumulates f64 under ROUND(6) (the
+# entropy policy) and the log-weight feeds corpus_weighted_reservoir-
+# style resampling downstream. One token-count pass per LM + one
+# doc-keyed scoring aggregate; the LM tables broadcast.
+
+_DSIR_TARGET = "src0"
+_DSIR_TOP = 50
+
+_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tok2 AS (SELECT doc_id, source, w FROM tok WHERE w <> ''),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c_all FROM tok2 GROUP BY w),
+vsize AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                 CAST(SUM(c_all) AS BIGINT) AS n_all FROM vocab),
+tcnt AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_t
+  FROM tok2 WHERE source = '{_DSIR_TARGET}' GROUP BY w
+),
+tsize AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM tcnt),
+lm AS (
+  SELECT v.w,
+         ln((COALESCE(t.c_t, 0) + 1.0) / (ts.n_t + vs.v))
+         - ln((v.c_all + 1.0) / (vs.n_all + vs.v)) AS log_ratio
+  FROM vocab v
+  LEFT JOIN tcnt t ON t.w = v.w
+  CROSS JOIN tsize ts CROSS JOIN vsize vs
+),
+scored AS (
+  SELECT k.doc_id, k.source,
+         CAST(COUNT(*) AS BIGINT) AS n_toks,
+         ROUND(SUM(l.log_ratio), 6) + 0.0 AS log_weight
+  FROM tok2 k JOIN lm l ON l.w = k.w
+  WHERE k.source <> '{_DSIR_TARGET}'
+  GROUP BY k.doc_id, k.source
+)
+SELECT doc_id, source, n_toks, log_weight
+FROM scored
+ORDER BY log_weight DESC, doc_id
+LIMIT {_DSIR_TOP}
+"""
+
+
+@register(
+    "corpus_dsir_importance",
+    _DSIR_SQL,
+    doc=f"DSIR importance weights (Xie et al.): add-1 unigram LMs for "
+    f"the target source ('{_DSIR_TARGET}') and the whole corpus over "
+    "a shared vocabulary, per-candidate-doc summed log-probability "
+    "ratio, top-"
+    f"{_DSIR_TOP} candidates most target-like. The LM join broadcasts "
+    "a vocabulary-sized table; scoring is one doc-keyed aggregate — "
+    "the selection weights corpus_weighted_reservoir resamples by.",
+)
+def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    tok = (
+        spread(docs)
+        .select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    vsize = vocab.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("c_all").cast("long").alias("n_all"),
+    )
+    tcnt = (
+        tok.where(F.col("source") == _DSIR_TARGET)
+        .groupBy(F.col("w").alias("tw"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    )
+    tsize = tcnt.agg(
+        F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t")
+    )
+    lm = (
+        vocab.join(F.broadcast(tcnt), F.col("w") == F.col("tw"), "left")
+        .crossJoin(F.broadcast(tsize))  # 1-row broadcast scalar
+        .crossJoin(F.broadcast(vsize))  # 1-row broadcast scalar
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1.0)
+                    / (F.col("n_t") + F.col("v"))
+                )
+                - F.log((F.col("c_all") + 1.0) / (F.col("n_all") + F.col("v")))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        tok.where(F.col("source") != _DSIR_TARGET)
+        .join(F.broadcast(lm), "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            (F.round(F.sum("log_ratio"), 6) + 0.0).alias("log_weight"),
+        )
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(_DSIR_TOP)
+    )

@@ -168,6 +168,7 @@ _GATE_REST = [
     "vocab_zipf_slope",
     "events_decompose_additive",
     "events_acf_lag1",
+    "corpus_dsir_importance",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",
