@@ -594,3 +594,44 @@ def test_weighted_median_machinery_matches_direct(spark, rows):
             if 2 * c >= total:
                 assert got[g] == v, (g, got[g], v)
                 break
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_prefix_filter_lossless_on_random_corpora(spark, tmp_path_factory, data):
+    """Prefix filtering must return EXACTLY the all-pairs Jaccard
+    result on randomly generated corpora with planted near-dups —
+    the hypothesis generalization of the fixed-corpus equality pin."""
+    import random
+
+    import _imdb_etl_spark.plans  # noqa: F401  (ordered operator imports)
+    from _imdb_etl_spark.operators.dedup import (
+        dedup_jaccard_prefix,
+        dedup_ngram_jaccard,
+    )
+
+    seed = data.draw(st.integers(0, 2**32 - 1))
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(data.draw(st.integers(30, 300)))]
+    docs = []
+    n_docs = data.draw(st.integers(8, 40))
+    for i in range(n_docs):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(4, 30))]
+        docs.append((i, " ".join(toks)))
+        if rng.random() < 0.4:  # plant a near-dup: mutate a few tokens
+            mut = list(toks)
+            for _ in range(rng.randint(0, 2)):
+                mut[rng.randrange(len(mut))] = rng.choice(vocab)
+            docs.append((1000 + i, " ".join(mut)))
+    d = str(tmp_path_factory.mktemp("pfx") / "c")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(f"{d}/documents.parquet")
+
+    exact = {tuple(r) for r in dedup_ngram_jaccard(spark, d).collect()}
+    pref = {tuple(r) for r in dedup_jaccard_prefix(spark, d).collect()}
+    assert pref == exact, (seed, len(pref), len(exact))
