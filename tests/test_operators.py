@@ -2187,15 +2187,20 @@ def test_abc_classification_invariants(spark, sf_dir):
         r["abc_class"]: r
         for r in REGISTRY["parts_abc_classification"].spark(spark, sf_dir).collect()
     }
+    import decimal
+
     li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
-    cents = (
-        (li.l_extendedprice * (1 - li.l_discount) * 100)
-        .round(0)
-        .astype("int64")
-        .groupby(li.l_partkey)
-        .sum()
-        .sort_values(ascending=False)
-    )
+    # decimal-exact, matching the query: price and discount are 2-dp
+    # values, so DECIMAL(18,6) products and the final truncation are
+    # exact; float round() could drift a cent on a boundary part
+    D = decimal.Decimal
+    per_part = {}
+    for pk, price, disc in zip(li.l_partkey, li.l_extendedprice, li.l_discount):
+        v = D(f"{price:.2f}") * (1 - D(f"{disc:.2f}")) * 100
+        per_part[pk] = per_part.get(pk, D(0)) + v
+    cents = pd.Series(
+        {k: int(v) for k, v in per_part.items()}
+    ).sort_values(ascending=False)
     assert sum(r["n_parts"] for r in rows.values()) == len(cents)
     assert abs(sum(r["revenue_share"] for r in rows.values()) - 1.0) <= 3e-6
     cum = cents.cumsum()
