@@ -1556,3 +1556,109 @@ def neardup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_dup_pairs"), "source_a", "source_b")
     )
+
+
+# --- soft dedup: frequency weights instead of removal ------------------
+#
+# SoftDeDup (He et al. 2024): instead of DROPPING near-duplicates,
+# down-WEIGHT them — every document in a near-dup cluster of size k
+# trains with weight 1/k, so each duplicated content unit contributes
+# one effective document while unique text keeps full weight. This
+# keeps long-tail phrasing the hard-removal policy (dedup_keep_best)
+# throws away. Output is the per-source effective-size report: raw
+# docs, clustered docs, and sum of weights in exact permille integers
+# (k <= corpus, so 1000/k floors deterministically and sums as
+# BIGINT — no float accumulation).
+
+_SOFT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip().rstrip()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM labels GROUP BY cluster_id
+),
+weighted AS (
+  SELECT d.doc_id, d.source,
+         -- // (floor) not / : DuckDB / is float division and its
+         -- int cast ROUNDS (1000/6 -> 167) where Spark div gives 166
+         CAST(COALESCE(1000 // s.k, 1000) AS BIGINT) AS w_permille
+  FROM documents d
+  LEFT JOIN labels l ON l.doc_id = d.doc_id
+  LEFT JOIN sizes s ON s.cluster_id = l.cluster_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE w_permille < 1000) AS BIGINT)
+         AS n_downweighted,
+       CAST(SUM(w_permille) AS BIGINT) AS effective_permille
+FROM weighted
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "dedup_soft_weights",
+    _SOFT_SQL,
+    doc="SoftDeDup effective-size report: near-dup clusters (the "
+    "registered LSH pair graph + min-label components) assign every "
+    "member weight 1/k instead of being dropped; per-source raw "
+    "count, downweighted count, and the exact integer-permille "
+    "effective size (1000 div k floors identically in both engines, "
+    "sums as BIGINT). The soft alternative to dedup_keep_best's "
+    "hard removal — same pair stage, different policy face.",
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels, _ = connected_components(edges)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    weighted = (
+        docs.select("doc_id", "source")
+        .join(labels, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "source",
+            F.coalesce(
+                F.expr("1000 div k"), F.lit(1000)
+            ).cast("long").alias("w_permille"),
+        )
+    )
+    out = (
+        weighted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_if(F.col("w_permille") < 1000).cast("long").alias(
+                "n_downweighted"
+            ),
+            F.sum("w_permille").cast("long").alias("effective_permille"),
+        )
+        .orderBy("source")
+    )
+    edges.unpersist()
+    return out

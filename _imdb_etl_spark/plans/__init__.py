@@ -169,6 +169,7 @@ _GATE_REST = [
     "events_decompose_additive",
     "events_acf_lag1",
     "corpus_dsir_importance",
+    "dedup_soft_weights",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",
