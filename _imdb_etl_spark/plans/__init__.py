@@ -170,6 +170,7 @@ _GATE_REST = [
     "events_acf_lag1",
     "corpus_dsir_importance",
     "dedup_soft_weights",
+    "shipping_lag_percentiles",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -1110,3 +1110,74 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- order-to-ship latency percentiles ---------------------------------
+#
+# The logistics SLA metric: days between order placement and line
+# shipment, exact quartiles + p95 per order priority. Lag days are
+# exact integers (date difference), so the only float is the
+# interpolated percentile — bitwise-identical cross-engine (the
+# median_exact_price_per_brand finding). One fact-fact key join
+# (orders broadcast-side prunable to two columns) + a
+# priority-bounded aggregate.
+
+_SHIPLAG_SQL = """
+WITH lag AS (
+  SELECT o.o_orderpriority AS priority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lag_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(MIN(lag_days) AS BIGINT) AS min_days,
+       quantile_cont(lag_days, 0.25) AS p25_days,
+       quantile_cont(lag_days, 0.50) AS median_days,
+       quantile_cont(lag_days, 0.75) AS p75_days,
+       quantile_cont(lag_days, 0.95) AS p95_days,
+       CAST(MAX(lag_days) AS BIGINT) AS max_days
+FROM lag
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@register(
+    "shipping_lag_percentiles",
+    _SHIPLAG_SQL,
+    doc="Order-to-ship latency distribution per priority: exact "
+    "integer day lags, exact interpolated quartiles + p95 "
+    "(verification face; approx_percentile is the 100 TB scale "
+    "face), min/max fences. One key join + a priority-bounded "
+    "aggregate — the logistics SLA readout.",
+)
+def shipping_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    lag = lineitem.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lag_days"),
+    )
+    qs = [(0.25, "p25_days"), (0.50, "median_days"), (0.75, "p75_days"), (0.95, "p95_days")]
+    return (
+        lag.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.min("lag_days").cast("long").alias("min_days"),
+            *[
+                F.percentile("lag_days", F.lit(q)).alias(name)
+                for q, name in qs
+            ],
+            F.max("lag_days").cast("long").alias("max_days"),
+        )
+        .select(
+            "priority", "n_items", "min_days",
+            "p25_days", "median_days", "p75_days", "p95_days", "max_days",
+        )
+        .orderBy("priority")
+    )
