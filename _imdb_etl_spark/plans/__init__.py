@@ -171,6 +171,7 @@ _GATE_REST = [
     "corpus_dsir_importance",
     "dedup_soft_weights",
     "shipping_lag_percentiles",
+    "events_survival_km",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -3459,3 +3459,186 @@ def events_acf_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(r, 6) + 0.0).alias("acf_lag1"),
         (F.abs(r) > 2.0 / F.sqrt(nd)).alias("significant"),
     ).orderBy("event_type")
+
+
+# --- Kaplan-Meier time-to-conversion survival --------------------------
+#
+# The survival-analysis family (absent until now): time from a user's
+# first view to their first purchase, right-censored at the end of the
+# observation window for users who never convert. The KM estimator
+# S(t) = prod_{t_i <= t} (1 - d_i / n_i) runs entirely on the
+# DURATION-DISTRIBUTION table (one row per distinct duration hour —
+# bounded by the time range, never by users): at-risk counts n(t) and
+# the cumulative log-factor sum both come from the same triangular
+# prefix shape as the rank-statistics family, so no user-sized or
+# single-partition window exists. d/n are exact integers; the ln/exp
+# step rounds at 6 (the entropy policy).
+
+_KM_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+  GROUP BY e.user_id
+),
+horizon AS (SELECT MAX(ts) AS h FROM events),
+obs AS (
+  SELECT fv.user_id,
+         CASE WHEN fp.first_purchase IS NOT NULL
+              THEN CAST(floor((epoch_ms(fp.first_purchase)
+                               - epoch_ms(fv.first_view)) / 3600000.0)
+                   AS BIGINT)
+              ELSE CAST(floor((epoch_ms(h.h) - epoch_ms(fv.first_view))
+                              / 3600000.0) AS BIGINT) END AS dur_hr,
+         CASE WHEN fp.first_purchase IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM fv LEFT JOIN fp ON fp.user_id = fv.user_id CROSS JOIN horizon h
+),
+dist AS (
+  SELECT dur_hr, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS leave_cnt
+  FROM obs GROUP BY dur_hr
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM obs),
+risk AS (
+  SELECT a.dur_hr, a.d,
+         t.n_all - CAST(COALESCE(SUM(b.leave_cnt), 0) AS BIGINT) AS n_risk
+  FROM dist a
+  LEFT JOIN dist b ON b.dur_hr < a.dur_hr
+  CROSS JOIN tot t
+  GROUP BY a.dur_hr, a.d, t.n_all
+),
+logs AS (
+  SELECT a.dur_hr, a.d, a.n_risk,
+         SUM(CASE WHEN b.d > 0 AND b.d < b.n_risk
+                  THEN ln(1.0 - CAST(b.d AS DOUBLE) / b.n_risk) END)
+           AS cum_log,
+         -- a step where EVERY at-risk subject converts drives S to 0
+         MAX(CASE WHEN b.d > 0 AND b.d >= b.n_risk THEN 1 ELSE 0 END)
+           AS hit_zero
+  FROM risk a
+  JOIN risk b ON b.dur_hr <= a.dur_hr
+  GROUP BY a.dur_hr, a.d, a.n_risk
+)
+SELECT dur_hr, n_risk, d AS n_events,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE ROUND(exp(COALESCE(cum_log, 0.0)), 6) END AS km_survival
+FROM logs
+WHERE d > 0
+ORDER BY dur_hr
+"""
+
+
+@register(
+    "events_survival_km",
+    _KM_SQL,
+    doc="Kaplan-Meier survival of time-to-first-purchase (hours since "
+    "first view), right-censored at the observation horizon: at-risk "
+    "counts and cumulative log factors both via triangular prefix "
+    "joins over the duration-DISTRIBUTION table (bounded by the time "
+    "range, never user count) — no user-sized window. Exact integer "
+    "d/n; one ln/exp rounding at 6.",
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = load_tables(spark, sf_dir, "events")
+    fv = events.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    fp = (
+        events.where(F.col("event_type") == "purchase")
+        .join(fv.select(F.col("user_id").alias("fu"), "first_view"),
+              F.col("user_id") == F.col("fu"))
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+        .select(F.col("user_id").alias("pu"), "first_purchase")
+    )
+    horizon = events.agg(F.max("ts").alias("h"))
+    dur_ms = F.when(
+        F.col("first_purchase").isNotNull(),
+        F.unix_millis("first_purchase") - F.unix_millis("first_view"),
+    ).otherwise(F.unix_millis("h") - F.unix_millis("first_view"))
+    obs = (
+        fv.join(fp, F.col("user_id") == F.col("pu"), "left")
+        .crossJoin(F.broadcast(horizon))  # 1-row broadcast scalar
+        .select(
+            F.floor(dur_ms / 3600000.0).cast("long").alias("dur_hr"),
+            F.when(F.col("first_purchase").isNotNull(), 1)
+            .otherwise(0)
+            .alias("ev"),
+        )
+    )
+    dist = obs.groupBy("dur_hr").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_cnt"),
+    )
+    tot = obs.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    # triangular prefix over the duration-distribution table (bounded
+    # by the time range) — the rank-statistics family shape
+    risk = (
+        dist.alias("a")
+        .join(
+            F.broadcast(
+                dist.select(
+                    F.col("dur_hr").alias("db"), F.col("leave_cnt").alias("lb")
+                )
+            ),
+            F.col("db") < F.col("a.dur_hr"),
+            "left",
+        )
+        .groupBy(F.col("a.dur_hr").alias("dur_hr"), F.col("a.d").alias("d"))
+        .agg(F.coalesce(F.sum("lb"), F.lit(0)).cast("long").alias("left_before"))
+        .crossJoin(F.broadcast(tot))  # 1-row broadcast scalar
+        .select(
+            "dur_hr", "d", (F.col("n_all") - F.col("left_before")).alias("n_risk")
+        )
+    )
+    logs = (
+        risk.alias("a")
+        .join(
+            F.broadcast(
+                risk.select(
+                    F.col("dur_hr").alias("db"),
+                    F.col("d").alias("dbd"),
+                    F.col("n_risk").alias("nbr"),
+                )
+            ),
+            F.col("db") <= F.col("a.dur_hr"),
+        )
+        .groupBy(
+            F.col("a.dur_hr").alias("dur_hr"),
+            F.col("a.d").alias("n_events"),
+            F.col("a.n_risk").alias("n_risk"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("dbd") > 0) & (F.col("dbd") < F.col("nbr")),
+                    F.log(1.0 - F.col("dbd").cast("double") / F.col("nbr")),
+                )
+            ).alias("cum_log"),
+            # a step where every at-risk subject converts -> S = 0
+            F.max(
+                F.when(
+                    (F.col("dbd") > 0) & (F.col("dbd") >= F.col("nbr")), 1
+                ).otherwise(0)
+            ).alias("hit_zero"),
+        )
+    )
+    return (
+        logs.where(F.col("n_events") > 0)
+        .select(
+            "dur_hr",
+            "n_risk",
+            "n_events",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.coalesce(F.col("cum_log"), F.lit(0.0))), 6)
+            )
+            .alias("km_survival"),
+        )
+        .orderBy("dur_hr")
+    )

@@ -2323,3 +2323,47 @@ def test_dp_noisy_counts_mechanism_invariants(spark, sf_dir):
             )
             <= 1
         )
+
+
+def test_km_survival_matches_lifelines_formula(spark, sf_dir):
+    """Cross-check the distributed KM estimator against a direct
+    in-memory Kaplan-Meier computation (sorted event loop), and pin
+    the survival-monotonicity invariant."""
+    import pandas as pd
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["events_survival_km"].spark(spark, sf_dir).collect(),
+        key=lambda r: r["dur_hr"],
+    )
+    surv = [r["km_survival"] for r in rows]
+    assert surv == sorted(surv, reverse=True), "KM must be nonincreasing"
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    h = ev.ts.max()
+    fv = ev[ev.event_type == "view"].groupby("user_id")["ts"].min()
+    p = ev[ev.event_type == "purchase"].merge(
+        fv.rename("first_view"), on="user_id"
+    )
+    fp = p[p.ts > p.first_view].groupby("user_id")["ts"].min()
+    obs = []
+    for u, t0 in fv.items():
+        if u in fp.index:
+            obs.append(((fp[u] - t0).total_seconds() // 3600, 1))
+        else:
+            obs.append(((h - t0).total_seconds() // 3600, 0))
+    from collections import Counter
+
+    d = Counter(t for t, e in obs if e)
+    leave = Counter(t for t, e in obs)
+    n = len(obs)
+    s = 1.0
+    expect = {}
+    for t in sorted(leave):
+        if d.get(t):
+            s *= 1 - d[t] / n
+            expect[t] = s
+        n -= leave[t]
+    for r in rows:
+        assert abs(r["km_survival"] - round(expect[r["dur_hr"]], 6)) <= 2e-6, r
