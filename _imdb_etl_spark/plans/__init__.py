@@ -172,6 +172,7 @@ _GATE_REST = [
     "dedup_soft_weights",
     "shipping_lag_percentiles",
     "events_survival_km",
+    "events_ab_conversion_ztest",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

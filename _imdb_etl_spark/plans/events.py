@@ -3642,3 +3642,121 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dur_hr")
     )
+
+
+# --- two-proportion conversion z-test ----------------------------------
+#
+# The proportions member of the experimentation suite (SRM gates the
+# split; Welch tests means, Mann-Whitney ranks, KS shapes — this
+# tests CONVERSION RATES): users hash-assigned A/B exactly as
+# events_ab_srm_check, converted = has >= 1 purchase; pooled
+# two-proportion z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b)).
+# Counts are exact integers; the closed form is one float step,
+# rounded and -0.0-collapsed.
+
+_PZ_SQL = """
+WITH users AS (
+  -- conversion = HIGH-VALUE user (>= 3 purchases): nearly every user
+  -- has one purchase in this synthetic stream, which would make the
+  -- pooled rate 1 and the variance 0
+  SELECT user_id,
+         CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) >= 3
+              THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+assigned AS (
+  SELECT CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         converted
+  FROM users
+),
+c AS (
+  SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM assigned
+),
+s AS (
+  SELECT na, nb, ca, cb,
+         CAST(ca AS DOUBLE) / na AS pa,
+         CAST(cb AS DOUBLE) / nb AS pb,
+         CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+  FROM c
+)
+SELECT na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
+       ROUND(pa, 6) AS rate_a,
+       ROUND(pb, 6) AS rate_b,
+       CASE WHEN pp > 0 AND pp < 1
+            THEN ROUND((pa - pb)
+                 / sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb)), 6) + 0.0
+            ELSE 0.0 END AS z_stat,
+       CASE WHEN pp > 0 AND pp < 1
+            THEN (abs((pa - pb)
+                  / sqrt(pp * (1 - pp) * (1.0 / na + 1.0 / nb))) > 1.96)
+            ELSE FALSE END AS significant
+FROM s
+"""
+
+
+@register(
+    "events_ab_conversion_ztest",
+    _PZ_SQL,
+    doc="Pooled two-proportion z-test on user conversion between the "
+    "hash-assigned A/B variants (same assignment as the SRM gate): "
+    "exact integer user/conversion counts, one closed-form float "
+    "step. On a hash split of identical populations the expected "
+    "verdict is NOT significant — both engines agreeing on the whole "
+    "decision path is what the hash checks.",
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 3
+        ).cast("long").alias("converted")
+    )
+    variant = F.when(
+        hex_prefix_int(F.md5(F.col("user_id").cast("string")), 1) % 2 == 0,
+        "A",
+    ).otherwise("B")
+    c = users.select(variant.alias("v"), "converted").agg(
+        F.count_if(F.col("v") == "A").cast("long").alias("na"),
+        F.count_if(F.col("v") == "B").cast("long").alias("nb"),
+        F.sum(F.when(F.col("v") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("v") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    nondeg = (pp > 0) & (pp < 1)
+    z = (pa - pb) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return c.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("ca").alias("conv_a"),
+        F.col("cb").alias("conv_b"),
+        F.round(pa, 6).alias("rate_a"),
+        F.round(pb, 6).alias("rate_b"),
+        F.when(nondeg, F.round(z, 6) + 0.0).otherwise(F.lit(0.0)).alias(
+            "z_stat"
+        ),
+        F.when(nondeg, F.abs(z) > 1.96).otherwise(F.lit(False)).alias(
+            "significant"
+        ),
+    )
