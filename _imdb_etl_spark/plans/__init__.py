@@ -173,6 +173,7 @@ _GATE_REST = [
     "shipping_lag_percentiles",
     "events_survival_km",
     "events_ab_conversion_ztest",
+    "customers_tier_migration",
     "events_interval_coalesce",
     "events_sequence_pattern",
     "quality_calibration_bins",

@@ -1181,3 +1181,124 @@ def shipping_lag_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# --- customer value-tier migration -------------------------------------
+#
+# The CRM dynamics view RFM's static snapshot can't show: split the
+# order history at its midpoint (computed from the data, not
+# hard-coded), score each customer's spend quintile in each half with
+# the same boundary method as customers_rfm_segments (scalar
+# exact-percentile boundaries per half, broadcast, map-side compare —
+# no NTILE funnel), and count the 5x5 tier-transition matrix plus the
+# entered/churned margins (customers active in only one half). All
+# joins are customer-keyed; boundaries are two 1-row broadcasts.
+
+_MIGRATION_SQL = """
+WITH bounds_t AS (
+  SELECT CAST(to_timestamp((epoch_ms(MIN(o_orderdate)) / 1000
+              + epoch_ms(MAX(o_orderdate)) / 1000) / 2) AS TIMESTAMP)
+         AS mid
+  FROM orders
+),
+spend AS (
+  SELECT o_custkey AS custkey,
+         (o_orderdate < (SELECT mid FROM bounds_t)) AS h1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS m
+  FROM orders
+  GROUP BY o_custkey, (o_orderdate < (SELECT mid FROM bounds_t))
+),
+q1 AS (
+  SELECT quantile_cont(m, 0.2) AS b20, quantile_cont(m, 0.4) AS b40,
+         quantile_cont(m, 0.6) AS b60, quantile_cont(m, 0.8) AS b80
+  FROM spend WHERE h1
+),
+q2 AS (
+  SELECT quantile_cont(m, 0.2) AS b20, quantile_cont(m, 0.4) AS b40,
+         quantile_cont(m, 0.6) AS b60, quantile_cont(m, 0.8) AS b80
+  FROM spend WHERE NOT h1
+),
+s1 AS (
+  SELECT custkey,
+         1 + CAST(m < q.b80 AS INT) + CAST(m < q.b60 AS INT)
+           + CAST(m < q.b40 AS INT) + CAST(m < q.b20 AS INT) AS tier
+  FROM spend, q1 q WHERE h1
+),
+s2 AS (
+  SELECT custkey,
+         1 + CAST(m < q.b80 AS INT) + CAST(m < q.b60 AS INT)
+           + CAST(m < q.b40 AS INT) + CAST(m < q.b20 AS INT) AS tier
+  FROM spend, q2 q WHERE NOT h1
+)
+SELECT COALESCE(CAST(s1.tier AS VARCHAR), 'none') AS tier_h1,
+       COALESCE(CAST(s2.tier AS VARCHAR), 'none') AS tier_h2,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM s1 FULL OUTER JOIN s2 ON s1.custkey = s2.custkey
+GROUP BY 1, 2
+ORDER BY tier_h1, tier_h2
+"""
+
+
+@register(
+    "customers_tier_migration",
+    _MIGRATION_SQL,
+    doc="Customer value-tier migration between data-derived period "
+    "halves: per-half spend quintiles by scalar-percentile boundary "
+    "comparison (the customers_rfm_segments method — no NTILE "
+    "funnel), full-outer customer join, 5x5 transition matrix with "
+    "entered/churned 'none' margins. Tier 1 = top spend quintile.",
+)
+def customers_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    mid = orders.agg(
+        F.to_timestamp(
+            (
+                F.unix_millis(F.min("o_orderdate").cast("timestamp")) / 1000
+                + F.unix_millis(F.max("o_orderdate").cast("timestamp")) / 1000
+            )
+            / 2
+        ).alias("mid")
+    )
+    spend = (
+        orders.crossJoin(F.broadcast(mid))  # 1-row broadcast scalar
+        .groupBy(
+            F.col("o_custkey").alias("custkey"),
+            (F.col("o_orderdate").cast("timestamp") < F.col("mid")).alias("h1"),
+        )
+        .agg(dsum(dec("o_totalprice"), "m"))
+    )
+
+    def tiers(half_df):
+        q = half_df.agg(
+            *[
+                F.percentile("m", F.lit(p)).alias(f"b{int(p * 100)}")
+                for p in (0.2, 0.4, 0.6, 0.8)
+            ]
+        )
+        lt = lambda b: (F.col("m") < F.col(b)).cast("int")  # noqa: E731
+        return half_df.crossJoin(F.broadcast(q)).select(  # 1-row scalar
+            "custkey",
+            (
+                F.lit(1) + lt("b80") + lt("b60") + lt("b40") + lt("b20")
+            ).alias("tier"),
+        )
+
+    s1 = tiers(spend.where(F.col("h1"))).withColumnsRenamed(
+        {"custkey": "k1", "tier": "t1"}
+    )
+    s2 = tiers(spend.where(~F.col("h1"))).withColumnsRenamed(
+        {"custkey": "k2", "tier": "t2"}
+    )
+    return (
+        s1.join(s2, F.col("k1") == F.col("k2"), "full_outer")
+        .groupBy(
+            F.coalesce(F.col("t1").cast("string"), F.lit("none")).alias(
+                "tier_h1"
+            ),
+            F.coalesce(F.col("t2").cast("string"), F.lit("none")).alias(
+                "tier_h2"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_customers"))
+        .orderBy("tier_h1", "tier_h2")
+    )
