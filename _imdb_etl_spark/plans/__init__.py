@@ -120,8 +120,11 @@ GATE_WINDOW = [
 ]
 # everything below keeps per-round local coverage (tools/check.py +
 # pytest); ordering = round-7 rotation priority. Leading: the round-6
-# refactor that didn't fit the window; then the round-5 window (r5
-# greens, newest driver evidence); then the older spillover.
+# refactor that didn't fit the window; then the round-6 continuation
+# registrations (57 entries with no driver row yet — the
+# round-7 window takes the first 50, the remainder spills to round 8);
+# then the round-5 window (r5 greens, newest driver evidence); then
+# the older spillover.
 _GATE_REST = [
     # registered after the round-6 window was already full (44 backlog
     # + 6 = 50): first in line for the round-7 window
