@@ -1662,3 +1662,132 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges.unpersist()
     return out
+
+
+# --- per-node clustering coefficient over the near-dup graph ----------
+#
+# neardup_graph_stats reports the GLOBAL triangle count; the per-node
+# local clustering coefficient is the keep-policy signal next to it: a
+# near-dup node whose neighbors are also near-dups of each other
+# (lcc -> 1) sits inside a coherent duplicate cluster and is safe to
+# collapse, while a high-degree low-lcc node bridges unrelated docs —
+# the signature of a boilerplate shingle that slipped past banding.
+# The Spark side enumerates triangles with the DEGREE-ORDERED
+# orientation (each edge directed from its lower-(degree, id) endpoint)
+# so every wedge join fans out from the endpoint with the SMALLER
+# out-neighborhood — out-degree is O(sqrt(m)) under this orientation,
+# which caps hub blow-up where an id-ordered join would enumerate a
+# hot node's full neighborhood squared. The oracle enumerates the same
+# triangle set with the simpler id-ordered join (each triangle
+# x < y < z matches exactly one edge combination), so per-node counts
+# are identical while the Spark plan carries the skew-resistant shape.
+
+_LCC_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip().rstrip()})
+),
+sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+deg AS (SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u),
+tri AS (
+  SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+pt AS (
+  SELECT node, COUNT(*) AS t
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri) corners
+  GROUP BY node
+)
+SELECT d.node AS doc_id,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(pt.t, 0) AS BIGINT) AS tri_count,
+       CAST(CASE WHEN d.d >= 2
+                 THEN (2000 * COALESCE(pt.t, 0)) // (d.d * (d.d - 1))
+                 ELSE 0 END AS BIGINT) AS lcc_permille
+FROM deg d LEFT JOIN pt ON d.node = pt.node
+ORDER BY doc_id
+"""
+
+
+@register(
+    "neardup_clustering_coefficient",
+    _LCC_SQL,
+    doc="Per-node local clustering coefficient of the minhash-LSH "
+    "near-dup graph: degree, triangle membership count, and "
+    "floor(1000 * 2T / d(d-1)) in exact integer permille (no float "
+    "division anywhere). Spark enumerates triangles via the "
+    "degree-ordered edge orientation — every edge points from its "
+    "lower-(degree, id) endpoint, so the wedge self-join fans out "
+    "only from smaller out-neighborhoods (out-degree O(sqrt(m)), the "
+    "standard skew cap for distributed triangle counting); the oracle "
+    "uses the id-ordered join, which enumerates the identical "
+    "triangle set. High-degree low-lcc nodes are bridge docs a "
+    "collapse policy must NOT merge across.",
+)
+def neardup_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # one materialization of the (bounded) near-dup pair table feeds
+    # degrees, both wedge sides, and the closing-edge probe — same
+    # eager-checkpoint rationale as neardup_graph_stats
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    # orient: u -> v iff (deg(u), u) < (deg(v), v)
+    oriented = (
+        sym.join(du, "u")
+        .join(dv, "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v", "dv")
+    )
+    e1 = oriented.select("u", F.col("v").alias("n1"), F.col("dv").alias("d1"))
+    e2 = oriented.select("u", F.col("v").alias("n2"), F.col("dv").alias("d2"))
+    wedges = (
+        e1.join(e2, "u")
+        .where(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("n1") < F.col("n2")))
+        )
+        .select("u", "n1", "n2")
+    )
+    close = oriented.select(
+        F.col("u").alias("n1"), F.col("v").alias("n2")
+    )
+    tri = wedges.join(close, ["n1", "n2"])
+    corners = tri.select(F.explode(F.array("u", "n1", "n2")).alias("node"))
+    pt = corners.groupBy("node").agg(F.count(F.lit(1)).alias("t"))
+    return (
+        deg.select(F.col("u").alias("node"), "d")
+        .join(pt, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("tri_count"),
+            F.when(
+                F.col("d") >= 2,
+                F.expr("(2000 * coalesce(t, 0)) div (d * (d - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_permille"),
+        )
+        .orderBy("doc_id")
+    )

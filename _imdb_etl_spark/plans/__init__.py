@@ -182,6 +182,12 @@ _GATE_REST = [
     "quality_calibration_bins",
     "multimodal_audio_segments",
     "text_remove_duplicate_spans",
+    # registered in the round-6 closing continuation (window full):
+    # local gate green at sf0.001 + sf0.01 + third-implementation pins
+    "neardup_clustering_coefficient",
+    "multimodal_audio_pitch",
+    "events_ewma_burst",
+    "corpus_ccnet_buckets",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -3760,3 +3760,141 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# --- dyadic EWMA burst detector over hourly counts ---------------------
+#
+# The batch form of the classic streaming anomaly rule: compare each
+# hour's event count against an exponentially-weighted moving average
+# of the 16 PRIOR hours. alpha = 1/2 with weights truncated at 16 terms
+# makes every weight a dyadic rational, so the whole detector runs in
+# EXACT integer arithmetic once scaled by 2^15 = 32768: weight(k) =
+# 2^(15-k) for lags 1..15 plus a 2^-15 tail mass at lag 16 (weights sum
+# to exactly 32768). No floats anywhere — an EWMA with a generic alpha
+# would accumulate pow() ulps that differ across engines, while the
+# dyadic form is bit-identical by construction. Gaps are densified to
+# zero-count hours first (sequence spine), so LAG row distance equals
+# hour distance; the first 16 hours of each series are warm-up and
+# excluded. Burst rule, integerized: n > 2 * ewma + 3
+# <=> n * 32768 > 2 * ewma_x32768 + 3 * 32768.
+
+_EWMA_LAGS = 16
+_EWMA_SCALE = 32768  # 2^15
+
+
+def _ewma_weight(k: int) -> int:
+    return 2 ** (15 - k) if k <= 15 else 1
+
+
+_EWMA_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+),
+dense AS (
+  SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n,
+         ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.hr) AS rn
+  FROM spine s
+  LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+),
+scored AS (
+  SELECT event_type, hr, n, rn,
+         {" + ".join(f"LAG(n, {k}, 0) OVER w * {_ewma_weight(k)}" for k in range(1, _EWMA_LAGS + 1))}
+           AS ewma_x32768
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+)
+SELECT event_type,
+       strftime(hr, '%Y-%m-%d %H:00:00') AS hour_bucket,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(ewma_x32768 AS BIGINT) AS ewma_x32768,
+       CAST(n * {_EWMA_SCALE} - ewma_x32768 AS BIGINT) AS resid_x32768,
+       CAST(CASE WHEN n * {_EWMA_SCALE} > 2 * ewma_x32768 + 3 * {_EWMA_SCALE}
+                 THEN 1 ELSE 0 END AS INT) AS is_burst
+FROM scored
+WHERE rn > {_EWMA_LAGS}
+ORDER BY event_type, hour_bucket
+"""
+
+
+@register(
+    "events_ewma_burst",
+    _EWMA_SQL,
+    doc="EWMA burst detector over hourly event counts — the batch twin "
+    "of the streaming anomaly rule. alpha = 1/2 truncated at 16 lags "
+    "makes every weight dyadic, so the baseline is carried as the "
+    "EXACT integer ewma_x32768 (weights 2^(15-k) for lags 1..15 plus "
+    "a 1-unit tail at lag 16, summing to 2^15) — zero float "
+    "arithmetic, bit-identical across engines where a generic-alpha "
+    "EWMA would drift on pow() ulps. The hourly rollup densifies onto "
+    "a per-series sequence spine first so LAG row distance equals "
+    "hour distance (a gap would otherwise shift every weight), "
+    "warm-up rows (first 16 hours per series) are excluded, and the "
+    "burst rule n > 2*ewma + 3 is integerized as n*32768 > "
+    "2*ewma_x32768 + 3*32768. One shuffle on the series key; the 16 "
+    "LAGs share a single window sort — at production cardinality the "
+    "key widens to (entity, day-range) to bound any one partition.",
+)
+def events_ewma_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    dense = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    ewma = sum(
+        F.lag("n", k, 0).over(w) * F.lit(_ewma_weight(k))
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    scored = dense.select(
+        "event_type",
+        "hr",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        ewma.alias("ewma_x32768"),
+    )
+    n_scaled = F.col("n") * _EWMA_SCALE
+    return (
+        scored.where(F.col("rn") > _EWMA_LAGS)
+        .select(
+            "event_type",
+            F.date_format("hr", "yyyy-MM-dd HH:00:00").alias("hour_bucket"),
+            F.col("n").cast("long").alias("n_events"),
+            F.col("ewma_x32768").cast("long").alias("ewma_x32768"),
+            (n_scaled - F.col("ewma_x32768"))
+            .cast("long")
+            .alias("resid_x32768"),
+            F.when(
+                n_scaled > 2 * F.col("ewma_x32768") + 3 * _EWMA_SCALE, 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_burst"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )

@@ -2367,3 +2367,187 @@ def test_km_survival_matches_lifelines_formula(spark, sf_dir):
         n -= leave[t]
     for r in rows:
         assert abs(r["km_survival"] - round(expect[r["dur_hr"]], 6)) <= 2e-6, r
+
+
+def test_clustering_coefficient_pure_python(spark, sf_dir):
+    """Third implementation for neardup_clustering_coefficient: an
+    adjacency-set scan over the registered pair list must reproduce
+    per-node degree, triangle count, and the integer-permille lcc
+    exactly, and the corner total must be 3x neardup_graph_stats'
+    global triangle count (each triangle has three corners)."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"]
+        .spark(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = (
+        REGISTRY["neardup_clustering_coefficient"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert {r.doc_id for r in got} == set(adj)
+    tri_total = 0
+    for r in got:
+        nb = adj[r.doc_id]
+        assert r.degree == len(nb)
+        t = sum(len(adj[v] & nb) for v in nb) // 2
+        assert r.tri_count == t, (r.doc_id, r.tri_count, t)
+        want_lcc = (
+            (2000 * t) // (len(nb) * (len(nb) - 1)) if len(nb) >= 2 else 0
+        )
+        assert r.lcc_permille == want_lcc
+        tri_total += t
+    stats = (
+        REGISTRY["neardup_graph_stats"].spark(spark, sf_dir).collect()[0]
+    )
+    assert tri_total == 3 * stats.n_triangles
+
+
+def test_audio_pitch_known_period_and_pure_python(spark, sf_dir):
+    """(a) A synthetic period-8 sawtooth must be detected at lag 8 —
+    the detector detects actual periodicity, not an artifact of the
+    fixture stream; (b) third implementation: the registered output
+    replayed in pure Python from the same chained-md5 PCM bytes."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    from _imdb_etl_spark.operators.multimodal import (
+        _PITCH_N,
+        _PITCH_TAU_HI,
+        _PITCH_TAU_LO,
+        _WAV_RATE,
+        _audio_pitch,
+        _wav_geom,
+        _wav_pcm_chained,
+    )
+
+    samples = [(k % 8) * 1000 for k in range(_PITCH_N)]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    out = next(
+        _audio_pitch(
+            iter([pd.DataFrame({"asset_id": [1], "payload": [buf.getvalue()]})])
+        )
+    )
+    assert int(out["dominant_period"][0]) == 8
+    assert int(out["est_freq_hz"][0]) == _WAV_RATE // 8
+
+    got = {
+        r.asset_id: r
+        for r in REGISTRY["multimodal_audio_pitch"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for doc_id in sorted(got)[:10]:
+        ch, _ = _wav_geom(doc_id)
+        pcm = _wav_pcm_chained(doc_id)
+        xs = [pcm[2 * i * ch] + 256 * pcm[2 * i * ch + 1] for i in range(_PITCH_N)]
+        s = sum(xs)
+        y = [_PITCH_N * v - s for v in xs]
+        rs = [
+            sum(y[k] * y[k + t] for k in range(_PITCH_N - t))
+            for t in range(_PITCH_TAU_LO, _PITCH_TAU_HI + 1)
+        ]
+        best = max(range(len(rs)), key=lambda i: rs[i])  # first max on ties
+        r = got[doc_id]
+        assert r.dominant_period == _PITCH_TAU_LO + best
+        assert r.est_freq_hz == _WAV_RATE // (_PITCH_TAU_LO + best)
+        assert r.peak_r == rs[best]
+        assert r.r0 == sum(v * v for v in y)
+
+
+def test_ewma_burst_pure_python(spark, sf_dir):
+    """Third implementation for events_ewma_burst: replay the dyadic
+    16-lag EWMA per series from the raw hourly counts (dense spine,
+    zero-filled gaps) and compare the scaled baseline, residual, and
+    burst flag row-for-row."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from _imdb_etl_spark.plans.events import (
+        _EWMA_LAGS,
+        _EWMA_SCALE,
+        _ewma_weight,
+    )
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict = defaultdict(dict)
+    for r in hourly:
+        series[r.event_type][r.hr] = r.n
+    want = {}
+    for et, obs in series.items():
+        lo, hi = min(obs), max(obs)
+        hrs = []
+        h = lo
+        while h <= hi:
+            hrs.append(h)
+            h += timedelta(hours=1)
+        ns = [obs.get(h, 0) for h in hrs]
+        for i, h in enumerate(hrs):
+            if i < _EWMA_LAGS:
+                continue
+            ew = sum(
+                ns[i - k] * _ewma_weight(k)
+                for k in range(1, _EWMA_LAGS + 1)
+            )
+            want[(et, h.strftime("%Y-%m-%d %H:00:00"))] = (
+                ns[i],
+                ew,
+                ns[i] * _EWMA_SCALE - ew,
+                1 if ns[i] * _EWMA_SCALE > 2 * ew + 3 * _EWMA_SCALE else 0,
+            )
+    got = REGISTRY["events_ewma_burst"].spark(spark, sf_dir).collect()
+    assert len(got) == len(want) and len(got) > 0
+    for r in got:
+        assert (
+            r.n_events,
+            r.ewma_x32768,
+            r.resid_x32768,
+            r.is_burst,
+        ) == want[(r.event_type, r.hour_bucket)], (r.event_type, r.hour_bucket)
+
+
+def test_ccnet_buckets_invariants(spark, sf_dir):
+    """CCNet bucketing invariants: per language, the three buckets
+    partition the language's documents, bucket sizes are within one
+    tie-group of a tercile split, and the score ranges are ordered
+    head > middle > tail with no overlap (boundary comparison is
+    strict in both engines, so ranges can touch only at a boundary)."""
+    rows = (
+        REGISTRY["corpus_ccnet_buckets"].spark(spark, sf_dir).collect()
+    )
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    lang_counts = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    for lang, buckets in by_lang.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        assert sum(b.n_docs for b in buckets.values()) == lang_counts[lang]
+        if {"head", "middle", "tail"} <= set(buckets):
+            h, m, t = buckets["head"], buckets["middle"], buckets["tail"]
+            assert h.min_score >= m.max_score
+            assert m.min_score >= t.max_score
+            assert h.max_score > t.min_score
