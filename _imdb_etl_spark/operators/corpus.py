@@ -1216,3 +1216,115 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("release")
         .alias("action"),
     ).orderBy("lang", "source", "len_bucket")
+
+
+# --- CCNet-style perplexity bucketing ---------------------------------
+#
+# Wenzek et al. (CCNet) split each language's crawl into head / middle
+# / tail by per-document LM perplexity terciles and train on the head.
+# Here the LM is the corpus's own per-language unigram model (the
+# unigram_logprob_quality score, per-language frequencies), and the
+# tercile boundaries follow the customers_rfm_segments discipline:
+# exact interpolated percentiles computed as ONE tiny per-language
+# aggregate (|langs| rows, broadcast), every document then bucketed by
+# map-side comparison — no NTILE and no global sort window, so the
+# plan shape is independent of corpus cardinality. Ties at a boundary
+# land in the lower bucket in both engines (same > comparison), and
+# the per-bucket rollup reports only order-insensitive aggregates
+# (counts, token sums, min/max of the round(6) score), so no
+# float-summation-order hazard reaches the hash.
+
+_CCNET_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT lang, w, COUNT(*) AS c FROM toks GROUP BY lang, w),
+tot AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t FROM freq GROUP BY lang),
+scored AS (
+  SELECT doc_id, tk.lang, COUNT(*) AS n_tokens,
+         ROUND(AVG(ln(CAST(c AS DOUBLE) / t)), 6) AS score
+  FROM toks tk
+  JOIN freq USING (lang, w)
+  JOIN tot USING (lang)
+  GROUP BY doc_id, tk.lang
+),
+bounds AS (
+  SELECT lang,
+         quantile_cont(score, CAST(1 AS DOUBLE) / 3) AS b1,
+         quantile_cont(score, CAST(2 AS DOUBLE) / 3) AS b2
+  FROM scored GROUP BY lang
+),
+bucketed AS (
+  SELECT s.lang, s.n_tokens, s.score,
+         CASE WHEN s.score > b.b2 THEN 'head'
+              WHEN s.score > b.b1 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored s JOIN bounds b ON s.lang = b.lang
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(MIN(score), 6) AS min_score,
+       ROUND(MAX(score), 6) AS max_score
+FROM bucketed
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register(
+    "corpus_ccnet_buckets",
+    _CCNET_SQL,
+    doc="CCNet-style head/middle/tail bucketing (Wenzek et al.): each "
+    "language's documents are scored by their mean token "
+    "log-probability under that language's own unigram LM, then split "
+    "at exact per-language tercile boundaries — head is the most "
+    "fluent third a pretraining mix keeps first. Follows the "
+    "customers_rfm_segments anti-NTILE discipline: boundaries are one "
+    "|langs|-row exact-percentile aggregate broadcast back, the "
+    "bucket assignment is a map-side comparison, and the rollup "
+    "reports only order-insensitive aggregates — no global sort "
+    "window at any corpus size (swap exact percentile for "
+    "approx_percentile at 100 TB, identical plan shape).",
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("lang").agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        toks.join(freq, ["lang", "w"])
+        .join(F.broadcast(tot), "lang")  # |langs| rows: bounded, safe hint
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(F.ln(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("score"),
+        )
+    )
+    bounds = scored.groupBy("lang").agg(
+        F.percentile("score", F.lit(1.0 / 3)).alias("b1"),
+        F.percentile("score", F.lit(2.0 / 3)).alias("b2"),
+    )
+    bucketed = scored.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        "n_tokens",
+        "score",
+        F.when(F.col("score") > F.col("b2"), "head")
+        .when(F.col("score") > F.col("b1"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
