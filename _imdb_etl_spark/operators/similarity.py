@@ -1454,3 +1454,95 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = matched if out is None else out.unionByName(matched)
     return out.orderBy("trunc_dim")
+
+
+# --- hard-negative mining for contrastive training ---------------------
+#
+# DPR/SimCSE-style retriever training needs, for every anchor, the
+# most-similar corpus items that are NOT positives — "hard negatives"
+# whose gradients carry far more signal than random in-batch ones.
+# Positives are proxied by the embeddings table's label column: a hard
+# negative for query q is a top-k cosine neighbor with a DIFFERENT
+# label. Same broadcast-queries x corpus-scan shape as
+# sim_knn_bruteforce (the label filter runs BEFORE the rank window, so
+# same-label items never consume top-k slots); at production scale the
+# candidate stream comes from the IVF index (sim_knn_ivf's probe
+# stage) instead of the full scan — identical downstream semantics.
+
+_HARDNEG_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+           FROM embeddings WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, q.qlabel AS query_label,
+         e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         ROUND({_cos_sql('q.qe', 'e.embedding')}, 6) AS cosine_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+)
+SELECT query_id, CAST(query_label AS INT) AS query_label,
+       neighbor_id, CAST(neighbor_label AS INT) AS neighbor_label,
+       cosine_sim, rnk AS neg_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, neg_rank
+"""
+
+
+@register(
+    "retrieval_hard_negatives",
+    _HARDNEG_SQL,
+    doc=f"Hard-negative mining for contrastive retriever training "
+    f"(DPR-style): for each of the {_N_QUERIES} anchor vectors, the "
+    f"top-{_TOP_K} cosine neighbors whose label DIFFERS from the "
+    "anchor's — the near-miss items whose gradients dominate "
+    "contrastive loss. The label-inequality filter runs before the "
+    "rank window, so positives never consume negative slots; the "
+    "scoring stage is the broadcast-anchors x corpus scan of "
+    "sim_knn_bruteforce, and the 100 TB route swaps that scan for "
+    "the IVF probe stream with identical downstream semantics.",
+)
+def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    )
+    q = normed.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        F.broadcast(q)  # bounded: _N_QUERIES anchor rows
+        .crossJoin(normed)
+        .where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("query_label"))
+        )
+        .select(
+            "query_id",
+            F.col("query_label").cast("int").alias("query_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("int").alias("neighbor_label"),
+            F.round(
+                _dot(F.col("qe"), F.col("embedding"))
+                / (F.col("qnrm") * F.col("nrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= _TOP_K)
+        .orderBy("query_id", "neg_rank")
+    )

@@ -188,6 +188,7 @@ _GATE_REST = [
     "multimodal_audio_pitch",
     "events_ewma_burst",
     "corpus_ccnet_buckets",
+    "retrieval_hard_negatives",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

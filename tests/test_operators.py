@@ -2551,3 +2551,45 @@ def test_ccnet_buckets_invariants(spark, sf_dir):
             assert h.min_score >= m.max_score
             assert m.min_score >= t.max_score
             assert h.max_score > t.min_score
+
+
+def test_hard_negatives_numpy_replay(spark, sf_dir):
+    """Third implementation for retrieval_hard_negatives: a numpy scan
+    over the collected embeddings must reproduce each anchor's top-k
+    wrong-label neighbor list (ids, ranks, labels), and no returned
+    negative may share its anchor's label."""
+    from _imdb_etl_spark.operators.similarity import _N_QUERIES, _TOP_K
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    got = (
+        REGISTRY["retrieval_hard_negatives"].spark(spark, sf_dir).collect()
+    )
+    by_q: dict = {}
+    for r in got:
+        assert r.neighbor_label != r.query_label
+        assert r.query_label == labels[r.query_id]
+        assert r.neighbor_label == labels[r.neighbor_id]
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {q for q in vecs if q < _N_QUERIES}
+    for qid, lst in by_q.items():
+        lst.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in lst] == list(range(1, len(lst) + 1))
+        assert len(lst) == min(
+            _TOP_K,
+            sum(1 for v in labels.values() if v != labels[qid]),
+        )
+        qv = vecs[qid]
+        qn = np.sqrt(qv @ qv)
+        cands = [
+            (round(float((qv @ v) / (qn * np.sqrt(v @ v))), 6), vid)
+            for vid, v in vecs.items()
+            if vid != qid and labels[vid] != labels[qid]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        want = cands[: len(lst)]
+        for r, (sim, vid) in zip(lst, want):
+            assert r.neighbor_id == vid, (qid, r.neg_rank)
+            assert abs(r.cosine_sim - sim) < 2e-6
