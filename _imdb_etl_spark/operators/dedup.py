@@ -1791,3 +1791,127 @@ def neardup_clustering_coefficient(
         )
         .orderBy("doc_id")
     )
+
+
+# --- 2-core of the near-dup graph (iterative peel) ---------------------
+#
+# Stripping degree<2 nodes until fixpoint leaves the graph's 2-core:
+# the densely-duplicated NUCLEUS (mirror farms, template families)
+# with every pendant one-off duplicate removed — the set a curation
+# pipeline audits first, since each nucleus doc implies many removals.
+# Peeling is genuinely iterative (a node's survival depends on its
+# neighbors' survival), so this is the third iterative-graph primitive
+# next to connected components (min-label + pointer jumping) and
+# PageRank (fixed-round re-quantized). Both engines run EXACTLY
+# _KCORE_ROUNDS peel rounds — no engine-side convergence detection, so
+# the outputs are identical by construction even on a pathological
+# pendant chain longer than the round budget; fixpoint-well-before-
+# the-budget is pinned in pytest on the fixture corpus. The oracle
+# carries the alive set as a per-round LIST in a recursive CTE (one
+# self-reference, as standard SQL requires); Spark peels with two
+# semi-joins per round (edges whose BOTH endpoints survive) and
+# re-counts degrees, localCheckpointing every round to cut the
+# 12-round lineage.
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 12
+
+_KCORE_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_MINHASH_SQL.strip().rstrip()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+alive(r, nodes) AS (
+  SELECT 0, (SELECT COALESCE(list(DISTINCT a ORDER BY a), []) FROM edges)
+  UNION ALL
+  SELECT r + 1,
+         (SELECT COALESCE(list(node ORDER BY node), [])
+          FROM (SELECT t.node
+                FROM unnest(alive.nodes) AS t(node)
+                JOIN edges e ON e.a = t.node
+                WHERE list_contains(alive.nodes, e.b)
+                GROUP BY t.node
+                HAVING COUNT(*) >= {_KCORE_K}) q)
+  FROM alive
+  WHERE r < {_KCORE_ROUNDS}
+),
+core AS (
+  SELECT unnest(nodes) AS node FROM alive WHERE r = {_KCORE_ROUNDS}
+)
+SELECT c.node AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM core c
+JOIN edges e ON e.a = c.node
+JOIN core c2 ON c2.node = e.b
+GROUP BY c.node
+ORDER BY doc_id
+"""
+
+
+@register(
+    "neardup_kcore",
+    _KCORE_SQL,
+    doc=f"The {_KCORE_K}-core of the minhash-LSH near-dup graph via "
+    f"iterative peeling ({_KCORE_ROUNDS} fixed rounds in BOTH "
+    "engines): repeatedly remove nodes with fewer than "
+    f"{_KCORE_K} surviving neighbors; what remains is the "
+    "densely-duplicated nucleus (mirror farms, template families) "
+    "with every pendant one-off duplicate stripped, reported with "
+    "each survivor's core-internal degree. Spark peels with two "
+    "broadcast-friendly semi-joins per round over the bounded pair "
+    "table (edges keep only both-endpoints-alive) and "
+    "localCheckpoints each round to keep the lineage flat; because "
+    "peeling is monotone (nodes only leave), Spark may stop as soon "
+    "as a round removes nothing — provably output-equal to the "
+    "oracle's full fixed budget — and fixpoint well inside the "
+    "budget is pinned in pytest.",
+)
+def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    alive = edges.select(F.col("a").alias("node")).distinct()
+    prev = None
+    for _ in range(_KCORE_ROUNDS):
+        live_edges = edges.join(
+            alive, edges["a"] == alive["node"], "left_semi"
+        ).join(
+            alive.select(F.col("node").alias("nb")),
+            edges["b"] == F.col("nb"),
+            "left_semi",
+        )
+        alive = (
+            live_edges.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint()  # bounded (<= node count); cuts lineage
+        )
+        # peeling only removes nodes, so an unchanged COUNT means an
+        # unchanged SET — every remaining round is the identity and
+        # skipping them is output-equal to the oracle's full budget
+        n = alive.count()
+        if n == prev:
+            break
+        prev = n
+    core_edges = edges.join(
+        alive, edges["a"] == alive["node"], "left_semi"
+    ).join(
+        alive.select(F.col("node").alias("nb")),
+        edges["b"] == F.col("nb"),
+        "left_semi",
+    )
+    return (
+        core_edges.groupBy(F.col("a").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .orderBy("doc_id")
+    )

@@ -189,6 +189,7 @@ _GATE_REST = [
     "events_ewma_burst",
     "corpus_ccnet_buckets",
     "retrieval_hard_negatives",
+    "neardup_kcore",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

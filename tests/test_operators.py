@@ -2593,3 +2593,41 @@ def test_hard_negatives_numpy_replay(spark, sf_dir):
         for r, (sim, vid) in zip(lst, want):
             assert r.neighbor_id == vid, (qid, r.neg_rank)
             assert abs(r.cosine_sim - sim) < 2e-6
+
+
+def test_kcore_pure_python_and_fixpoint(spark, sf_dir):
+    """Third implementation for neardup_kcore: a pure-Python peel to
+    fixpoint must reproduce the surviving node set and each survivor's
+    core-internal degree exactly — and the fixpoint must arrive well
+    inside the fixed round budget both engines run, which is what
+    makes the budget a parity device rather than a truncation."""
+    from _imdb_etl_spark.operators.dedup import _KCORE_K, _KCORE_ROUNDS
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"]
+        .spark(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    rounds = 0
+    while True:
+        nxt = {v for v in alive if len(adj[v] & alive) >= _KCORE_K}
+        rounds += 1
+        if nxt == alive:
+            break
+        alive = nxt
+    assert rounds <= _KCORE_ROUNDS // 2, (
+        f"fixpoint took {rounds} rounds; budget {_KCORE_ROUNDS} is "
+        "no longer comfortably above it"
+    )
+    got = {
+        r.doc_id: r.core_degree
+        for r in REGISTRY["neardup_kcore"].spark(spark, sf_dir).collect()
+    }
+    assert got == {v: len(adj[v] & alive) for v in alive}
