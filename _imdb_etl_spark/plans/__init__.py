@@ -190,6 +190,7 @@ _GATE_REST = [
     "corpus_ccnet_buckets",
     "retrieval_hard_negatives",
     "neardup_kcore",
+    "source_schema_evolution",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -177,3 +177,86 @@ def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> None:
             .saveAsTable(name)
         )
         open(marker, "w").close()
+
+
+# --- schema evolution across landed batches ----------------------------
+#
+# Long-lived lakes never have one schema: a column added in month N
+# must coexist with files written in month N-1. Spark's contract is
+# mergeSchema=true at read time — the unified schema is the union of
+# all footers, files missing a column surface NULLs. The registered
+# query proves the whole contract end-to-end: batch 1 lands WITHOUT
+# the quality_score column, batch 2 lands WITH it, the merged read
+# must see both batches, type-widen nothing, and fill batch-1 rows
+# with NULLs — any footer-merging or NULL-fill defect flips the
+# per-language counts against the oracle, which recomputes the same
+# split rule directly. Batch assignment is doc_id parity (content-
+# stable, engine-portable); directories are pid-isolated like the
+# backfill sink.
+
+_SCHEMA_EVO_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_score,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END) AS BIGINT)
+         AS sum_score
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "source_schema_evolution",
+    _SCHEMA_EVO_SQL,
+    doc="Schema evolution across landed parquet batches: batch=1 is "
+    "written without the quality_score column, batch=2 with it, and "
+    "the read back uses mergeSchema=true + partition discovery — the "
+    "unified schema is the union of the footers, batch-1 rows "
+    "surface NULL scores, and the batch column materializes from the "
+    "directory layout. The per-language rollup (docs, scored docs, "
+    "score sum) hash-matches an oracle that recomputes the same "
+    "parity split directly, so a footer-merge or NULL-fill defect is "
+    "a value diff, not a silent scan. At 100 TB this is the monthly "
+    "reality of any landed fact table; mergeSchema reads footers, "
+    "not data, so the cost is per-file metadata only.",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    warehouse = "/root/repo/spark-warehouse"
+    os.makedirs(warehouse, exist_ok=True)
+    reap_stale_pid_dirs(warehouse, "schema_evo")
+    tbl = os.path.join(warehouse, f"schema_evo_{os.getpid()}")
+    shutil.rmtree(tbl, ignore_errors=True)
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    v2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars") % 100).cast("int").alias("quality_score"),
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(tbl, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(tbl, "batch=2"))
+
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", tbl)
+        .parquet(tbl)
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality_score").cast("long").alias("n_with_score"),
+            F.sum("quality_score").cast("long").alias("sum_score"),
+        )
+        .orderBy("lang")
+    )

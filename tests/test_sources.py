@@ -184,3 +184,37 @@ def test_python_source_filter_pushdown_prunes_partitions(spark):
         assert ">=" not in ln and "<" not in ln, ln
     mn, mx = df.agg(F.min("doc_id"), F.max("doc_id")).first()
     assert (mn, mx) == (500, 1499)
+
+
+def test_schema_evolution_merge_semantics(spark, sf_dir):
+    """The merged read must union the footers (quality_score present),
+    materialize the batch partition column from the directory layout,
+    and fill exactly the batch-1 rows with NULL scores."""
+    from _imdb_etl_spark.plans import REGISTRY
+    from _imdb_etl_spark.sources import load_tables
+
+    REGISTRY["source_schema_evolution"].spark(spark, sf_dir).collect()
+    import glob
+    import os
+
+    tbl = max(
+        glob.glob(f"/root/repo/spark-warehouse/schema_evo_{os.getpid()}"),
+        default=None,
+    )
+    assert tbl, "schema_evo table dir missing"
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", tbl)
+        .parquet(tbl)
+    )
+    assert "quality_score" in merged.columns
+    assert "batch" in merged.columns
+    rows = merged.collect()
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r.doc_id % 2 == 0:
+            assert r.batch == 1 and r.quality_score is None
+        else:
+            assert r.batch == 2 and r.quality_score == r.n_chars % 100
