@@ -191,6 +191,7 @@ _GATE_REST = [
     "retrieval_hard_negatives",
     "neardup_kcore",
     "source_schema_evolution",
+    "runtime_bloom_filter_join",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -665,3 +665,82 @@ def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         lineitem=lineitem,
     )
+
+
+# --- runtime bloom-filter semi-join reduction ---------------------------
+#
+# Spark's InjectRuntimeFilter: when a selective filter sits on one side
+# of a shuffle join, the optimizer builds a bloom filter over the
+# filtered side's join keys (bloom_filter_agg) and pushes a
+# might_contain probe onto the OTHER side's scan — rows that cannot
+# match are dropped before the exchange, cutting the shuffled bytes by
+# the filter's selectivity. At 100 TB this triggers out of the box
+# (both sides exceed every threshold); at bench scale the urgent-orders
+# build side fits the broadcast threshold, and Spark (correctly) skips
+# the bloom for a broadcast join — so the registered builder pins the
+# 100 TB plan shape by disabling broadcast and zeroing the
+# application-side scan threshold AT PLANNING TIME, materializing
+# eagerly via localCheckpoint (bounded: one row per return flag), and
+# restoring both confs before returning. The might_contain +
+# bloom_filter_agg plan nodes are pinned in tests/test_plans.py.
+
+_BLOOM_JOIN_SQL = """
+SELECT l_returnflag AS returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY returnflag
+"""
+
+_BLOOM_SCAN_KEY = (
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+)
+_BCAST_KEY = "spark.sql.autoBroadcastJoinThreshold"
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join under runtime-filter planning confs — shared by the
+    registered builder and the plan-pin test so the pinned plan IS the
+    shipped plan."""
+    orders, lineitem = load_tables(spark, sf_dir, "orders", "lineitem")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(urgent, lineitem["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            dsum(rev.cast("decimal(18,6)"), "revenue"),
+        )
+    )
+
+
+@register(
+    "runtime_bloom_filter_join",
+    _BLOOM_JOIN_SQL,
+    doc="Runtime bloom-filter semi-join reduction (InjectRuntimeFilter): "
+    "the selective urgent-orders side builds a bloom_filter_agg over "
+    "its join keys and the lineitem scan gains a might_contain probe "
+    "— non-matching rows die before the shuffle, cutting exchanged "
+    "bytes by the filter's selectivity. The 100 TB plan shape is "
+    "pinned at planning time (broadcast disabled + zero scan "
+    "threshold, both restored after an eager bounded localCheckpoint), "
+    "because at bench scale Spark would correctly prefer a broadcast "
+    "join and skip the bloom. Plan nodes pinned in tests/test_plans.py.",
+)
+def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old_scan = spark.conf.get(_BLOOM_SCAN_KEY)
+    old_bcast = spark.conf.get(_BCAST_KEY)
+    spark.conf.set(_BLOOM_SCAN_KEY, "0")
+    spark.conf.set(_BCAST_KEY, "-1")
+    try:
+        # eager: planned (bloom injected) and executed under the confs;
+        # the checkpointed frame is bounded at one row per return flag
+        out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        spark.conf.set(_BLOOM_SCAN_KEY, old_scan)
+        spark.conf.set(_BCAST_KEY, old_bcast)
+    return out.orderBy("returnflag")

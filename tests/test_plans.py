@@ -428,3 +428,33 @@ def test_incremental_minhash_reuses_candidate_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 2, plan
+
+
+def test_runtime_bloom_filter_injected(spark, sf_dir):
+    """Under the registered builder's planning confs, the optimizer
+    must inject the runtime bloom filter: bloom_filter_agg on the
+    urgent-orders build side and a might_contain probe on the lineitem
+    side — the semi-join reduction that cuts shuffled bytes by the
+    filter's selectivity at scale."""
+    from _imdb_etl_spark.plans.scale import (
+        _BCAST_KEY,
+        _BLOOM_SCAN_KEY,
+        _bloom_join_frame,
+    )
+
+    old_scan = spark.conf.get(_BLOOM_SCAN_KEY)
+    old_bcast = spark.conf.get(_BCAST_KEY)
+    spark.conf.set(_BLOOM_SCAN_KEY, "0")
+    spark.conf.set(_BCAST_KEY, "-1")
+    try:
+        plan = (
+            _bloom_join_frame(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(_BLOOM_SCAN_KEY, old_scan)
+        spark.conf.set(_BCAST_KEY, old_bcast)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
