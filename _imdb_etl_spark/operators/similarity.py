@@ -1546,3 +1546,142 @@ def retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neg_rank") <= _TOP_K)
         .orderBy("query_id", "neg_rank")
     )
+
+
+# --- binary quantization + hamming rerank (1-bit ANN serving) -----------
+#
+# The memory face modern vector stores ship as "binary quantization":
+# each 64-float vector compresses to SIGN BITS packed in one integer
+# (~32x smaller than float32), the candidate pass ranks by hamming
+# distance (one xor + popcount per pair — SIMD-trivial, and at 100 TB
+# the only stage that touches every vector), and only the top
+# candidates are reranked with exact cosine over the raw floats.
+# Unlike sim_knn_lsh's bucket-equality (whose recall collapses in the
+# cosine ~0.5 regime, per sim_recall_curve), hamming RANKS all
+# candidates, degrading gracefully instead of missing buckets. 63 bits
+# (dims 1..63) keep the sketch in a signed BIGINT — the
+# multimodal_phash_dedup convention.
+
+_BQ_BITS = 63
+_BQ_RERANK = 4 * _TOP_K  # hamming candidates per query before rerank
+
+_BQ_SQL = f"""
+WITH sk AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range(0, {_BQ_BITS}), j ->
+           CASE WHEN embedding[CAST(j + 1 AS INT)] > 0
+                THEN (CAST(1 AS BIGINT) << j)
+                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sketch
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, sketch AS qs
+  FROM sk WHERE vec_id < {_N_QUERIES}
+),
+ham AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         bit_count(xor(q.qs, s.sketch)) AS hamming
+  FROM q CROSS JOIN sk s
+  WHERE s.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming, neighbor_id) AS hrnk FROM ham)
+  WHERE hrnk <= {_BQ_RERANK}
+),
+rer AS (
+  SELECT c.query_id, c.neighbor_id, c.hamming,
+         ROUND({_cos_sql('q.qe', 'e.embedding')}, 6) AS cosine_sim
+  FROM cand c
+  JOIN q ON c.query_id = q.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(hamming AS INT) AS hamming,
+       cosine_sim, rnk AS neighbor_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine_sim DESC, neighbor_id) AS rnk FROM rer)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, neighbor_rank
+"""
+
+
+@register(
+    "sim_knn_binary_rerank",
+    _BQ_SQL,
+    doc=f"Binary-quantized ANN with exact rerank: vectors compress to "
+    f"{_BQ_BITS} sign bits in one BIGINT (~32x below float32), the "
+    "candidate pass ranks the corpus by hamming distance (xor + "
+    "popcount — the only stage touching every vector, and it touches "
+    f"8 bytes each), the top {_BQ_RERANK} per query rerank by exact "
+    f"cosine over raw floats, top {_TOP_K} returned. Hamming RANKING "
+    "degrades gracefully where sim_knn_lsh's bucket equality "
+    "collapses (sim_recall_curve's finding); recall vs the exact "
+    "top-k is floor-pinned in pytest. The raw-float table is joined "
+    "ONLY for rerank candidates — at 100 TB the sketch table is the "
+    "working set and the float table stays cold.",
+)
+def sim_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    sk = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"aggregate(sequence(0, {_BQ_BITS - 1}), 0L, (acc, j) -> "
+            "acc + IF(element_at(embedding, j + 1) > 0, "
+            "shiftleft(1L, j), 0L))"
+        ).alias("sketch"),
+    )
+    q = sk.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("sketch").alias("qs"),
+    )
+    ham = (
+        F.broadcast(q.select("query_id", "qs"))  # bounded: |Q| rows
+        .crossJoin(sk.select("vec_id", "sketch"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.bit_count(F.col("qs").bitwiseXOR(F.col("sketch"))).alias(
+                "hamming"
+            ),
+        )
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        ham.withColumn("hrnk", F.row_number().over(wh))
+        .where(F.col("hrnk") <= _BQ_RERANK)
+        .drop("hrnk")
+    )
+    qn = q.select(
+        "query_id", "qe", F.sqrt(_dot("qe", "qe")).alias("qnrm")
+    )
+    en = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.sqrt(_dot("embedding", "embedding")).alias("nnrm"),
+    )
+    rer = (
+        cand.join(F.broadcast(qn), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round(
+                _dot(F.col("qe"), F.col("ne"))
+                / (F.col("qnrm") * F.col("nnrm")),
+                6,
+            ).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        rer.withColumn("neighbor_rank", F.row_number().over(wr))
+        .where(F.col("neighbor_rank") <= _TOP_K)
+        .orderBy("query_id", "neighbor_rank")
+    )

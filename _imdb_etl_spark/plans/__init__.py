@@ -192,6 +192,7 @@ _GATE_REST = [
     "neardup_kcore",
     "source_schema_evolution",
     "runtime_bloom_filter_join",
+    "sim_knn_binary_rerank",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

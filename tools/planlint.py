@@ -47,6 +47,7 @@ ALLOW = {
     ("embedding_matryoshka_recall", "cartesian"): "evaluation op: the brute-force broadcast-queries pass per prefix width, same bounded shape as sim_knn_bruteforce (|Q| fixed), measuring truncation recall",
     ("sim_recall_curve", "cartesian"): "evaluation op: k-grid x the <= queries*k matched-rank pairs (both sides bounded by construction), and it embeds the allow-listed brute-force baseline as its ground truth",
     ("retrieval_hard_negatives", "cartesian"): "broadcast of the fixed |Q| anchor set x corpus scan (sim_knn_bruteforce's bounded shape with a label filter); the 100 TB route swaps the scan for the IVF probe stream",
+    ("sim_knn_binary_rerank", "cartesian"): "broadcast of |Q| 8-byte sketches x the corpus SKETCH column only (xor+popcount per pair, 8 bytes touched per vector); raw floats join only for the bounded rerank candidates",
 }
 
 
