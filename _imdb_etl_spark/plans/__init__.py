@@ -193,6 +193,7 @@ _GATE_REST = [
     "source_schema_evolution",
     "runtime_bloom_filter_join",
     "sim_knn_binary_rerank",
+    "aqe_skew_join_events",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -744,3 +744,96 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(_BLOOM_SCAN_KEY, old_scan)
         spark.conf.set(_BCAST_KEY, old_bcast)
     return out.orderBy("returnflag")
+
+
+# --- AQE skew-join split (the automatic twin of the salted join) --------
+#
+# Production join skew usually arrives as a SENTINEL key: a tracking
+# default (anonymous user 0, empty string, -1) absorbs a fat slice of
+# the fact table, and that one shuffle partition runs as long as the
+# rest of the stage combined. skew_join_salted_events is the manual
+# fix; this query pins Spark's AUTOMATIC one — AQE's OptimizeSkewedJoin
+# measures map output at runtime and splits the oversized partition
+# into advisory-sized pieces, visible as SortMergeJoin(skew=true) in
+# the final adaptive plan. 30% of events collapse onto sentinel key 0
+# (matching no customer, exactly like an anonymous-traffic feed: the
+# rows vanish from the inner join but still traverse the exchange);
+# the split thresholds are lowered AT PLANNING TIME so the at-scale
+# behavior manifests on bench data, then restored after an eager
+# bounded checkpoint — same conf discipline as
+# runtime_bloom_filter_join. skew=true is pinned in tests/test_plans.py.
+
+_SKEW_SENTINEL_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c
+  ON (CASE WHEN e.user_id % 10 < 3 THEN 0 ELSE e.user_id END) = c.c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+_AQE_SKEW_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+}
+
+
+def _aqe_skew_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sentinel-skewed join — shared by the registered builder and
+    the skew=true plan pin so the pinned plan IS the shipped plan."""
+    events, customer = load_tables(spark, sf_dir, "events", "customer")
+    sentinel = F.when(F.col("user_id") % 10 < 3, F.lit(0)).otherwise(
+        F.col("user_id")
+    )
+    # AQE splits a skewed reduce partition by REGROUPING MAP OUTPUTS,
+    # so the skewed side's exchange needs more than one mapper to have
+    # anything to regroup. At 100 TB the fact side is always the
+    # output of a wide upstream stage; on a one-file bench scan
+    # (single parquet row group = single map task) that structure is
+    # restored with an explicit repartition, which stands in for the
+    # upstream stage rather than adding one.
+    fact = events.repartition(32, "event_id").select(
+        sentinel.alias("k"), "value"
+    )
+    dim = customer.select(F.col("c_custkey").alias("k"), "c_mktsegment")
+    return (
+        fact.join(dim.hint("merge"), "k")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "aqe_skew_join_events",
+    _SKEW_SENTINEL_SQL,
+    doc="AQE skew-join split on sentinel-key skew: 30% of events "
+    "collapse onto anonymous user 0 (the classic tracking-default "
+    "production skew — dropped by the inner join but still funneled "
+    "through one shuffle partition), and AQE's OptimizeSkewedJoin "
+    "splits that partition at runtime into advisory-sized pieces — "
+    "SortMergeJoin(skew=true) pinned in tests/test_plans.py. Split "
+    "thresholds are lowered at planning time so the at-scale behavior "
+    "manifests on bench data, then restored after an eager bounded "
+    "checkpoint (one row per segment). The automatic twin of "
+    "skew_join_salted_events: AQE handles partition-sized skew for "
+    "free; salting remains the tool when one KEY alone exceeds what "
+    "a single task should own.",
+)
+def aqe_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = {k: spark.conf.get(k) for k in _AQE_SKEW_CONFS}
+    for k, v in _AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        out = _aqe_skew_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    return out.orderBy("segment")

@@ -458,3 +458,26 @@ def test_runtime_bloom_filter_injected(spark, sf_dir):
         spark.conf.set(_BCAST_KEY, old_bcast)
     assert "might_contain" in plan, plan
     assert "bloom_filter_agg" in plan, plan
+
+
+def test_aqe_skew_join_split(spark):
+    """Under the registered builder's lowered thresholds, AQE's
+    OptimizeSkewedJoin must split the sentinel-key partition: the
+    final adaptive plan carries SortMergeJoin(skew=true). Pinned at
+    sf0.01 (the driver's correctness scale): the split decision is
+    byte-based, and sf0.001's hot partition is under a kilobyte —
+    below any meaningful threshold."""
+    from _imdb_etl_spark.plans.scale import _AQE_SKEW_CONFS, _aqe_skew_frame
+
+    old = {k: spark.conf.get(k) for k in _AQE_SKEW_CONFS}
+    for k, v in _AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _aqe_skew_frame(spark, "/root/testdata/sf0.01")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan
