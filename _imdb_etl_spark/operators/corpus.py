@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from _imdb_etl_spark.functions import doc_permille_bucket
+from _imdb_etl_spark.functions import (
+    doc_permille_bucket,
+    hex_prefix_int,
+    md5_prefix_int_sql,
+)
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
@@ -1327,4 +1331,127 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("score"), 6).alias("max_score"),
         )
         .orderBy("lang", "bucket")
+    )
+
+
+# --- T5-style span corruption mask planning -----------------------------
+#
+# The pretraining-objective prep stage: span corruption (Raffel et al.,
+# T5) masks ~15% of tokens in contiguous spans (mean length 3) and the
+# data pipeline must plan those masks deterministically so a re-run —
+# or a different engine — regenerates byte-identical training examples.
+# Noise comes from the corpus's one portable hash: a position starts a
+# span iff the first 4 md5 hex chars of "doc_id:pos" fall in 1/20 of
+# the bucket space (5% start rate x span 3 ~ 14% corruption), and a
+# position is masked iff any of the last 3 positions started a span —
+# a RANGE-window OR, no sequential scan. Per-doc outputs: span/mask
+# counts, corruption permille, and the md5 fingerprint of the ordered
+# masked-position list, so both engines must agree on every single
+# masked index, not just the counts.
+
+_SPAN_LEN = 3
+_SPAN_MOD = 20  # 1/20 of positions start a span
+
+_SPAN_SQL = f"""
+WITH pos AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, n_tokens, i,
+         CASE WHEN {md5_prefix_int_sql("doc_id || ':' || i")}
+                   % {_SPAN_MOD} = 0
+              THEN 1 ELSE 0 END AS is_start
+  FROM pos
+),
+masked AS (
+  SELECT doc_id, n_tokens, i, is_start,
+         CASE WHEN MAX(is_start) OVER (PARTITION BY doc_id ORDER BY i
+                RANGE BETWEEN {_SPAN_LEN - 1} PRECEDING AND CURRENT ROW) = 1
+              THEN 1 ELSE 0 END AS is_masked
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MAX(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(is_start) AS BIGINT) AS n_spans,
+       CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+       CAST((1000 * SUM(is_masked)) // MAX(n_tokens) AS BIGINT)
+         AS corruption_permille,
+       md5(COALESCE(string_agg(CASE WHEN is_masked = 1
+                                    THEN CAST(i AS VARCHAR) END,
+                               ',' ORDER BY i), '')) AS mask_md5
+FROM masked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "corpus_span_corruption",
+    _SPAN_SQL,
+    doc=f"T5-style span-corruption mask planning: each token position "
+    f"starts a length-{_SPAN_LEN} noise span iff its content-stable "
+    f"md5(doc:pos) bucket falls in 1/{_SPAN_MOD} of the space "
+    "(~14-15% corruption), and the masked set is a RANGE-window OR "
+    "over the trailing span length — fully declarative, no sequential "
+    "scan, and deterministic across engines and re-runs, which is "
+    "what makes regenerated training examples byte-identical. The "
+    "per-doc md5 fingerprint of the ordered masked-position list "
+    "forces agreement on every index, not just the counts. One "
+    "doc-keyed window over the exploded position table; work is "
+    "corpus-token-linear, the 100 TB shape of objective prep.",
+)
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("i"),
+    )
+    start_hash = hex_prefix_int(
+        F.md5(F.concat_ws(":", F.col("doc_id"), F.col("i")))
+    )
+    marked = pos.select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        F.when(start_hash % _SPAN_MOD == 0, 1).otherwise(0).alias("is_start"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rangeBetween(-(_SPAN_LEN - 1), 0)
+    )
+    masked = marked.withColumn(
+        "is_masked",
+        F.when(F.max("is_start").over(w) == 1, 1).otherwise(0),
+    )
+    return (
+        masked.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("is_start").cast("long").alias("n_spans"),
+            F.sum("is_masked").cast("long").alias("n_masked"),
+            F.expr("1000 * sum(is_masked) div max(n_tokens)")
+            .cast("long")
+            .alias("corruption_permille"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("is_masked") == 1, F.col("i"))
+                        )
+                    ),
+                )
+            ).alias("mask_md5"),
+        )
+        .orderBy("doc_id")
     )

@@ -162,3 +162,86 @@ def observe_profile(df: DataFrame, name: str, *cols: str):
         metrics.append(F.max(c).alias(f"{c}_max"))
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+# --- piggybacked DQ metrics via df.observe ------------------------------
+#
+# dq_null_profile and dq_constraint_checks each COST a pass over the
+# table. The Observation API is the zero-cost alternative for metrics a
+# pipeline wants on EVERY run: observe() attaches aggregate expressions
+# to an existing plan and the metrics materialize as a side effect of
+# whatever action the pipeline already executes — at 100 TB the DQ
+# counters ride the main scan for free instead of doubling it. The
+# registered query attaches row/null/domain counters to the documents
+# quality-gate pass, executes ONE action (the gate count the pipeline
+# needs anyway), and returns the observed metrics as a 1-row frame —
+# driver-side bounded by construction (a fixed metric tuple, the CMS
+# readback precedent). The oracle recomputes the same aggregates
+# declaratively, so a dropped or double-counted metric is a hash diff.
+
+_OBSERVE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty_text,
+       CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','it')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_lang,
+       CAST(SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_gate,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
+@register(
+    "dq_observe_metrics",
+    _OBSERVE_SQL,
+    doc="Zero-extra-pass data quality via the Observation API: row, "
+    "empty-text, out-of-domain-language, gate-pass, and volume "
+    "counters attach to the documents quality-gate plan with "
+    "df.observe() and materialize as a side effect of the ONE action "
+    "the pipeline runs anyway — at 100 TB the DQ counters ride the "
+    "main scan for free where dq_null_profile pays a dedicated pass. "
+    "The result is the fixed 1-row metric tuple (driver-side bounded "
+    "by construction); the oracle recomputes the same aggregates "
+    "declaratively, so a dropped or double-counted metric flips the "
+    "hash.",
+)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    obs = Observation("dq")
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("text").isNull() | (F.col("text") == ""), 1
+            ).otherwise(0)
+        ).alias("n_empty_text"),
+        F.sum(
+            F.when(
+                ~F.col("lang").isin("en", "de", "fr", "es", "it"), 1
+            ).otherwise(0)
+        ).alias("n_bad_lang"),
+        F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0)).alias(
+            "n_pass_gate"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    # the action the pipeline runs anyway: the quality-gate count
+    observed.where(F.col("n_chars") >= 200).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_docs"]),
+                int(m["n_empty_text"]),
+                int(m["n_bad_lang"]),
+                int(m["n_pass_gate"]),
+                int(m["total_chars"]),
+            )
+        ],
+        "n_docs bigint, n_empty_text bigint, n_bad_lang bigint, "
+        "n_pass_gate bigint, total_chars bigint",
+    )

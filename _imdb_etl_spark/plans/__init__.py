@@ -194,6 +194,8 @@ _GATE_REST = [
     "runtime_bloom_filter_join",
     "sim_knn_binary_rerank",
     "aqe_skew_join_events",
+    "dq_observe_metrics",
+    "corpus_span_corruption",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -2656,3 +2656,76 @@ def test_binary_rerank_recall_and_sketch(spark, sf_dir):
         if key in exact:
             assert abs(r.cosine_sim - exact[key]) < 2e-6, key
         assert 0 <= r.hamming <= 63
+
+
+def test_span_corruption_pure_python(spark, sf_dir):
+    """Third implementation for corpus_span_corruption: replay the
+    md5-driven span plan in pure Python for a sample of docs — start
+    positions, mask union, fingerprint of the ordered masked list —
+    and sanity-check the corpus-level corruption rate sits in the
+    designed ~10-20% band."""
+    import hashlib
+
+    from _imdb_etl_spark.operators.corpus import _SPAN_LEN, _SPAN_MOD
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.limit(2000).collect()}
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_span_corruption"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(texts) <= set(got)
+    tot_tokens = tot_masked = 0
+    for doc_id in sorted(texts)[:25]:
+        n = len(texts[doc_id].split(" "))
+        starts = [
+            i
+            for i in range(1, n + 1)
+            if int(
+                hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:4], 16
+            )
+            % _SPAN_MOD
+            == 0
+        ]
+        masked = sorted(
+            {
+                j
+                for s in starts
+                for j in range(s, min(s + _SPAN_LEN, n + 1))
+            }
+        )
+        fp = hashlib.md5(",".join(str(i) for i in masked).encode()).hexdigest()
+        r = got[doc_id]
+        assert r.n_tokens == n
+        assert r.n_spans == len(starts)
+        assert r.n_masked == len(masked)
+        assert r.mask_md5 == fp, doc_id
+        tot_tokens += n
+        tot_masked += len(masked)
+    assert 0.08 <= tot_masked / tot_tokens <= 0.22
+
+
+def test_observe_metrics_match_direct_aggregation(spark, sf_dir):
+    """The Observation-API counters must equal the same aggregates
+    computed directly — a dropped or double-counted observe metric is
+    exactly the failure mode this operator exists to prevent."""
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    direct = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1)
+            .otherwise(0)
+        ).alias("n_empty_text"),
+        F.sum(
+            F.when(~F.col("lang").isin("en", "de", "fr", "es", "it"), 1)
+            .otherwise(0)
+        ).alias("n_bad_lang"),
+        F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0)).alias(
+            "n_pass_gate"
+        ),
+        F.sum("n_chars").alias("total_chars"),
+    ).collect()[0]
+    got = REGISTRY["dq_observe_metrics"].spark(spark, sf_dir).collect()[0]
+    assert tuple(got) == tuple(direct)
