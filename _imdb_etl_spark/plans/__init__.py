@@ -196,6 +196,7 @@ _GATE_REST = [
     "aqe_skew_join_events",
     "dq_observe_metrics",
     "corpus_span_corruption",
+    "events_new_vs_returning",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

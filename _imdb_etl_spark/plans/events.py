@@ -3898,3 +3898,94 @@ def events_ewma_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_bucket")
     )
+
+
+# --- new vs returning users + cumulative adoption -----------------------
+#
+# The growth-accounting readout next to events_dau_wau_mau: per day,
+# how many active users are NEW (first-ever activity) vs RETURNING,
+# plus the cumulative adoption curve. Shapes chosen for 100 TB: the
+# first-activity day is one user-keyed aggregate (map-side partial
+# min), daily actives one (user, day) dedup aggregate, and the
+# cumulative sum is a triangular self-join over the per-DAY rollup —
+# bounded by the calendar (<= days^2 pairs over ~31 rows here), the
+# same bounded-prefix shape as the rank-statistics family, where a
+# global running window would funnel the day table through one
+# partition (harmless at 31 rows, a habit that kills at 10k series —
+# the audit trail prefers the shape that never regresses).
+
+_NEWRET_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_day AS (
+  SELECT user_id, MIN(day) AS fday FROM ud GROUP BY user_id
+),
+daily AS (
+  SELECT day,
+         COUNT(*) AS n_active,
+         SUM(CASE WHEN day = fday THEN 1 ELSE 0 END) AS n_new
+  FROM ud JOIN first_day USING (user_id)
+  GROUP BY day
+)
+SELECT d1.day,
+       CAST(d1.n_active AS BIGINT) AS n_active,
+       CAST(d1.n_new AS BIGINT) AS n_new,
+       CAST(d1.n_active - d1.n_new AS BIGINT) AS n_returning,
+       CAST(SUM(d2.n_new) AS BIGINT) AS cum_users
+FROM daily d1 JOIN daily d2 ON d2.day <= d1.day
+GROUP BY d1.day, d1.n_active, d1.n_new
+ORDER BY d1.day
+"""
+
+
+@register(
+    "events_new_vs_returning",
+    _NEWRET_SQL,
+    doc="Growth accounting: per day, active users split into NEW "
+    "(first-ever activity that day) and RETURNING, plus the "
+    "cumulative adoption curve. One user-keyed aggregate finds each "
+    "user's first day (map-side partial MIN), one (user, day) dedup "
+    "aggregate finds daily actives, and the cumulative sum is the "
+    "rank-statistics family's triangular self-join over the per-DAY "
+    "rollup — bounded by the calendar, never by user count, where the "
+    "tempting global running window would single-partition the day "
+    "table. Completes the engagement suite next to events_dau_wau_mau "
+    "and events_retention_cohorts.",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    ud = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("fday"))
+    daily = (
+        ud.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("fday"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    d2 = daily.select(
+        F.col("day").alias("day2"), F.col("n_new").alias("n_new2")
+    )
+    return (
+        daily.join(F.broadcast(d2), F.col("day2") <= F.col("day"))
+        .groupBy("day", "n_active", "n_new")
+        .agg(F.sum("n_new2").cast("long").alias("cum_users"))
+        .select(
+            "day",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("n_new").cast("long").alias("n_new"),
+            (F.col("n_active") - F.col("n_new"))
+            .cast("long")
+            .alias("n_returning"),
+            "cum_users",
+        )
+        .orderBy("day")
+    )

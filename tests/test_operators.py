@@ -2729,3 +2729,25 @@ def test_observe_metrics_match_direct_aggregation(spark, sf_dir):
     ).collect()[0]
     got = REGISTRY["dq_observe_metrics"].spark(spark, sf_dir).collect()[0]
     assert tuple(got) == tuple(direct)
+
+
+def test_new_vs_returning_invariants(spark, sf_dir):
+    """Growth-accounting invariants: new + returning = active each
+    day, day-1 actives are all new, cum_users is nondecreasing and
+    ends at the total distinct user count, and daily new sums to the
+    same total."""
+    rows = (
+        REGISTRY["events_new_vs_returning"].spark(spark, sf_dir).collect()
+    )
+    assert rows == sorted(rows, key=lambda r: r.day)
+    (events,) = load_tables(spark, sf_dir, "events")
+    total_users = events.select("user_id").distinct().count()
+    prev_cum = 0
+    for i, r in enumerate(rows):
+        assert r.n_new + r.n_returning == r.n_active
+        if i == 0:
+            assert r.n_returning == 0
+        assert r.cum_users == prev_cum + r.n_new
+        prev_cum = r.cum_users
+    assert prev_cum == total_users
+    assert sum(r.n_new for r in rows) == total_users

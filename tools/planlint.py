@@ -48,6 +48,7 @@ ALLOW = {
     ("sim_recall_curve", "cartesian"): "evaluation op: k-grid x the <= queries*k matched-rank pairs (both sides bounded by construction), and it embeds the allow-listed brute-force baseline as its ground truth",
     ("retrieval_hard_negatives", "cartesian"): "broadcast of the fixed |Q| anchor set x corpus scan (sim_knn_bruteforce's bounded shape with a label filter); the 100 TB route swaps the scan for the IVF probe stream",
     ("sim_knn_binary_rerank", "cartesian"): "broadcast of |Q| 8-byte sketches x the corpus SKETCH column only (xor+popcount per pair, 8 bytes touched per vector); raw floats join only for the bounded rerank candidates",
+    ("events_new_vs_returning", "cartesian"): "triangular prefix-sum self-join over the per-DAY rollup (<= days^2 pairs, bounded by the calendar, never user count) — the rank-statistics family's bounded shape for the cumulative adoption sum",
 }
 
 
