@@ -1455,3 +1455,162 @@ def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- inference batching: padding waste of sorted vs arrival order -------
+#
+# Batch inference (embedding, scoring, generation prefill) pads every
+# sequence in a batch to the batch max, so batch COMPOSITION is a real
+# cost lever: length-sorted batching routinely cuts 30-60% of padded
+# tokens vs arrival order. This operator quantifies that ROI on the
+# corpus itself: documents are assigned to fixed-size batches under
+# (a) arrival order (doc_id) and (b) length-sorted order, and each
+# strategy reports its padded-token bill. Global ranks come from the
+# shared two-stage distributed ranking (bucket table + broadcast
+# triangular prefix offsets + per-bucket windows — bounded by the
+# VALUE range, never row count), so the plan has no single-partition
+# sort at any corpus size; all outputs are exact integers.
+
+_BATCH_SIZE = 32
+
+_PAD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tokens,
+         ROW_NUMBER() OVER (ORDER BY doc_id) AS r_arrival,
+         ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS r_sorted
+  FROM d
+),
+assigned AS (
+  SELECT 'arrival' AS strategy, (r_arrival - 1) // {_BATCH_SIZE} AS batch_id,
+         n_tokens
+  FROM ranked
+  UNION ALL
+  SELECT 'sorted' AS strategy, (r_sorted - 1) // {_BATCH_SIZE} AS batch_id,
+         n_tokens
+  FROM ranked
+),
+batches AS (
+  SELECT strategy, batch_id, COUNT(*) AS n_docs,
+         MAX(n_tokens) AS max_tokens, SUM(n_tokens) AS real_tokens
+  FROM assigned GROUP BY strategy, batch_id
+)
+SELECT strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_batches,
+       CAST(SUM(real_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(max_tokens * n_docs) AS BIGINT) AS padded_tokens,
+       CAST((1000 * (SUM(max_tokens * n_docs) - SUM(real_tokens)))
+            // SUM(max_tokens * n_docs) AS BIGINT) AS waste_permille
+FROM batches
+GROUP BY strategy
+ORDER BY strategy
+"""
+
+
+def _two_stage_rank(base: DataFrame, bucket_col, order_cols, out: str) -> DataFrame:
+    """Global dense row-number via bucket offsets + per-bucket windows
+    (the customers_gini_spend machinery, factored for reuse): adds
+    column ``out`` = 1-based rank of ``order_cols`` lexicographic
+    order, where ``bucket_col`` must be a coarsening of the first
+    order column (bounded by its VALUE range)."""
+    from pyspark.sql import Window
+
+    bt = base.groupBy(bucket_col.alias("bkt")).agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    off = (
+        bt.alias("a")
+        .join(
+            F.broadcast(
+                bt.select(
+                    F.col("bkt").alias("bkt_b"), F.col("nb").alias("nb_b")
+                )
+            ),
+            F.col("bkt_b") < F.col("a.bkt"),
+            "left",
+        )
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(
+            F.coalesce(F.sum("nb_b"), F.lit(0)).cast("long").alias("bkt_off")
+        )
+    )
+    w = Window.partitionBy("bkt").orderBy(*order_cols)
+    return (
+        base.withColumn("bkt", bucket_col)
+        .join(off, "bkt")
+        .withColumn(out, F.col("bkt_off") + F.row_number().over(w))
+        .drop("bkt", "bkt_off")
+    )
+
+
+@register(
+    "corpus_batch_padding_plan",
+    _PAD_SQL,
+    doc=f"Inference-batching ROI: documents assigned to "
+    f"{_BATCH_SIZE}-doc batches under arrival order vs length-sorted "
+    "order, each strategy billed for its padded tokens (every batch "
+    "pads to its max length) — the measurement that justifies sorted "
+    "batching before an embedding/scoring pass. Both global ranks use "
+    "the shared two-stage distributed ranking (bucket table + "
+    "broadcast triangular prefix offsets + per-bucket windows, "
+    "bounded by the value range), so there is NO single-partition "
+    "sort at any corpus size; the oracle states the same ranks with "
+    "plain ROW_NUMBER. Exact integers end-to-end.",
+)
+def corpus_batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    ranked = _two_stage_rank(
+        d,
+        F.floor(F.col("doc_id") / 1000).cast("long"),
+        [F.col("doc_id")],
+        "r_arrival",
+    )
+    ranked = _two_stage_rank(
+        ranked,
+        F.col("n_tokens").cast("long"),
+        [F.col("n_tokens"), F.col("doc_id")],
+        "r_sorted",
+    )
+    both = ranked.select(
+        F.lit("arrival").alias("strategy"),
+        F.expr(f"(r_arrival - 1) div {_BATCH_SIZE}").alias("batch_id"),
+        "n_tokens",
+    ).unionAll(
+        ranked.select(
+            F.lit("sorted").alias("strategy"),
+            F.expr(f"(r_sorted - 1) div {_BATCH_SIZE}").alias("batch_id"),
+            "n_tokens",
+        )
+    )
+    batches = both.groupBy("strategy", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("real_tokens"),
+    )
+    return (
+        batches.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("real_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.col("max_tokens") * F.col("n_docs"))
+            .cast("long")
+            .alias("padded_tokens"),
+        )
+        .select(
+            "strategy",
+            "n_batches",
+            "total_tokens",
+            "padded_tokens",
+            F.expr(
+                "(1000 * (padded_tokens - total_tokens)) div padded_tokens"
+            )
+            .cast("long")
+            .alias("waste_permille"),
+        )
+        .orderBy("strategy")
+    )

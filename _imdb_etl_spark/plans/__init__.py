@@ -197,6 +197,7 @@ _GATE_REST = [
     "dq_observe_metrics",
     "corpus_span_corruption",
     "events_new_vs_returning",
+    "corpus_batch_padding_plan",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -2751,3 +2751,44 @@ def test_new_vs_returning_invariants(spark, sf_dir):
         prev_cum = r.cum_users
     assert prev_cum == total_users
     assert sum(r.n_new for r in rows) == total_users
+
+
+def test_batch_padding_sorted_beats_arrival(spark, sf_dir):
+    """The operator's reason to exist, pinned: length-sorted batching
+    must waste no more padded tokens than arrival order (strictly less
+    on any corpus with length variance), both strategies conserve the
+    real token count, and a pure-Python batching replay reproduces
+    both bills exactly."""
+    from _imdb_etl_spark.operators.corpus import _BATCH_SIZE
+
+    rows = {
+        r.strategy: r
+        for r in REGISTRY["corpus_batch_padding_plan"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"arrival", "sorted"}
+    arr, srt = rows["arrival"], rows["sorted"]
+    assert arr.total_tokens == srt.total_tokens
+    assert srt.padded_tokens <= arr.padded_tokens
+    assert srt.waste_permille <= arr.waste_permille
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    lens = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+
+    def bill(order):
+        padded = 0
+        for i in range(0, len(order), _BATCH_SIZE):
+            chunk = [lens[d] for d in order[i : i + _BATCH_SIZE]]
+            padded += max(chunk) * len(chunk)
+        return padded
+
+    assert arr.padded_tokens == bill(sorted(lens))
+    assert srt.padded_tokens == bill(
+        sorted(lens, key=lambda d: (lens[d], d))
+    )

@@ -49,6 +49,7 @@ ALLOW = {
     ("retrieval_hard_negatives", "cartesian"): "broadcast of the fixed |Q| anchor set x corpus scan (sim_knn_bruteforce's bounded shape with a label filter); the 100 TB route swaps the scan for the IVF probe stream",
     ("sim_knn_binary_rerank", "cartesian"): "broadcast of |Q| 8-byte sketches x the corpus SKETCH column only (xor+popcount per pair, 8 bytes touched per vector); raw floats join only for the bounded rerank candidates",
     ("events_new_vs_returning", "cartesian"): "triangular prefix-sum self-join over the per-DAY rollup (<= days^2 pairs, bounded by the calendar, never user count) — the rank-statistics family's bounded shape for the cumulative adoption sum",
+    ("corpus_batch_padding_plan", "cartesian"): "two triangular bucket-table prefix-sums (the shared two-stage ranking, one per batching strategy); bounded by the doc-id and token-length value ranges, never document count",
 }
 
 
