@@ -1614,3 +1614,116 @@ def corpus_batch_padding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# --- tokenizer vocab-coverage ladder -------------------------------------
+#
+# The tokenizer-sizing decision curve: what fraction of corpus tokens
+# does a top-V word vocabulary cover, for a ladder of V? (vocab_oov_rate
+# answers it for ONE fixed vocabulary; sizing needs the curve.) Global
+# frequency ranks come from the shared two-stage distributed ranking —
+# bucketed by the frequency VALUE, so no single-partition sort over the
+# vocabulary exists at any corpus size — and the ladder evaluation is
+# one conditional aggregate over the ranked type table. Exact integers
+# throughout. The oracle states the same ranks with one ROW_NUMBER
+# (freq DESC, word DESC — the exact reverse of the ascending two-stage
+# order, so tie handling is identical by construction).
+
+_VOCAB_LADDER = [1000, 2000, 4000, 8000]
+
+_VOCAB_LADDER_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+freq AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+tot AS (SELECT COUNT(*) AS n_types, SUM(freq) AS total FROM freq),
+rk AS (
+  SELECT w, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, w DESC) AS dr
+  FROM freq
+),
+lad AS (SELECT unnest({_VOCAB_LADDER}) AS vocab_size)
+SELECT lad.vocab_size,
+       CAST(SUM(CASE WHEN rk.dr <= lad.vocab_size THEN rk.freq ELSE 0 END)
+            AS BIGINT) AS covered_tokens,
+       CAST(MAX(tot.total) AS BIGINT) AS total_tokens,
+       CAST((1000 * SUM(CASE WHEN rk.dr <= lad.vocab_size
+                             THEN rk.freq ELSE 0 END))
+            // MAX(tot.total) AS BIGINT) AS coverage_permille,
+       CAST(GREATEST(MAX(tot.n_types) - lad.vocab_size, 0) AS BIGINT)
+         AS oov_types
+FROM lad CROSS JOIN rk CROSS JOIN tot
+GROUP BY lad.vocab_size
+ORDER BY lad.vocab_size
+"""
+
+
+@register(
+    "tokenizer_vocab_coverage_ladder",
+    _VOCAB_LADDER_SQL,
+    doc=f"Tokenizer-sizing curve: corpus token coverage of a top-V "
+    f"word vocabulary for V in {_VOCAB_LADDER} — the readout that "
+    "decides vocabulary size before training (vocab_oov_rate is one "
+    "point on this curve). Frequency ranks come from the shared "
+    "two-stage distributed ranking (bucketed by the frequency VALUE, "
+    "no single-partition vocabulary sort at any corpus size); the "
+    "ladder evaluation is one conditional aggregate over the ranked "
+    "type table. Exact integer permille; the oracle's single "
+    "ROW_NUMBER (freq DESC, word DESC) is the exact reverse of the "
+    "ascending two-stage order, so ties resolve identically.",
+)
+def tokenizer_vocab_coverage_ladder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = _two_stage_rank(
+        freq,
+        F.col("freq").cast("long"),
+        [F.col("freq"), F.col("w")],
+        "r",
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("freq").cast("long").alias("total"),
+    )
+    lad = ranked.crossJoin(F.broadcast(tot)).select(  # 1-row scalar
+        "freq",
+        "r",
+        "n_types",
+        "total",
+        F.explode(
+            F.array(*[F.lit(v) for v in _VOCAB_LADDER])
+        ).alias("vocab_size"),
+    )
+    # ascending rank r <=> descending rank n_types - r + 1; top-V by
+    # frequency is r > n_types - V
+    covered = F.sum(
+        F.when(
+            F.col("r") > F.col("n_types") - F.col("vocab_size"),
+            F.col("freq"),
+        ).otherwise(0)
+    )
+    return (
+        lad.groupBy("vocab_size")
+        .agg(
+            covered.cast("long").alias("covered_tokens"),
+            F.max("total").cast("long").alias("total_tokens"),
+            F.expr(
+                "1000 * sum(CASE WHEN r > n_types - vocab_size"
+                " THEN freq ELSE 0 END) div max(total)"
+            )
+            .cast("long")
+            .alias("coverage_permille"),
+            F.greatest(
+                F.max("n_types") - F.col("vocab_size"), F.lit(0)
+            )
+            .cast("long")
+            .alias("oov_types"),
+        )
+        .orderBy("vocab_size")
+    )

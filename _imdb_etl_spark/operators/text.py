@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from _imdb_etl_spark.functions import md5_prefix_int_sql
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables, spread
 
@@ -856,4 +857,94 @@ def text_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token_a", "token_b", "n_co", "df_a", "df_b", (pmi + 0.0).alias("pmi"))
         .orderBy(F.desc("pmi"), "token_a", "token_b")
         .limit(_PMI_TOP)
+    )
+
+
+# --- feature-hashing doc vectors (hashing trick) -------------------------
+#
+# The model-free embedding: each token hashes into one of a fixed
+# number of dimensions (Weinberger et al.'s hashing trick — what
+# HashingVectorizer / Spark ML's HashingTF implement), giving every
+# document a sparse count vector with NO vocabulary to build, ship, or
+# keep consistent across workers — the property that matters at
+# 100 TB, where a vocabulary table is itself a distributed artifact.
+# Hashing uses the corpus's one portable hash (md5 first-4-hex mod
+# dims) so the oracle reproduces every bucket; outputs stay exact
+# integers (counts, nnz, squared l2 norm) plus an md5 fingerprint of
+# the ordered dim:count pairs, so both engines must agree on the
+# whole sparse vector, not just its summary.
+
+_HASH_DIMS = 64
+
+_HASHVEC_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+cells AS (
+  SELECT doc_id,
+         {{hash_expr}} AS dim,
+         COUNT(*) AS c
+  FROM tok
+  GROUP BY doc_id, dim
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS nnz,
+       CAST(SUM(c * c) AS BIGINT) AS l2sq,
+       md5(string_agg(CAST(dim AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+                      ',' ORDER BY dim)) AS vec_md5
+FROM cells
+GROUP BY doc_id
+ORDER BY doc_id
+""".format(hash_expr=md5_prefix_int_sql("w") + f" % {_HASH_DIMS}")
+
+
+@register(
+    "text_hashing_vectorizer",
+    _HASHVEC_SQL,
+    doc=f"Feature-hashing document vectors (the hashing trick / "
+    f"HashingTF): every token md5-hashes into one of {_HASH_DIMS} "
+    "dimensions, so each doc gets a sparse count vector with NO "
+    "vocabulary to build or broadcast — the embedding you can compute "
+    "in one map-side pass over 100 TB with zero coordination. "
+    "Reported per doc: token count, nnz, exact squared L2 norm, and "
+    "an md5 fingerprint of the ordered dim:count pairs — both engines "
+    "must agree on every bucket of every vector. One (doc, dim) "
+    "aggregate with map-side partials, then a doc rollup; "
+    "corpus-token-linear.",
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import hex_prefix_int
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cells = tok.groupBy(
+        "doc_id",
+        (hex_prefix_int(F.md5(F.col("w"))) % _HASH_DIMS).alias("dim"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cells.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("nnz"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("l2sq"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim", "c"))
+                        ),
+                        lambda x: F.concat_ws(
+                            ":",
+                            x["dim"].cast("string"),
+                            x["c"].cast("string"),
+                        ),
+                    ),
+                    ",",
+                )
+            ).alias("vec_md5"),
+        )
+        .orderBy("doc_id")
     )

@@ -208,6 +208,8 @@ _GATE_REST = [
     "corpus_span_corruption",
     "events_new_vs_returning",
     "corpus_batch_padding_plan",
+    "text_hashing_vectorizer",
+    "tokenizer_vocab_coverage_ladder",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

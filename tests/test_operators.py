@@ -2792,3 +2792,65 @@ def test_batch_padding_sorted_beats_arrival(spark, sf_dir):
     assert srt.padded_tokens == bill(
         sorted(lens, key=lambda d: (lens[d], d))
     )
+
+
+def test_hashing_vectorizer_pure_python(spark, sf_dir):
+    """Third implementation for text_hashing_vectorizer: replay the
+    md5 feature hashing in pure Python for a sample of docs and
+    compare counts, nnz, exact L2^2, and the full-vector fingerprint."""
+    import hashlib
+
+    from _imdb_etl_spark.operators.text import _HASH_DIMS
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.limit(2000).collect()}
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["text_hashing_vectorizer"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for doc_id in sorted(texts)[:20]:
+        cells: dict = {}
+        toks = texts[doc_id].split(" ")
+        for w in toks:
+            d = int(hashlib.md5(w.encode()).hexdigest()[:4], 16) % _HASH_DIMS
+            cells[d] = cells.get(d, 0) + 1
+        fp = hashlib.md5(
+            ",".join(f"{d}:{cells[d]}" for d in sorted(cells)).encode()
+        ).hexdigest()
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.nnz == len(cells)
+        assert r.l2sq == sum(c * c for c in cells.values())
+        assert r.vec_md5 == fp, doc_id
+
+
+def test_vocab_coverage_ladder_invariants(spark, sf_dir):
+    """Coverage must be monotone in vocabulary size, hit 1000 permille
+    when V >= the type count, and match a pandas-free pure-Python
+    frequency ranking exactly."""
+    from collections import Counter
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    cnt: Counter = Counter()
+    for r in docs.select("text").collect():
+        cnt.update(r.text.split(" "))
+    total = sum(cnt.values())
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], [-ord(c) for c in kv[0]]))
+    rows = (
+        REGISTRY["tokenizer_vocab_coverage_ladder"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    prev = -1
+    for r in rows:
+        covered = sum(f for _, f in order[: r.vocab_size])
+        assert r.covered_tokens == covered, r.vocab_size
+        assert r.total_tokens == total
+        assert r.coverage_permille == (1000 * covered) // total
+        assert r.oov_types == max(len(cnt) - r.vocab_size, 0)
+        assert r.coverage_permille >= prev
+        prev = r.coverage_permille
+    if rows[-1].vocab_size >= len(cnt):
+        assert rows[-1].coverage_permille == 1000

@@ -50,6 +50,7 @@ ALLOW = {
     ("sim_knn_binary_rerank", "cartesian"): "broadcast of |Q| 8-byte sketches x the corpus SKETCH column only (xor+popcount per pair, 8 bytes touched per vector); raw floats join only for the bounded rerank candidates",
     ("events_new_vs_returning", "cartesian"): "triangular prefix-sum self-join over the per-DAY rollup (<= days^2 pairs, bounded by the calendar, never user count) — the rank-statistics family's bounded shape for the cumulative adoption sum",
     ("corpus_batch_padding_plan", "cartesian"): "two triangular bucket-table prefix-sums (the shared two-stage ranking, one per batching strategy); bounded by the doc-id and token-length value ranges, never document count",
+    ("tokenizer_vocab_coverage_ladder", "cartesian"): "one triangular bucket-table prefix-sum (shared two-stage ranking over word frequencies, bounded by the frequency value range) plus a 1-row scalar totals broadcast",
 }
 
 
