@@ -366,8 +366,32 @@ def lsh_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     the same aggregation subtree, so the shingle shuffle is computed
     once and reused. The band join keys on (band_id, band_key) —
     corpus-linear, never all-pairs."""
+    doc_sets = minhash_doc_sets(docs)
+    bands = band_table(doc_sets)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_id") == F.col("bb.band_id"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return doc_sets, cand
+
+
+def minhash_doc_sets(docs: DataFrame) -> DataFrame:
+    """One row per doc: full shingle set + the _N_HASHES signature
+    mins, from a single groupBy (the one exchange of the LSH stage).
+    Factored out of lsh_candidates so the persisted-index lifecycle
+    can sign corpus and increment slices separately — ONE definition
+    of the signature semantics."""
     sh = _shingles(docs)
-    doc_sets = sh.groupBy("doc_id").agg(
+    return sh.groupBy("doc_id").agg(
         F.collect_set("sh").alias("shs"),
         *[
             F.min(
@@ -377,7 +401,12 @@ def lsh_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         ],
     )
 
-    bands = doc_sets.select(
+
+def band_table(doc_sets: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_key) — the LSH banding of a signature
+    table; the single definition lsh_candidates and the persisted
+    band index both consume."""
+    return doc_sets.select(
         "doc_id",
         F.explode(
             F.array(
@@ -399,20 +428,6 @@ def lsh_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
-    ba, bb = bands.alias("ba"), bands.alias("bb")
-    cand = (
-        ba.join(
-            bb,
-            (F.col("ba.band_id") == F.col("bb.band_id"))
-            & (F.col("ba.band_key") == F.col("bb.band_key"))
-            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
-        )
-        .select(
-            F.col("ba.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    return doc_sets, cand
 
 
 # --- LSH-composed registered scale faces ------------------------------

@@ -210,6 +210,7 @@ _GATE_REST = [
     "corpus_batch_padding_plan",
     "text_hashing_vectorizer",
     "tokenizer_vocab_coverage_ladder",
+    "dedup_minhash_index_persisted",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

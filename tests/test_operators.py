@@ -2854,3 +2854,30 @@ def test_vocab_coverage_ladder_invariants(spark, sf_dir):
         prev = r.coverage_permille
     if rows[-1].vocab_size >= len(cnt):
         assert rows[-1].coverage_permille == 1000
+
+
+def test_minhash_index_persisted_serves_from_index(spark, sf_dir):
+    """Lifecycle pins for dedup_minhash_index_persisted: (a) its
+    per-language rollup equals the in-plan probe
+    (dedup_incremental_minhash) exactly — the lifecycle moves where
+    signatures come from, never what matches; (b) the served plan
+    scans the persisted index files and reads the documents table
+    exactly once (the increment) — corpus signatures genuinely come
+    from storage."""
+    import os
+
+    got = (
+        REGISTRY["dedup_minhash_index_persisted"].spark(spark, sf_dir)
+    )
+    rows = got.collect()
+    want = (
+        REGISTRY["dedup_incremental_minhash"].spark(spark, sf_dir).collect()
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in want]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes scans twice
+    scans = [ln for ln in final.splitlines() if "FileScan" in ln]
+    assert any(f"mh_index_{os.getpid()}/bands" in ln for ln in scans), plan
+    assert any(f"mh_index_{os.getpid()}/sets" in ln for ln in scans), plan
+    doc_scans = [ln for ln in scans if "documents.parquet" in ln]
+    assert len(doc_scans) == 1, doc_scans
