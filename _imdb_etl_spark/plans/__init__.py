@@ -211,6 +211,7 @@ _GATE_REST = [
     "text_hashing_vectorizer",
     "tokenizer_vocab_coverage_ladder",
     "dedup_minhash_index_persisted",
+    "privacy_pseudonymize_users",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -3989,3 +3989,81 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- pseudonymization with analytics-preservation proof ------------------
+#
+# GDPR-style pipelines replace user ids with consistent pseudonyms
+# before analytics. The contract has three clauses: CONSISTENT (one
+# user -> one pseudonym, so per-user analytics survive), COLLISION-FREE
+# at corpus scale (two users never merge), and DERIVED-ONLY (the raw id
+# never reaches the output). This query computes the events-per-user
+# engagement histogram ENTIRELY over md5 pseudonyms while its oracle
+# computes the same histogram over raw ids — the value-hash equality IS
+# the preservation proof — and carries the distinct-count audit
+# (n pseudonyms == n users) in-row so a collision or inconsistency
+# flips the result, not just a log line. Pseudonym derivation is one
+# map-side expression; nothing about the plan changes at 100 TB.
+
+_PSEUDO_SALT = "graft-2026"
+
+_PSEUDO_SQL = f"""
+WITH per_user AS (
+  SELECT md5('{_PSEUDO_SALT}:' || CAST(user_id AS VARCHAR)) AS pseudo_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+),
+audit AS (
+  SELECT COUNT(*) AS n_users, COUNT(DISTINCT pseudo_id) AS n_pseudo
+  FROM per_user
+)
+SELECT pu.n_events AS events_per_user,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(a.n_users) AS BIGINT) AS total_users,
+       CAST(MAX(a.n_pseudo) AS BIGINT) AS total_pseudonyms
+FROM per_user pu CROSS JOIN audit a
+GROUP BY pu.n_events
+ORDER BY events_per_user
+"""
+
+
+@register(
+    "privacy_pseudonymize_users",
+    _PSEUDO_SQL,
+    doc="Consistent pseudonymization with the preservation proof "
+    "in-band: the events-per-user engagement histogram is computed "
+    "entirely over salted-md5 pseudonyms while the oracle computes it "
+    "over raw ids — hash equality proves per-user analytics survive "
+    "the substitution — and the total_users == total_pseudonyms audit "
+    "columns make a pseudonym collision (two users merging) a value "
+    "diff rather than a silent undercount. Derivation is one map-side "
+    "expression before the same user-keyed aggregate the raw pipeline "
+    "runs; the raw id never appears in the output schema.",
+)
+def privacy_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    per_user = (
+        events.select(
+            F.md5(
+                F.concat_ws(":", F.lit(_PSEUDO_SALT), F.col("user_id"))
+            ).alias("pseudo_id")
+        )
+        .groupBy("pseudo_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    audit = per_user.agg(
+        F.count(F.lit(1)).alias("total_users"),
+        F.count_distinct("pseudo_id").alias("total_pseudonyms"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(audit))  # 1-row scalar audit
+        .groupBy(F.col("n_events").alias("events_per_user"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.max("total_users").cast("long").alias("total_users"),
+            F.max("total_pseudonyms").cast("long").alias("total_pseudonyms"),
+        )
+        .orderBy("events_per_user")
+    )

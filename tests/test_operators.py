@@ -2881,3 +2881,27 @@ def test_minhash_index_persisted_serves_from_index(spark, sf_dir):
     assert any(f"mh_index_{os.getpid()}/sets" in ln for ln in scans), plan
     doc_scans = [ln for ln in scans if "documents.parquet" in ln]
     assert len(doc_scans) == 1, doc_scans
+
+
+def test_pseudonymize_preserves_histogram_and_hides_ids(spark, sf_dir):
+    """Pseudonymization contract: the pseudonym-keyed engagement
+    histogram equals the raw-id-keyed one, the audit columns certify
+    zero collisions, and no output column carries a raw user id."""
+    (events,) = load_tables(spark, sf_dir, "events")
+    raw = {
+        r.n_events: r.n_users
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("n_events")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .collect()
+    }
+    n_users = events.select("user_id").distinct().count()
+    rows = (
+        REGISTRY["privacy_pseudonymize_users"].spark(spark, sf_dir).collect()
+    )
+    assert {r.events_per_user: r.n_users for r in rows} == raw
+    for r in rows:
+        assert r.total_users == n_users
+        assert r.total_pseudonyms == n_users  # no collisions, no merges
+    assert "user_id" not in rows[0].asDict()
