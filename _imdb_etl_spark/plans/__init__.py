@@ -212,6 +212,7 @@ _GATE_REST = [
     "tokenizer_vocab_coverage_ladder",
     "dedup_minhash_index_persisted",
     "privacy_pseudonymize_users",
+    "sql_identifier_binding",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -837,3 +837,65 @@ def aqe_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k, v in old.items():
             spark.conf.set(k, v)
     return out.orderBy("segment")
+
+
+# --- IDENTIFIER() binding + EXECUTE IMMEDIATE --------------------------
+#
+# sql_parameterized_revenue binds VALUES safely; templated pipelines
+# also need to bind IDENTIFIERS (a table or column name arriving from
+# config). String concatenation there is the classic injection (and
+# typo) vector; Spark 4's IDENTIFIER(:name) clause resolves a
+# parameter as a catalog identifier instead. The builder registers a
+# temp view for the orders table, binds the VIEW NAME through
+# IDENTIFIER and the grouping COLUMN through a second marker, and runs
+# the statement through EXECUTE IMMEDIATE — the dynamic-SQL surface a
+# warehouse migration would exercise. Identifier binding is a
+# resolution-time feature: the plan underneath is the ordinary
+# aggregate, which the oracle proves by running the same text with
+# names inlined.
+
+_IDENT_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register(
+    "sql_identifier_binding",
+    _IDENT_SQL,
+    doc="Dynamic-SQL surface: the table name binds through "
+    "IDENTIFIER(:tbl) and the grouping column through "
+    "IDENTIFIER(:grp), executed via EXECUTE IMMEDIATE with a USING "
+    "clause — the injection-safe way a templated pipeline points one "
+    "statement at config-supplied objects (string concatenation is "
+    "the classic injection/typo vector IDENTIFIER exists to replace). "
+    "Identifier binding happens at resolution time, so the plan is "
+    "the ordinary hash aggregate; the oracle runs the same text with "
+    "the names inlined, proving the binding path changes semantics "
+    "not at all.",
+)
+def sql_identifier_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    view = f"orders_ident_{os.getpid()}"
+    orders.createOrReplaceTempView(view)
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT IDENTIFIER(:grp) AS priority,
+                  COUNT(*) AS n_orders,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                    AS total_price
+           FROM IDENTIFIER(:tbl)
+           GROUP BY IDENTIFIER(:grp)
+           ORDER BY priority'
+          USING :v AS tbl, 'o_orderpriority' AS grp
+        """,
+        args={"v": view},
+    )

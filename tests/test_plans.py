@@ -481,3 +481,27 @@ def test_aqe_skew_join_split(spark):
             spark.conf.set(k, v)
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan
+
+
+def test_identifier_binding_pushes_resolution_not_strings(spark, sf_dir):
+    """IDENTIFIER(:tbl) must resolve as a catalog identifier — a
+    malicious 'name' containing SQL is an invalid identifier error,
+    never executed text (the injection-safety contract)."""
+    import pytest as _pytest
+
+    from _imdb_etl_spark.sources import load_tables
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("ident_inj_probe")
+    with _pytest.raises(Exception) as e:
+        spark.sql(
+            "SELECT COUNT(*) FROM IDENTIFIER(:tbl)",
+            args={"tbl": "ident_inj_probe WHERE 1=0 --"},
+        ).collect()
+    msg = str(e.value)
+    assert "PARSE" in msg.upper() or "IDENTIFIER" in msg.upper(), msg
+    n = spark.sql(
+        "SELECT COUNT(*) AS n FROM IDENTIFIER(:tbl)",
+        args={"tbl": "ident_inj_probe"},
+    ).collect()[0].n
+    assert n == orders.count()
