@@ -213,6 +213,7 @@ _GATE_REST = [
     "dedup_minhash_index_persisted",
     "privacy_pseudonymize_users",
     "sql_identifier_binding",
+    "features_user_daily",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

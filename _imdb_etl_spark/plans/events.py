@@ -4067,3 +4067,109 @@ def privacy_pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("events_per_user")
     )
+
+
+# --- feature-store materialization: per-user daily training rows --------
+#
+# The ML feature-engineering face: churn/propensity models train on
+# (entity, as-of-day) rows whose features are trailing aggregates and
+# whose label peeks exactly one step ahead. Everything here is the
+# shape a feature store materializes nightly: rows exist only for
+# ACTIVE user-days (sparse, not a dense spine — the training set is
+# label-driven), trailing windows use RANGE frames over an integer
+# day index so calendar gaps weigh correctly (a ROWS frame would
+# silently stretch across gaps), the label is leak-free (strictly
+# future, exactly next-day), and monetary sums follow the decimal
+# policy. One user-keyed exchange serves every window.
+
+_FEATURES_SQL = """
+WITH ud AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         COUNT(*) AS n_events_day,
+         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_day
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT *, date_diff('day', DATE '2024-01-01', day) AS d FROM ud
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_events_day AS BIGINT) AS n_events_day,
+       value_day,
+       CAST(SUM(n_events_day) OVER (PARTITION BY user_id ORDER BY d
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS ev_7d,
+       CAST(SUM(CAST(value_day AS DECIMAL(14,2))) OVER (
+              PARTITION BY user_id ORDER BY d
+              RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS val_30d,
+       CAST(COALESCE(d - LAG(d) OVER (PARTITION BY user_id ORDER BY d),
+                     -1) AS BIGINT) AS days_since_prev,
+       CAST(SUM(n_events_day) OVER (PARTITION BY user_id ORDER BY d
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+       CAST(CASE WHEN LEAD(d) OVER (PARTITION BY user_id ORDER BY d)
+                      = d + 1
+                 THEN 1 ELSE 0 END AS INT) AS label_active_next_day
+FROM idx
+ORDER BY user_id, day
+"""
+
+
+@register(
+    "features_user_daily",
+    _FEATURES_SQL,
+    doc="Feature-store materialization for next-day-activity models: "
+    "one training row per ACTIVE (user, day) with trailing-7d event "
+    "and trailing-30d value features over RANGE frames keyed on an "
+    "integer day index (calendar gaps weigh correctly — a ROWS frame "
+    "would stretch across them), recency (days since previous "
+    "activity, -1 for first), lifetime cumulative events, and a "
+    "leak-free next-day label (LEAD of the day index == d+1, strictly "
+    "future). Monetary sums follow the decimal policy; ONE user-keyed "
+    "exchange serves all five windows. At production cardinality the "
+    "partition key widens to (user, month) with a carry-in row — the "
+    "standard feature-backfill sharding.",
+)
+def features_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    ud = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events_day"),
+        dsum(dec("value"), "value_day"),
+    )
+    idx = ud.withColumn(
+        "d", F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    w7 = w.rangeBetween(-6, 0)
+    w30 = w.rangeBetween(-29, 0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        idx.select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_events_day").cast("long").alias("n_events_day"),
+            "value_day",
+            F.sum("n_events_day").over(w7).cast("long").alias("ev_7d"),
+            F.sum(F.col("value_day").cast("decimal(14,2)"))
+            .over(w30)
+            .cast("double")
+            .alias("val_30d"),
+            F.coalesce(
+                F.col("d") - F.lag("d").over(w), F.lit(-1)
+            )
+            .cast("long")
+            .alias("days_since_prev"),
+            F.sum("n_events_day").over(wcum).cast("long").alias("cum_events"),
+            F.when(F.lead("d").over(w) == F.col("d") + 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("label_active_next_day"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -2905,3 +2905,55 @@ def test_pseudonymize_preserves_histogram_and_hides_ids(spark, sf_dir):
         assert r.total_users == n_users
         assert r.total_pseudonyms == n_users  # no collisions, no merges
     assert "user_id" not in rows[0].asDict()
+
+
+def test_features_user_daily_pure_python(spark, sf_dir):
+    """Third implementation for features_user_daily: per-user replay
+    from the raw events with exact-cents arithmetic — trailing RANGE
+    windows must weigh calendar gaps (not row counts), recency and
+    cumulative counts must match, and the label must equal next-day
+    presence and nothing else (leak-freedom)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    raw = events.select("user_id", F.col("ts").cast("date").alias("day"), "value").collect()
+    base = defaultdict(lambda: defaultdict(lambda: [0, Decimal(0)]))
+    epoch = None
+    import datetime
+
+    epoch = datetime.date(2024, 1, 1)
+    for r in raw:
+        cell = base[r.user_id][(r.day - epoch).days]
+        cell[0] += 1
+        cell[1] += Decimal(str(r.value)).quantize(Decimal("0.01"))
+    got = (
+        REGISTRY["features_user_daily"].spark(spark, sf_dir).collect()
+    )
+    by_key = {(r.user_id, r.day): r for r in got}
+    n_rows = 0
+    for uid, days in base.items():
+        ds = sorted(days)
+        for i, d in enumerate(ds):
+            day_str = (epoch + datetime.timedelta(days=d)).strftime(
+                "%Y-%m-%d"
+            )
+            r = by_key[(uid, day_str)]
+            n_rows += 1
+            n, v = days[d]
+            assert r.n_events_day == n
+            assert abs(r.value_day - float(v)) < 1e-9
+            assert r.ev_7d == sum(
+                days[x][0] for x in ds if d - 6 <= x <= d
+            )
+            assert (
+                abs(
+                    r.val_30d
+                    - float(sum(days[x][1] for x in ds if d - 29 <= x <= d))
+                )
+                < 1e-9
+            )
+            assert r.days_since_prev == (d - ds[i - 1] if i else -1)
+            assert r.cum_events == sum(days[x][0] for x in ds[: i + 1])
+            assert r.label_active_next_day == (1 if (d + 1) in days else 0)
+    assert n_rows == len(got)
