@@ -1727,3 +1727,132 @@ def tokenizer_vocab_coverage_ladder(
         )
         .orderBy("vocab_size")
     )
+
+
+# --- implicit-feedback negative sampling (recsys training pairs) --------
+#
+# Two-tower / matrix-factorization training on implicit feedback needs,
+# per user, items they did NOT interact with — sampled negatives next
+# to the observed positives. The pipeline requirements are exactly the
+# corpus sampler's: DETERMINISTIC (re-runs and engines agree),
+# collision-safe (a drawn candidate the user actually bought must be
+# rejected, not mislabeled), and map-side (candidate generation never
+# shuffles more than k rows per user). Candidates come from the
+# content-stable md5(user:i) stream over the dense item-key space,
+# positives are removed by an anti-join on (user, item), and the first
+# k surviving draws (by draw index — the reproducible order) become
+# the negatives, with the user's positive count carried for loss
+# weighting.
+
+_NEG_DRAWS = 12
+_NEG_K = 4
+
+_NEGSAMPLE_SQL = f"""
+WITH pos AS (
+  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+np AS (SELECT COUNT(*) AS p FROM part),
+pc AS (SELECT custkey, COUNT(*) AS n_pos FROM pos GROUP BY custkey),
+cand AS (
+  SELECT custkey, i,
+         {md5_prefix_int_sql("custkey || ':' || i")} % (SELECT p FROM np)
+           AS partkey
+  FROM (SELECT DISTINCT custkey FROM pos) c,
+       unnest(range(0, {_NEG_DRAWS})) AS t(i)
+),
+dd AS (
+  SELECT custkey, partkey, MIN(i) AS i FROM cand GROUP BY custkey, partkey
+),
+neg AS (
+  SELECT d.custkey, d.partkey, d.i
+  FROM dd d
+  LEFT JOIN pos p ON d.custkey = p.custkey AND d.partkey = p.partkey
+  WHERE p.custkey IS NULL
+)
+SELECT n.custkey,
+       CAST(rnk AS INT) AS neg_rank,
+       CAST(n.partkey AS BIGINT) AS partkey,
+       CAST(pc.n_pos AS BIGINT) AS n_pos
+FROM (
+  SELECT custkey, partkey, i,
+         ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY i) AS rnk
+  FROM neg
+) n
+JOIN pc ON n.custkey = pc.custkey
+WHERE rnk <= {_NEG_K}
+ORDER BY n.custkey, neg_rank
+"""
+
+
+@register(
+    "reco_negative_sampling",
+    _NEGSAMPLE_SQL,
+    doc=f"Implicit-feedback negative sampling for two-tower/MF "
+    f"training: per purchasing customer, {_NEG_DRAWS} content-stable "
+    "md5(user:draw) candidates over the dense item-key space, "
+    "positives rejected by an anti-join on (user, item) — never "
+    f"mislabeled — and the first {_NEG_K} surviving draws (by draw "
+    "index, the reproducible order) become the negatives, with the "
+    "user's positive count carried for loss weighting. Candidate "
+    "generation is map-side (k rows per user, never the item "
+    "catalog); the anti-join keys on (user, item) like the positives "
+    "table itself — the plan a 100 TB interaction log needs. "
+    "Engine-identical by construction: both sides draw from the same "
+    "md5 stream.",
+)
+def reco_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders, lineitem, part = load_tables(
+        spark, sf_dir, "orders", "lineitem", "part"
+    )
+    pos = (
+        orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+    )
+    np_ = part.agg(F.count(F.lit(1)).alias("p"))
+    pc = pos.groupBy("custkey").agg(F.count(F.lit(1)).alias("n_pos"))
+    cand = (
+        pos.select("custkey")
+        .distinct()
+        .crossJoin(F.broadcast(np_))  # 1-row scalar: item-catalog size
+        .select(
+            "custkey",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_DRAWS - 1))
+            ).alias("i"),
+            "p",
+        )
+        .select(
+            "custkey",
+            "i",
+            (
+                hex_prefix_int(
+                    F.md5(F.concat_ws(":", F.col("custkey"), F.col("i")))
+                )
+                % F.col("p")
+            ).alias("partkey"),
+        )
+    )
+    dd = cand.groupBy("custkey", "partkey").agg(F.min("i").alias("i"))
+    neg = dd.join(pos, ["custkey", "partkey"], "left_anti")
+    w = Window.partitionBy("custkey").orderBy("i")
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= _NEG_K)
+        .join(pc, "custkey")
+        .select(
+            "custkey",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            F.col("partkey").cast("long").alias("partkey"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+        )
+        .orderBy("custkey", "neg_rank")
+    )

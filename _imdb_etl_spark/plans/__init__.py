@@ -214,6 +214,7 @@ _GATE_REST = [
     "privacy_pseudonymize_users",
     "sql_identifier_binding",
     "features_user_daily",
+    "reco_negative_sampling",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -2957,3 +2957,54 @@ def test_features_user_daily_pure_python(spark, sf_dir):
             assert r.cum_events == sum(days[x][0] for x in ds[: i + 1])
             assert r.label_active_next_day == (1 if (d + 1) in days else 0)
     assert n_rows == len(got)
+
+
+def test_negative_sampling_never_mislabels(spark, sf_dir):
+    """The one unforgivable failure of negative sampling is a positive
+    labeled negative: every emitted (custkey, partkey) must be absent
+    from the positives, ranks contiguous from 1, draws reproducible
+    (pure-Python md5 replay), and every purchasing customer present."""
+    import hashlib
+
+    from _imdb_etl_spark.operators.corpus import _NEG_DRAWS, _NEG_K
+
+    orders, lineitem, part = load_tables(
+        spark, sf_dir, "orders", "lineitem", "part"
+    )
+    pos = {
+        (r.custkey, r.partkey)
+        for r in orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .distinct()
+        .collect()
+    }
+    n_parts = part.count()
+    rows = (
+        REGISTRY["reco_negative_sampling"].spark(spark, sf_dir).collect()
+    )
+    by_c: dict = {}
+    for r in rows:
+        assert (r.custkey, r.partkey) not in pos, "positive mislabeled"
+        by_c.setdefault(r.custkey, []).append(r)
+    assert set(by_c) == {c for c, _ in pos}
+    for c, lst in by_c.items():
+        lst.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in lst] == list(range(1, len(lst) + 1))
+        seen: dict = {}
+        for i in range(_NEG_DRAWS):
+            pk = (
+                int(hashlib.md5(f"{c}:{i}".encode()).hexdigest()[:4], 16)
+                % n_parts
+            )
+            seen.setdefault(pk, i)
+        want = [
+            pk
+            for pk, _ in sorted(seen.items(), key=lambda kv: kv[1])
+            if (c, pk) not in pos
+        ][:_NEG_K]
+        assert [r.partkey for r in lst] == want, c
