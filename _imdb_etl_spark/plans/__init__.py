@@ -215,6 +215,7 @@ _GATE_REST = [
     "sql_identifier_binding",
     "features_user_daily",
     "reco_negative_sampling",
+    "features_target_encoding",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

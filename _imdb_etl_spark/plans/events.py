@@ -4173,3 +4173,103 @@ def features_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+# --- leak-free target encoding (out-of-self category means) --------------
+#
+# Target encoding replaces a categorical feature with the target rate
+# of its category — and done naively it LEAKS: row i's own label is
+# inside its category mean, and a high-cardinality category memorizes
+# its labels outright. The production form is leave-one-out PLUS prior
+# smoothing: enc_i = (S_c - y_i + m * p_global) / (n_c - 1 + m). Both
+# corrections are per-row arithmetic against a broadcast category
+# table (|categories| rows) and one global scalar — no window, no
+# shuffle beyond the category aggregate, the right shape at any row
+# count. Everything is carried in exact integer permille with the
+# global prior kept as an exact rational (numerator x denominator),
+# so both engines agree bit-for-bit; the naive (leaky) encoding is
+# emitted beside it so the self-exclusion is visible in-row.
+
+_TENC_THRESHOLD = 150000.0
+_TENC_M = 10  # prior pseudo-count
+
+_TENC_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS priority,
+         CASE WHEN CAST(o_totalprice AS DOUBLE) > {_TENC_THRESHOLD}
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+cat AS (SELECT priority, SUM(y) AS s, COUNT(*) AS n FROM base GROUP BY priority),
+g AS (SELECT SUM(y) AS sg, COUNT(*) AS ng FROM base)
+SELECT b.o_orderkey,
+       b.priority,
+       CAST(b.y AS INT) AS y,
+       CAST((1000 * c.s) // c.n AS BIGINT) AS naive_enc_permille,
+       CAST((1000 * (c.s - b.y)) // (c.n - 1) AS BIGINT)
+         AS loo_enc_permille,
+       CAST((1000 * ((c.s - b.y) * g.ng + {_TENC_M} * g.sg))
+            // ((c.n - 1 + {_TENC_M}) * g.ng) AS BIGINT)
+         AS smoothed_enc_permille
+FROM base b JOIN cat c ON b.priority = c.priority CROSS JOIN g
+ORDER BY b.o_orderkey
+"""
+
+
+@register(
+    "features_target_encoding",
+    _TENC_SQL,
+    doc=f"Leak-free target encoding of order priority against the "
+    "high-value label: the naive category rate (emitted for "
+    "contrast), the leave-one-out rate excluding each row's own "
+    "label, and the production form — LOO with m={_TENC_M} "
+    "pseudo-counts of the global prior, the smoothing that stops "
+    "high-cardinality categories from memorizing labels. All three "
+    "are exact integer permille, the global prior carried as an "
+    "exact rational, so engines agree bit-for-bit; the encode pass "
+    "is per-row arithmetic against a broadcast |categories|-row "
+    "table plus one scalar — no window, no per-row shuffle, the "
+    "same plan at any training-set size. Self-exclusion pinned in "
+    "pytest.",
+)
+def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources import load_tables
+
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.when(
+            F.col("o_totalprice").cast("double") > _TENC_THRESHOLD, 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    cat = base.groupBy("priority").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    g = base.agg(
+        F.sum("y").alias("sg"), F.count(F.lit(1)).alias("ng")
+    )
+    return (
+        base.join(F.broadcast(cat), "priority")
+        .crossJoin(F.broadcast(g))  # 1-row global prior scalar
+        .select(
+            "o_orderkey",
+            "priority",
+            F.col("y").cast("int").alias("y"),
+            F.expr("(1000 * s) div n")
+            .cast("long")
+            .alias("naive_enc_permille"),
+            F.expr("(1000 * (s - y)) div (n - 1)")
+            .cast("long")
+            .alias("loo_enc_permille"),
+            F.expr(
+                f"(1000 * ((s - y) * ng + {_TENC_M} * sg))"
+                f" div ((n - 1 + {_TENC_M}) * ng)"
+            )
+            .cast("long")
+            .alias("smoothed_enc_permille"),
+        )
+        .orderBy("o_orderkey")
+    )

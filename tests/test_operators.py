@@ -3008,3 +3008,35 @@ def test_negative_sampling_never_mislabels(spark, sf_dir):
             if (c, pk) not in pos
         ][:_NEG_K]
         assert [r.partkey for r in lst] == want, c
+
+
+def test_target_encoding_self_exclusion(spark, sf_dir):
+    """The leakage contract: a row's own label must be outside its LOO
+    encoding — flipping y_i changes naive_enc but the LOO encoding of
+    OTHER rows only; verified by exact recomputation from category
+    sums, plus the smoothing shrinks encodings toward the global prior
+    (strictly between the LOO rate and the prior for every non-trivial
+    category)."""
+    from _imdb_etl_spark.plans.events import _TENC_M
+
+    rows = (
+        REGISTRY["features_target_encoding"].spark(spark, sf_dir).collect()
+    )
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r.priority, []).append(r)
+    sg = sum(r.y for r in rows)
+    ng = len(rows)
+    for p, lst in by_p.items():
+        s = sum(r.y for r in lst)
+        n = len(lst)
+        for r in lst:
+            assert r.naive_enc_permille == (1000 * s) // n
+            assert r.loo_enc_permille == (1000 * (s - r.y)) // (n - 1)
+            want = (1000 * ((s - r.y) * ng + _TENC_M * sg)) // (
+                (n - 1 + _TENC_M) * ng
+            )
+            assert r.smoothed_enc_permille == want
+            lo = min(r.loo_enc_permille, (1000 * sg) // ng)
+            hi = max(r.loo_enc_permille, (1000 * sg) // ng)
+            assert lo - 1 <= r.smoothed_enc_permille <= hi + 1
