@@ -216,6 +216,8 @@ _GATE_REST = [
     "features_user_daily",
     "reco_negative_sampling",
     "features_target_encoding",
+    "sql_session_variable",
+    "features_psi_drift",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -4273,3 +4273,134 @@ def features_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# --- PSI feature-drift monitor (ref deciles, smoothed) -------------------
+#
+# The Population Stability Index is the industry's default
+# feature-monitoring metric (model-risk teams grade PSI < 0.1 stable,
+# 0.1-0.25 watch, > 0.25 retrain); it completes the drift trio next to
+# the KS two-sample test (distribution shift significance) and JSD
+# (token-distribution divergence). Reference window = the first half
+# of the period, current = the second; buckets are the REFERENCE
+# deciles — exact percentiles computed as one 9-value scalar aggregate
+# and broadcast, the RFM anti-NTILE discipline, so bucketing is a
+# map-side comparison at any row count. Counts are exact integers with
+# add-one smoothing (PSI's ln explodes on empty buckets); the
+# probabilities both engines derive from identical integers, so the
+# per-bucket terms and the total agree to the rounding grid.
+
+_PSI_SPLIT_DAY = "2024-01-16"  # ref = days before, cur = days from
+
+
+@register(
+    "features_psi_drift",
+    f"""
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         CAST(ts AS DATE) >= DATE '{_PSI_SPLIT_DAY}' AS is_cur
+  FROM events
+),
+bounds AS (
+  SELECT quantile_cont(v, 0.1) AS b1, quantile_cont(v, 0.2) AS b2,
+         quantile_cont(v, 0.3) AS b3, quantile_cont(v, 0.4) AS b4,
+         quantile_cont(v, 0.5) AS b5, quantile_cont(v, 0.6) AS b6,
+         quantile_cont(v, 0.7) AS b7, quantile_cont(v, 0.8) AS b8,
+         quantile_cont(v, 0.9) AS b9
+  FROM base WHERE NOT is_cur
+),
+bucketed AS (
+  SELECT is_cur,
+         CAST(v > b1 AS INT) + CAST(v > b2 AS INT) + CAST(v > b3 AS INT)
+       + CAST(v > b4 AS INT) + CAST(v > b5 AS INT) + CAST(v > b6 AS INT)
+       + CAST(v > b7 AS INT) + CAST(v > b8 AS INT) + CAST(v > b9 AS INT)
+           AS bucket_id
+  FROM base, bounds
+),
+counts AS (
+  SELECT bucket_id,
+         SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+         SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+  FROM bucketed GROUP BY bucket_id
+),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts),
+terms AS (
+  SELECT bucket_id, n_ref, n_cur,
+         (CAST(n_cur + 1 AS DOUBLE) / (tc + 10)
+          - CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+         * ln((CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+              / (CAST(n_ref + 1 AS DOUBLE) / (tr + 10))) AS term
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(bucket_id AS INT) AS bucket_id,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(term, 6) AS psi_term,
+       ROUND(SUM(term) OVER (), 6) AS psi_total
+FROM terms
+ORDER BY bucket_id
+""",
+    doc="PSI feature-drift monitor between the period's first half "
+    "(reference) and second half (current): buckets are the exact "
+    "REFERENCE deciles computed as one 9-value scalar aggregate and "
+    "broadcast (map-side comparison bucketing, no NTILE funnel — the "
+    "RFM discipline), counts are exact integers with add-one "
+    "smoothing so ln never sees an empty bucket, and per-bucket PSI "
+    "terms plus the total ride every row. Completes the drift trio "
+    "next to events_ks_two_sample (significance) and "
+    "corpus_js_divergence (token distributions); the total is a "
+    "1-row scalar aggregate broadcast back onto the 10 bucket rows — "
+    "no global window funnel, per this repo's own lint.",
+)
+def features_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    base = events.select(
+        F.col("value").cast("double").alias("v"),
+        (
+            F.col("ts").cast("date")
+            >= F.lit(_PSI_SPLIT_DAY).cast("date")
+        ).alias("is_cur"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = base.where(~F.col("is_cur")).agg(
+        *[F.percentile("v", F.lit(q)).alias(f"b{int(q * 10)}") for q in qs]
+    )
+    bucket = sum(
+        (F.col("v") > F.col(f"b{i}")).cast("int") for i in range(1, 10)
+    )
+    counts = (
+        base.crossJoin(F.broadcast(bounds))  # 1-row decile scalar
+        .select("is_cur", bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(
+            F.sum(F.when(F.col("is_cur"), 0).otherwise(1)).alias("n_ref"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + 10)
+    p_cur = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10)
+    terms = counts.crossJoin(F.broadcast(tot)).select(  # 1-row totals
+        "bucket_id",
+        "n_ref",
+        "n_cur",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("term"),
+    )
+    # total as a 1-row scalar aggregate broadcast back — the same
+    # 10 bucket rows a global window would funnel, without the funnel
+    total = terms.agg(F.sum("term").alias("psi_sum"))
+    return (
+        terms.crossJoin(F.broadcast(total))
+        .select(
+            F.col("bucket_id").cast("int").alias("bucket_id"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round("term", 6).alias("psi_term"),
+            F.round("psi_sum", 6).alias("psi_total"),
+        )
+        .orderBy("bucket_id")
+    )

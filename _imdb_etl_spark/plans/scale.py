@@ -899,3 +899,66 @@ def sql_identifier_binding(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"v": view},
     )
+
+
+# --- SQL session variables ----------------------------------------------
+#
+# The third face of the dynamic-SQL surface (values via parameter
+# markers, identifiers via IDENTIFIER(): this one is session state):
+# DECLARE VARIABLE / SET VARIABLE give multi-statement SQL scripts a
+# typed, injection-safe way to thread a computed scalar between
+# statements — here the cutoff is even COMPUTED by a query (the
+# max order date minus a horizon) before the aggregate consumes it,
+# the two-step shape a warehouse script uses where string templating
+# would re-quote and re-parse. Variables resolve at analysis time to
+# typed literals, so the consuming plan is the ordinary pushed-down
+# scan + aggregate the oracle states with the literal inlined.
+
+_SESSVAR_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+WHERE o_orderdate >= (SELECT MAX(o_orderdate) - INTERVAL 180 DAY FROM orders)
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@register(
+    "sql_session_variable",
+    _SESSVAR_SQL,
+    doc="SQL session variables (DECLARE / SET VARIABLE): a typed "
+    "cutoff is COMPUTED by one statement (max order date minus a "
+    "180-day horizon) into a session variable, then consumed by the "
+    "aggregate — the injection-safe way multi-statement scripts "
+    "thread computed scalars, where string templating re-quotes and "
+    "re-parses. Variables bind at analysis time as typed literals, so "
+    "the consuming plan is the same pushed-down scan + aggregate the "
+    "oracle states with an inline scalar subquery; a trailing-horizon "
+    "report is also the natural incremental-window shape at 100 TB "
+    "(the variable keys partition pruning on a date-partitioned "
+    "fact).",
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = load_tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView(f"orders_sv_{__import__('os').getpid()}")
+    view = f"orders_sv_{__import__('os').getpid()}"
+    spark.sql("DECLARE OR REPLACE VARIABLE horizon_start DATE")
+    spark.sql(
+        f"SET VARIABLE horizon_start ="
+        f" (SELECT MAX(o_orderdate) - INTERVAL 180 DAY FROM {view})"
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price
+        FROM {view}
+        WHERE o_orderdate >= horizon_start
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """
+    )

@@ -3040,3 +3040,30 @@ def test_target_encoding_self_exclusion(spark, sf_dir):
             lo = min(r.loo_enc_permille, (1000 * sg) // ng)
             hi = max(r.loo_enc_permille, (1000 * sg) // ng)
             assert lo - 1 <= r.smoothed_enc_permille <= hi + 1
+
+
+def test_psi_drift_invariants(spark, sf_dir):
+    """PSI invariants: ten buckets keyed by the REFERENCE deciles (so
+    reference counts are near-uniform across buckets), every smoothed
+    term nonnegative — (p2-p1) and ln(p2/p1) always share sign — the
+    total equal to the term sum and constant across rows, and a
+    pure-Python recomputation of every term from the exact counts."""
+    import math
+
+    rows = REGISTRY["features_psi_drift"].spark(spark, sf_dir).collect()
+    assert [r.bucket_id for r in rows] == list(range(10))
+    tr = sum(r.n_ref for r in rows)
+    tc = sum(r.n_cur for r in rows)
+    total = 0.0
+    for r in rows:
+        p1 = (r.n_ref + 1) / (tr + 10)
+        p2 = (r.n_cur + 1) / (tc + 10)
+        term = (p2 - p1) * math.log(p2 / p1)
+        assert term >= 0
+        assert abs(r.psi_term - term) < 2e-6
+        total += term
+    assert abs(rows[0].psi_total - total) < 2e-5
+    assert all(r.psi_total == rows[0].psi_total for r in rows)
+    # reference deciles: each bucket holds ~10% of the reference
+    for r in rows:
+        assert abs(r.n_ref - tr / 10) <= max(3, 0.02 * tr)
