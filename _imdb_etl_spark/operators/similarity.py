@@ -1685,3 +1685,124 @@ def sim_knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_rank") <= _TOP_K)
         .orderBy("query_id", "neighbor_rank")
     )
+
+
+# --- simplified silhouette (cluster-quality validation) ------------------
+#
+# The IVF/KMeans family builds clusters; this validates them. The full
+# silhouette needs all pairwise distances (quadratic); the SIMPLIFIED
+# silhouette (Hruschka et al.) substitutes centroid distances — a =
+# distance to the own centroid, b = to the nearest other — and is the
+# form production cluster-quality monitoring actually runs, because it
+# is one broadcast-centroid pass over the corpus. In cosine distance
+# b >= a by construction (the own centroid is the nearest), so
+# s = (sim_own - sim_next) / (1 - sim_next) in [0, 1]; per-vector
+# values are map-side deterministic (rounded-cosine inputs), and the
+# per-cluster report aggregates only order-insensitive quantities
+# (counts, min/max) — no float-summation-order hazard.
+
+_SIL_THRESHOLD = 0.25
+
+_SIL_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS ce
+  FROM embeddings
+  WHERE {_CENTROID_FILTER}
+  ORDER BY vec_id LIMIT {_N_CENTROIDS}
+),
+ranked AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROUND({_cos_sql('e.embedding', 'c.ce')}, 6) AS sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ROUND({_cos_sql('e.embedding', 'c.ce')}, 6) DESC,
+                    c.centroid_id) AS rnk
+  FROM embeddings e CROSS JOIN cents c
+),
+pv AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rnk = 1 THEN centroid_id END) AS centroid_id,
+         MAX(CASE WHEN rnk = 1 THEN sim END) AS sim_own,
+         MAX(CASE WHEN rnk = 2 THEN sim END) AS sim_next
+  FROM ranked WHERE rnk <= 2 GROUP BY vec_id
+),
+sil AS (
+  SELECT centroid_id,
+         ROUND((sim_own - sim_next) / (1 - sim_next), 6) AS s
+  FROM pv
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN s > {_SIL_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_well_separated,
+       ROUND(MIN(s), 6) AS min_sil,
+       ROUND(MAX(s), 6) AS max_sil
+FROM sil
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+@register(
+    "embedding_silhouette_simplified",
+    _SIL_SQL,
+    doc=f"Simplified silhouette over the deterministic IVF centroids — "
+    "the cluster-quality validation the IVF/KMeans family was "
+    "missing: per vector, s = (sim_own - sim_next) / (1 - sim_next) "
+    "from the two nearest centroids (the centroid-distance "
+    "substitution that makes silhouette corpus-linear instead of "
+    "all-pairs), rolled up per cluster as member count, count above "
+    f"the {_SIL_THRESHOLD} separation bar, and min/max — "
+    "order-insensitive aggregates only, so no float-summation-order "
+    "hazard reaches the hash. One broadcast-centroid pass; the same "
+    "shape validates the pyspark.ml KMeans clusters at any corpus "
+    "size.",
+)
+def embedding_silhouette_simplified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+    )
+    cents = (
+        normed.where(F.expr(_CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    ranked = _ivf_assign(normed, cents)
+    pv = (
+        ranked.where(F.col("arnk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.when(F.col("arnk") == 1, F.col("centroid_id"))
+            ).alias("centroid_id"),
+            F.max(F.when(F.col("arnk") == 1, F.col("sim"))).alias("sim_own"),
+            F.max(F.when(F.col("arnk") == 2, F.col("sim"))).alias("sim_next"),
+        )
+    )
+    s = F.round(
+        (F.col("sim_own") - F.col("sim_next")) / (1 - F.col("sim_next")), 6
+    )
+    return (
+        pv.select("centroid_id", s.alias("s"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(
+                F.when(F.col("s") > _SIL_THRESHOLD, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_well_separated"),
+            F.round(F.min("s"), 6).alias("min_sil"),
+            F.round(F.max("s"), 6).alias("max_sil"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -218,6 +218,7 @@ _GATE_REST = [
     "features_target_encoding",
     "sql_session_variable",
     "features_psi_drift",
+    "embedding_silhouette_simplified",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

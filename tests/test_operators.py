@@ -3067,3 +3067,54 @@ def test_psi_drift_invariants(spark, sf_dir):
     # reference deciles: each bucket holds ~10% of the reference
     for r in rows:
         assert abs(r.n_ref - tr / 10) <= max(3, 0.02 * tr)
+
+
+def test_silhouette_numpy_replay(spark, sf_dir):
+    """Third implementation for embedding_silhouette_simplified: numpy
+    recomputation of every vector's two nearest centroids and its
+    simplified silhouette, aggregated per cluster — plus the range
+    invariant s in [0, 1] that holds because the own centroid is by
+    definition the nearest."""
+    from _imdb_etl_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _N_QUERIES,
+        _SIL_THRESHOLD,
+    )
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cents = [
+        (vid, vecs[vid])
+        for vid in sorted(vecs)
+        if vid % 29 == 0 and vid >= _N_QUERIES
+    ][:_N_CENTROIDS]
+    agg: dict = {}
+    for vid, v in vecs.items():
+        nv = np.sqrt(v @ v)
+        sims = sorted(
+            (
+                (-round(float((v @ c) / (nv * np.sqrt(c @ c))), 6), cid)
+                for cid, c in cents
+            )
+        )
+        (s1, c1), (s2, _) = sims[0], sims[1]
+        s = round((-s1 - -s2) / (1 - -s2), 6)
+        assert 0 <= s <= 1
+        cell = agg.setdefault(c1, [0, 0, 1.0, 0.0])
+        cell[0] += 1
+        cell[1] += 1 if s > _SIL_THRESHOLD else 0
+        cell[2] = min(cell[2], s)
+        cell[3] = max(cell[3], s)
+    got = (
+        REGISTRY["embedding_silhouette_simplified"]
+        .spark(spark, sf_dir)
+        .collect()
+    )
+    assert {r.centroid_id for r in got} == set(agg)
+    for r in got:
+        n, w, lo, hi = agg[r.centroid_id]
+        assert r.n_members == n
+        assert r.n_well_separated == w
+        assert abs(r.min_sil - lo) < 2e-6
+        assert abs(r.max_sil - hi) < 2e-6
