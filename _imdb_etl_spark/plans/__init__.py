@@ -219,6 +219,7 @@ _GATE_REST = [
     "sql_session_variable",
     "features_psi_drift",
     "embedding_silhouette_simplified",
+    "events_forecast_backtest",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

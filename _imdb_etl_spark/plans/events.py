@@ -4404,3 +4404,132 @@ def features_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_id")
     )
+
+
+# --- forecast backtest: naive vs seasonal-naive, exact MASE ---------------
+#
+# The detector family (MAD, CUSUM, EWMA, decomposition) flags
+# anomalies; a FORECASTING pipeline also needs backtests — and the
+# standard scale-free yardstick is MASE (Hyndman & Koehler): a model's
+# absolute error scaled by the one-step naive walk's. Both baselines
+# here are the canonical ones every forecast must beat — naive
+# (y_hat = yesterday's hour) and seasonal-naive (y_hat = the same hour
+# one day earlier, period 24) — and because hourly counts are
+# integers, every error, error sum, and the MASE ratio (integer
+# permille) is EXACT: the rare forecast metric with no float in it.
+# Dense spine first so LAG distance equals hour distance; evaluation
+# starts after the longest lookback so both baselines score the same
+# rows.
+
+_BACKTEST_PERIOD = 24
+
+_BACKTEST_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM bounds
+),
+dense AS (
+  SELECT s.event_type, s.hr, COALESCE(h.n, 0) AS n,
+         ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY s.hr) AS rn
+  FROM spine s
+  LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hr = h.hr
+),
+scored AS (
+  SELECT event_type, n, rn,
+         LAG(n, 1) OVER w AS f_naive,
+         LAG(n, {_BACKTEST_PERIOD}) OVER w AS f_seasonal
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(ABS(n - f_naive)) AS BIGINT) AS sae_naive,
+       CAST(SUM(ABS(n - f_seasonal)) AS BIGINT) AS sae_seasonal,
+       CAST(CASE WHEN SUM(ABS(n - f_naive)) = 0 THEN NULL
+                 ELSE (1000 * SUM(ABS(n - f_seasonal)))
+                      // SUM(ABS(n - f_naive)) END AS BIGINT)
+         AS mase_permille
+FROM scored
+WHERE rn > {_BACKTEST_PERIOD}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_forecast_backtest",
+    _BACKTEST_SQL,
+    doc=f"Forecast backtest on the hourly series: the two canonical "
+    "baselines every model must beat — naive (previous hour) and "
+    f"seasonal-naive (same hour {_BACKTEST_PERIOD} hours earlier) — "
+    "scored with MASE, the scale-free standard (seasonal absolute "
+    "error over naive absolute error, here as exact integer permille "
+    "because hourly counts are integers: the rare forecast metric "
+    "with no float anywhere). Dense per-series spine so LAG distance "
+    "equals hour distance; evaluation starts after the longest "
+    "lookback so both baselines score identical rows; one series-"
+    "keyed exchange serves both lags. mase_permille < 1000 means "
+    "daily seasonality is real and a seasonal model is worth "
+    "training — the go/no-go readout a forecasting pipeline gates "
+    "on.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from _imdb_etl_spark.sources import load_tables
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hr"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    dense = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+    scored = dense.select(
+        "event_type",
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.lag("n", 1).over(w).alias("f_naive"),
+        F.lag("n", _BACKTEST_PERIOD).over(w).alias("f_seasonal"),
+    )
+    return (
+        scored.where(F.col("rn") > _BACKTEST_PERIOD)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.sum(F.abs(F.col("n") - F.col("f_naive")))
+            .cast("long")
+            .alias("sae_naive"),
+            F.sum(F.abs(F.col("n") - F.col("f_seasonal")))
+            .cast("long")
+            .alias("sae_seasonal"),
+            F.expr(
+                "CASE WHEN sum(abs(n - f_naive)) = 0 THEN NULL"
+                " ELSE (1000 * sum(abs(n - f_seasonal)))"
+                " div sum(abs(n - f_naive)) END"
+            )
+            .cast("long")
+            .alias("mase_permille"),
+        )
+        .orderBy("event_type")
+    )

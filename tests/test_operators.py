@@ -3118,3 +3118,49 @@ def test_silhouette_numpy_replay(spark, sf_dir):
         assert r.n_well_separated == w
         assert abs(r.min_sil - lo) < 2e-6
         assert abs(r.max_sil - hi) < 2e-6
+
+
+def test_forecast_backtest_pure_python(spark, sf_dir):
+    """Third implementation for events_forecast_backtest: replay both
+    baselines from the dense hourly series per type and compare every
+    exact error sum and the integer-permille MASE."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from _imdb_etl_spark.plans.events import _BACKTEST_PERIOD
+
+    (events,) = load_tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    series: dict = defaultdict(dict)
+    for r in hourly:
+        series[r.event_type][r.hr] = r.n
+    got = {
+        r.event_type: r
+        for r in REGISTRY["events_forecast_backtest"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for et, obs in series.items():
+        lo, hi = min(obs), max(obs)
+        ns, h = [], lo
+        while h <= hi:
+            ns.append(obs.get(h, 0))
+            h += timedelta(hours=1)
+        sae_n = sum(
+            abs(ns[i] - ns[i - 1])
+            for i in range(_BACKTEST_PERIOD, len(ns))
+        )
+        sae_s = sum(
+            abs(ns[i] - ns[i - _BACKTEST_PERIOD])
+            for i in range(_BACKTEST_PERIOD, len(ns))
+        )
+        r = got[et]
+        assert r.n_eval == len(ns) - _BACKTEST_PERIOD
+        assert r.sae_naive == sae_n
+        assert r.sae_seasonal == sae_s
+        want_mase = None if sae_n == 0 else (1000 * sae_s) // sae_n
+        assert r.mase_permille == want_mase
