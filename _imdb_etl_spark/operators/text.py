@@ -948,3 +948,107 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- winnowing fingerprints (Schleimer et al. / MOSS) --------------------
+#
+# text_fingerprint keeps ONE hash per doc (1-permutation MinHash —
+# whole-doc near-identity); winnowing keeps a GUARANTEED-coverage set:
+# selecting the rightmost minimum hash in every window of w
+# consecutive k-gram hashes ensures any shared substring of length
+# >= w + k - 1 contributes at least one common fingerprint — the
+# local-similarity guarantee MinHash cannot give, and the algorithm
+# behind MOSS-style plagiarism and license-scan pipelines. Everything
+# is per-row array lambdas over md5 hex strings (the engine-portable
+# hash; lexicographic min), ZERO shuffle before the final sort: the
+# 100 TB cost is one map pass. Per doc: k-gram count, selected
+# fingerprint count, density (expected ~2/(w+1)), and the md5 of the
+# position-ordered fingerprint sequence so both engines must agree on
+# every selection, ties included (rightmost-min, the paper's rule).
+
+_WIN_K = 8  # k-gram length (chars)
+_WIN_W = 8  # window of consecutive k-gram hashes
+
+_WINNOW_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(length(text) - {_WIN_K - 1}, 0) + 1),
+                        i -> md5(substr(text, CAST(i AS INT), {_WIN_K}))) AS hs
+  FROM documents
+),
+sel AS (
+  SELECT doc_id, len(hs) AS nk,
+         list_sort(list_distinct(
+           list_transform(range(1, GREATEST(len(hs) - {_WIN_W - 1}, 0) + 1),
+             j -> j + {_WIN_W} - list_position(
+                    list_reverse(list_slice(hs, CAST(j AS INT),
+                                            CAST(j + {_WIN_W - 1} AS INT))),
+                    list_min(list_slice(hs, CAST(j AS INT),
+                                        CAST(j + {_WIN_W - 1} AS INT))))))) AS ps,
+         hs
+  FROM h
+)
+SELECT doc_id,
+       CAST(nk AS BIGINT) AS n_kgrams,
+       CAST(len(ps) AS BIGINT) AS n_fingerprints,
+       CAST(CASE WHEN nk > 0 THEN (1000 * len(ps)) // nk ELSE 0 END
+            AS BIGINT) AS density_permille,
+       md5(array_to_string(list_transform(ps,
+             p -> hs[CAST(p AS INT)]), ',')) AS fp_md5
+FROM sel
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    _WINNOW_SQL,
+    doc=f"Winnowing (Schleimer et al., the MOSS fingerprint): the "
+    f"rightmost minimum of every window of {_WIN_W} consecutive "
+    f"{_WIN_K}-char-gram md5 hashes — guaranteeing any shared "
+    f"substring of length >= {_WIN_W + _WIN_K - 1} contributes a "
+    "common fingerprint, the LOCAL-similarity property the "
+    "1-permutation MinHash (text_fingerprint) lacks and the basis of "
+    "plagiarism/license scanning. Pure per-row array lambdas over "
+    "engine-portable md5 hex (lexicographic min), zero shuffle — one "
+    "map pass at 100 TB; the position-ordered fingerprint md5 forces "
+    "both engines to agree on every selection including rightmost-min "
+    "tie handling. Density ~2/(w+1) pinned in pytest with a "
+    "shared-substring guarantee case.",
+)
+def text_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    docs = spread(docs)
+    # sequence(1, 0) DESCENDS in Spark (DuckDB's range(1, 1) is empty),
+    # so the too-short edge must return an explicit empty array
+    hs = F.expr(
+        f"if(length(text) < {_WIN_K}, array(),"
+        f" transform(sequence(1, length(text) - {_WIN_K - 1}),"
+        f" i -> md5(substr(text, i, {_WIN_K}))))"
+    )
+    base = docs.select("doc_id", hs.alias("hs"))
+    ps = F.expr(
+        f"if(size(hs) < {_WIN_W}, array(),"
+        f" array_sort(array_distinct(transform("
+        f"sequence(1, size(hs) - {_WIN_W - 1}),"
+        f" j -> j + {_WIN_W} - array_position("
+        f"reverse(slice(hs, j, {_WIN_W})),"
+        f" array_min(slice(hs, j, {_WIN_W})))))))"
+    )
+    sel = base.select("doc_id", F.size("hs").alias("nk"), ps.alias("ps"), "hs")
+    return sel.select(
+        "doc_id",
+        F.col("nk").cast("long").alias("n_kgrams"),
+        F.size("ps").cast("long").alias("n_fingerprints"),
+        F.when(
+            F.col("nk") > 0, F.expr("(1000 * size(ps)) div nk")
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("density_permille"),
+        F.md5(
+            F.expr("array_join(transform(ps, p -> element_at(hs, int(p))), ',')")
+        ).alias("fp_md5"),
+    ).orderBy("doc_id")

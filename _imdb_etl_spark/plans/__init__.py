@@ -220,6 +220,7 @@ _GATE_REST = [
     "features_psi_drift",
     "embedding_silhouette_simplified",
     "events_forecast_backtest",
+    "text_winnowing_fingerprints",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -3164,3 +3164,68 @@ def test_forecast_backtest_pure_python(spark, sf_dir):
         assert r.sae_seasonal == sae_s
         want_mase = None if sae_n == 0 else (1000 * sae_s) // sae_n
         assert r.mase_permille == want_mase
+
+
+def test_winnowing_guarantee_and_replay(spark, sf_dir):
+    """Winnowing's defining property, pinned: two documents sharing a
+    substring of length >= w + k - 1 must share at least one selected
+    fingerprint VALUE. Plus a pure-Python replay of the selection
+    (rightmost-min ties included) on real docs, and the too-short edge
+    (len < k) returning empty rather than Spark's descending-sequence
+    artifact."""
+    import hashlib
+
+    from _imdb_etl_spark.operators.text import _WIN_K, _WIN_W
+
+    def winnow(text):
+        n = len(text)
+        if n < _WIN_K:
+            return [], []
+        hs = [
+            hashlib.md5(text[i : i + _WIN_K].encode()).hexdigest()
+            for i in range(n - _WIN_K + 1)
+        ]
+        if len(hs) < _WIN_W:
+            return hs, []
+        sel = set()
+        for j in range(len(hs) - _WIN_W + 1):
+            win = hs[j : j + _WIN_W]
+            mn = min(win)
+            # rightmost occurrence of the min
+            p = j + max(i for i, v in enumerate(win) if v == mn)
+            sel.add(p)
+        return hs, sorted(sel)
+
+    shared = "the quick brown fox jumps over it"  # len >= w + k - 1
+    da = "xxxx " + shared + " yyyy padding tail words here"
+    db = "completely different head " + shared + " zz"
+    ha, sa = winnow(da)
+    hb, sb = winnow(db)
+    assert {ha[p] for p in sa} & {hb[p] for p in sb}, (
+        "shared substring produced no common fingerprint"
+    )
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.limit(2000).collect()}
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["text_winnowing_fingerprints"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    for doc_id in sorted(texts)[:15]:
+        hs, sel = winnow(texts[doc_id])
+        r = got[doc_id]
+        assert r.n_kgrams == len(hs)
+        assert r.n_fingerprints == len(sel)
+        fp = hashlib.md5(
+            ",".join(hs[p] for p in sel).encode()
+        ).hexdigest()
+        assert r.fp_md5 == fp, doc_id
+        if len(hs) >= 10 * _WIN_W:
+            assert 80 <= r.density_permille <= 500  # ~2/(w+1) = 222
+
+    # the too-short edge: pure-Python agrees it is empty, and the
+    # builder's explicit empty-array guard (not Spark's descending
+    # sequence(1, 0)) is what makes the engines match there
+    assert winnow("tiny") == ([], [])
