@@ -221,6 +221,7 @@ _GATE_REST = [
     "embedding_silhouette_simplified",
     "events_forecast_backtest",
     "text_winnowing_fingerprints",
+    "scalar_try_suite",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

@@ -511,3 +511,86 @@ def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- error-safe scalar surface (try_*) ------------------------------------
+#
+# Spark 4 runs ANSI mode by default: a bad cast, a division by zero,
+# an integer overflow, or an invalid array index is a QUERY-KILLING
+# error — which is correct for a warehouse but fatal for a 100 TB
+# ingest pass where one malformed row of a trillion must become a
+# NULL, not an abort. The try_* family is that contract, and this
+# suite pins each member against a DuckDB twin that manufactures the
+# identical NULLs (TRY_CAST where DuckDB has it, explicit CASE
+# mirrors where it does not): try_cast on a dirty string column,
+# try_divide on a zero-cycling denominator, try_add at the int64
+# ceiling, try_element_at on out-of-range indexes (index 0 is invalid
+# USAGE — try_* forgives bad data, not bad queries — so the cycle
+# stays 1-based). Dirty
+# inputs are manufactured deterministically from the key so every
+# error path has rows.
+
+_TRY_SQL = """
+WITH base AS (
+  SELECT p_partkey AS pk,
+         CASE WHEN p_partkey % 3 = 0 THEN CAST(p_retailprice AS VARCHAR)
+              WHEN p_partkey % 3 = 1 THEN 'not-a-number'
+              ELSE '' END AS dirty,
+         p_partkey % 5 AS denom,
+         CAST(p_retailprice AS DECIMAL(12,2)) AS price
+  FROM part
+)
+SELECT pk,
+       ROUND(TRY_CAST(dirty AS DOUBLE), 2) AS cast_val,
+       CAST(CASE WHEN denom = 0 THEN NULL
+                 ELSE CAST(price AS DOUBLE) / denom END AS DOUBLE)
+         AS div_val,
+       CASE WHEN pk = 0 THEN 9223372036854775807 ELSE NULL END AS add_val,
+       CASE WHEN 1 + pk % 4 = 1 THEN 'a' WHEN 1 + pk % 4 = 2 THEN 'b'
+            ELSE NULL END AS elem_val
+FROM base
+ORDER BY pk
+"""
+
+
+@register(
+    "scalar_try_suite",
+    _TRY_SQL,
+    doc="Error-safe scalar suite for ANSI mode (the Spark 4 default, "
+    "where a bad cast or division by zero kills the query): try_cast "
+    "over a deterministically dirty string column, try_divide on a "
+    "zero-cycling denominator, try_add saturating at the int64 "
+    "ceiling, try_element_at on out-of-range indexes — "
+    "each producing NULL for exactly the rows the oracle's explicit "
+    "CASE mirrors produce. This is the one-malformed-row-in-a-"
+    "trillion contract a 100 TB ingest pass needs: errors become "
+    "NULLs to count and quarantine, never aborts.",
+)
+def scalar_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    dirty = (
+        F.when(F.col("p_partkey") % 3 == 0, F.col("p_retailprice").cast("string"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit("not-a-number"))
+        .otherwise(F.lit(""))
+    )
+    base = part.select(
+        F.col("p_partkey").alias("pk"),
+        dirty.alias("dirty"),
+        (F.col("p_partkey") % 5).alias("denom"),
+        F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
+    )
+    max_long = F.lit(9223372036854775807).cast("long")
+    return base.select(
+        "pk",
+        F.round(F.expr("try_cast(dirty AS DOUBLE)"), 2).alias("cast_val"),
+        F.try_divide(F.col("price").cast("double"), F.col("denom"))
+        .cast("double")
+        .alias("div_val"),
+        F.try_add(max_long, F.col("pk")).alias("add_val"),
+        # index cycles 1..4: 1-2 resolve, 3-4 are out of range -> NULL
+        # (index 0 is invalid USAGE, which try_element_at still raises)
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b")),
+            (1 + F.col("pk") % 4).cast("int"),
+        ).alias("elem_val"),
+    ).orderBy("pk")
