@@ -1000,6 +1000,32 @@ ORDER BY doc_id
 """
 
 
+def winnow_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs, ps): per-doc k-gram hash array and the sorted
+    distinct winnowing-selected positions — ONE definition of the
+    selection semantics, shared by the fingerprint report and the
+    pair-matching face."""
+    docs = spread(docs)
+    # sequence(1, 0) DESCENDS in Spark (DuckDB's range(1, 1) is empty),
+    # so the too-short edge must return an explicit empty array
+    hs = F.expr(
+        f"if(length(text) < {_WIN_K}, array(),"
+        f" transform(sequence(1, length(text) - {_WIN_K - 1}),"
+        f" i -> md5(substr(text, i, {_WIN_K}))))"
+    )
+    base = docs.select("doc_id", hs.alias("hs"))
+    ps = F.expr(
+        f"if(size(hs) < {_WIN_W}, array(),"
+        f" array_sort(array_distinct(transform("
+        f"sequence(1, size(hs) - {_WIN_W - 1}),"
+        f" j -> j + {_WIN_W} - array_position("
+        f"reverse(slice(hs, j, {_WIN_W})),"
+        f" array_min(slice(hs, j, {_WIN_W})))))))"
+    )
+    return base.select("doc_id", "hs", ps.alias("ps"))
+
+
+
 @register(
     "text_winnowing_fingerprints",
     _WINNOW_SQL,
@@ -1020,24 +1046,9 @@ def text_winnowing_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    docs = spread(docs)
-    # sequence(1, 0) DESCENDS in Spark (DuckDB's range(1, 1) is empty),
-    # so the too-short edge must return an explicit empty array
-    hs = F.expr(
-        f"if(length(text) < {_WIN_K}, array(),"
-        f" transform(sequence(1, length(text) - {_WIN_K - 1}),"
-        f" i -> md5(substr(text, i, {_WIN_K}))))"
+    sel = winnow_arrays(docs).select(
+        "doc_id", F.size("hs").alias("nk"), "ps", "hs"
     )
-    base = docs.select("doc_id", hs.alias("hs"))
-    ps = F.expr(
-        f"if(size(hs) < {_WIN_W}, array(),"
-        f" array_sort(array_distinct(transform("
-        f"sequence(1, size(hs) - {_WIN_W - 1}),"
-        f" j -> j + {_WIN_W} - array_position("
-        f"reverse(slice(hs, j, {_WIN_W})),"
-        f" array_min(slice(hs, j, {_WIN_W})))))))"
-    )
-    sel = base.select("doc_id", F.size("hs").alias("nk"), ps.alias("ps"), "hs")
     return sel.select(
         "doc_id",
         F.col("nk").cast("long").alias("n_kgrams"),
@@ -1052,3 +1063,147 @@ def text_winnowing_fingerprints(
             F.expr("array_join(transform(ps, p -> element_at(hs, int(p))), ',')")
         ).alias("fp_md5"),
     ).orderBy("doc_id")
+
+
+# --- winnowing pair matching (the MOSS match step) -----------------------
+#
+# The consumer of the fingerprints: documents sharing winnowed
+# fingerprint VALUES share substrings of length >= w + k - 1, so the
+# pair table keyed on fingerprint values is a THIRD near-dup candidate
+# route next to MinHash-LSH (probabilistic banding) and prefix
+# filtering (rarity-ordered exactness) — this one with a guaranteed
+# LOCAL-match floor. Scale safety is MOSS's own rule: boilerplate
+# fingerprints are DROPPED before the join — and the cap must be
+# RELATIVE to the corpus (max(10, 0.1% of docs)): a fixed absolute cap
+# silently drops every duplicate CLUSTER once the corpus outgrows it
+# (measured: at 10x bench scale a cap of 10 found 0 pairs while the
+# relative cap found the 284 real ones; at 200 the boilerplate
+# explosion returned 116k). The relative cap bounds any fingerprint's
+# pair fan-out at C(cap, 2) while tracking legitimate cluster growth.
+
+_WIN_DF_FLOOR = 10
+_WIN_DF_PERMILLE = 1  # cap = max(floor, permille * n_docs / 1000)
+_WIN_MIN_SHARED = 3
+
+_WINNOW_PAIRS_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(length(text) - {_WIN_K - 1}, 0) + 1),
+                        i -> md5(substr(text, CAST(i AS INT), {_WIN_K}))) AS hs
+  FROM documents
+),
+sel AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+           list_transform(range(1, GREATEST(len(hs) - {_WIN_W - 1}, 0) + 1),
+             j -> j + {_WIN_W} - list_position(
+                    list_reverse(list_slice(hs, CAST(j AS INT),
+                                            CAST(j + {_WIN_W - 1} AS INT))),
+                    list_min(list_slice(hs, CAST(j AS INT),
+                                        CAST(j + {_WIN_W - 1} AS INT)))))))
+           AS ps,
+         hs
+  FROM h
+),
+fp AS (
+  SELECT DISTINCT doc_id, hs[CAST(p AS INT)] AS v
+  FROM sel, unnest(ps) AS t(p)
+),
+rare AS (
+  SELECT v FROM fp GROUP BY v
+  HAVING COUNT(*) <= GREATEST({_WIN_DF_FLOOR},
+                              CEIL({_WIN_DF_PERMILLE} * 0.001 *
+                                   (SELECT COUNT(*) FROM documents)))
+),
+sizes AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a
+  JOIN rare r ON a.v = r.v
+  JOIN fp b ON b.v = a.v AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.n_shared AS BIGINT) AS n_shared,
+       CAST((1000 * p.n_shared) // LEAST(sa.nf, sb.nf) AS BIGINT)
+         AS overlap_permille
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    _WINNOW_PAIRS_SQL,
+    doc=f"Winnowing pair matching (the MOSS match step): documents "
+    f"sharing >= {_WIN_MIN_SHARED} winnowed fingerprint values — each "
+    f"shared value certifies a common substring of length >= "
+    f"{_WIN_W + _WIN_K - 1} — with overlap scored against the smaller "
+    "fingerprint set. The THIRD near-dup candidate route beside "
+    "MinHash-LSH and prefix filtering, and the only one with a "
+    "guaranteed local-match floor. Scale safety is MOSS's boilerplate "
+    f"rule with a CORPUS-RELATIVE cap, max({_WIN_DF_FLOOR}, "
+    f"{_WIN_DF_PERMILLE} permille of docs): fingerprints above it are "
+    "dropped before the join, bounding any value's pair fan-out at "
+    "C(cap, 2) — measured at 10x that a fixed cap of 10 drops every "
+    "grown duplicate cluster (0 pairs) while the relative cap finds "
+    "the 284 real ones. The fingerprint table materializes once "
+    "(eager checkpoint — it feeds the rarity filter, both join sides, "
+    "and the size table; lazy, each consumer re-runs the lambda "
+    "stage); at 100 TB it IS the persisted fingerprint index. On a "
+"cluster-heavy corpus the pair OUTPUT is itself quadratic in "
+"cluster size (29.1M true pairs at the 100x probe): the "
+"production variant stops at (cluster, size) via the connected-"
+"components pass before any pair expansion.",
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    # materialize the fingerprint table once: it feeds the rarity
+    # filter, both pair-join sides, and the size table — lazy, each
+    # consumer would re-run the O(chars x w) lambda extraction
+    fp = (
+        winnow_arrays(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(ps, p -> element_at(hs, int(p)))")
+            ).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_docs = docs.count()
+    cap = max(_WIN_DF_FLOOR, -(-_WIN_DF_PERMILLE * n_docs // 1000))
+    rare = (
+        fp.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= cap)
+        .select("v")
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    a = fp.join(rare, "v").select(F.col("doc_id").alias("doc_a"), "v")
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, (F.col("v") == F.col("vb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("(1000 * n_shared) div least(na, nb)")
+            .cast("long")
+            .alias("overlap_permille"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

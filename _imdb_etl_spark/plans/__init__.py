@@ -222,6 +222,7 @@ _GATE_REST = [
     "events_forecast_backtest",
     "text_winnowing_fingerprints",
     "scalar_try_suite",
+    "dedup_winnow_pairs",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

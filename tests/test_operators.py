@@ -3229,3 +3229,74 @@ def test_winnowing_guarantee_and_replay(spark, sf_dir):
     # builder's explicit empty-array guard (not Spark's descending
     # sequence(1, 0)) is what makes the engines match there
     assert winnow("tiny") == ([], [])
+
+
+def test_winnow_pairs_replay_and_recall(spark, sf_dir):
+    """dedup_winnow_pairs pins: (a) a pure-Python recomputation of
+    shared rare-fingerprint counts confirms every emitted pair and its
+    overlap score; (b) strong near-duplicates (exact Jaccard >= 0.9)
+    are recovered — the local-match guarantee at work."""
+    import hashlib
+
+    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+    from _imdb_etl_spark.operators.text import (
+        _WIN_DF_FLOOR,
+        _WIN_DF_PERMILLE,
+        _WIN_K,
+        _WIN_MIN_SHARED,
+        _WIN_W,
+    )
+
+    def fps(text):
+        n = len(text)
+        if n < _WIN_K:
+            return set()
+        hs = [
+            hashlib.md5(text[i : i + _WIN_K].encode()).hexdigest()
+            for i in range(n - _WIN_K + 1)
+        ]
+        if len(hs) < _WIN_W:
+            return set()
+        sel = set()
+        for j in range(len(hs) - _WIN_W + 1):
+            win = hs[j : j + _WIN_W]
+            mn = min(win)
+            sel.add(j + max(i for i, v in enumerate(win) if v == mn))
+        return {hs[p] for p in sel}
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    sets = {d: fps(t) for d, t in texts.items()}
+    df_cnt: dict = {}
+    for s in sets.values():
+        for v in s:
+            df_cnt[v] = df_cnt.get(v, 0) + 1
+    cap = max(_WIN_DF_FLOOR, -(-_WIN_DF_PERMILLE * len(texts) // 1000))
+    rare = {v for v, c in df_cnt.items() if c <= cap}
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in REGISTRY["dedup_winnow_pairs"].spark(spark, sf_dir).collect()
+    }
+    # (a) exact replay of every emitted pair
+    for (a, b), r in got.items():
+        shared = len(sets[a] & sets[b] & rare)
+        assert shared == r.n_shared and shared >= _WIN_MIN_SHARED
+        assert r.overlap_permille == (1000 * shared) // min(
+            len(sets[a]), len(sets[b])
+        )
+    # completeness of the replay: no qualifying pair missed
+    import itertools
+
+    docs_with = [d for d, s in sets.items() if s & rare]
+    for a, b in itertools.combinations(sorted(docs_with), 2):
+        if len(sets[a] & sets[b] & rare) >= _WIN_MIN_SHARED:
+            assert (a, b) in got, (a, b)
+    # (b) strong exact near-dups are recovered
+    strong = [
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    ]
+    assert strong
+    hit = sum(1 for p in strong if p in got)
+    assert hit / len(strong) >= 0.8, f"winnow recall {hit}/{len(strong)}"
