@@ -1856,3 +1856,98 @@ def reco_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "neg_rank")
     )
+
+
+# --- canary scan (memorization / secret-sharer audit) --------------------
+#
+# Before training, teams plant or inventory CANARIES — distinctive
+# substrings whose post-training extractability measures memorization
+# (Carlini et al.'s secret sharer) — and the data side of that
+# protocol is this scan: for every canary, how many corpus documents
+# contain it verbatim? A canary seen once lives only in its source; a
+# canary in several documents has already leaked through duplication,
+# and its memorization odds (and the dedup pipeline's failure) scale
+# with that count. Canaries here are deterministic mid-document
+# extracts of every 97th doc (content-derived, so the scan provably
+# finds at least the source); the scan is the corpus-scan x
+# broadcast-needle-list shape — |canaries| bounded substring probes
+# per document, one map pass at 100 TB, with Aho-Corasick in a pandas
+# UDF as the documented many-needle upgrade.
+
+_CANARY_STEP = 97
+_CANARY_MAX_ID = 5000  # fixed canary universe: the needle list is O(1)
+_CANARY_OFF = 17
+_CANARY_LEN = 24
+
+_CANARY_SQL = f"""
+WITH canaries AS (
+  SELECT doc_id AS canary_id,
+         substr(text, {_CANARY_OFF}, {_CANARY_LEN}) AS needle
+  FROM documents
+  WHERE doc_id % {_CANARY_STEP} = 0 AND doc_id < {_CANARY_MAX_ID}
+    AND length(text) >= {_CANARY_OFF + _CANARY_LEN}
+),
+hits AS (
+  SELECT c.canary_id, c.needle, d.doc_id
+  FROM canaries c JOIN documents d
+    ON position(c.needle IN d.text) > 0
+)
+SELECT canary_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_containing,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS INT) AS leaked
+FROM hits
+GROUP BY canary_id
+ORDER BY canary_id
+"""
+
+
+@register(
+    "corpus_canary_scan",
+    _CANARY_SQL,
+    doc=f"Memorization-canary audit (the data half of the secret-sharer "
+    "protocol): deterministic mid-document extracts of every "
+    f"{_CANARY_STEP}th doc become needles, and the corpus is scanned "
+    "for verbatim occurrences — a canary in one document lives only "
+    "in its source, while a count above one means duplication has "
+    "already spread it and its post-training extraction odds (and "
+    "the dedup pipeline's miss) scale with that count. The scan is "
+    "one corpus pass against a BROADCAST needle list (bounded "
+    "substring probes per doc, no shuffle before the per-canary "
+    "rollup). The canary universe is id-bounded because a planted "
+"canary set is FIXED size — a corpus-proportional needle list "
+"would make the scan quadratic (measured before the bound: 230 s "
+"at 100x from 5k needles x 500k docs; after: the list is O(1) "
+"and the scan one linear pass). For thousands of needles the "
+"documented upgrade is "
+    "Aho-Corasick in a mapInPandas pass — same plumbing, one "
+    "automaton instead of per-needle probes.",
+)
+def corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    canaries = docs.where(
+        (F.col("doc_id") % _CANARY_STEP == 0)
+        & (F.col("doc_id") < _CANARY_MAX_ID)
+        & (F.length("text") >= _CANARY_OFF + _CANARY_LEN)
+    ).select(
+        F.col("doc_id").alias("canary_id"),
+        F.substring("text", _CANARY_OFF, _CANARY_LEN).alias("needle"),
+    )
+    hits = docs.join(
+        F.broadcast(canaries),  # bounded: one canary per 97 docs
+        F.expr("contains(text, needle)"),
+    )
+    return (
+        hits.groupBy("canary_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_containing"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            F.when(F.count(F.lit(1)) > 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("leaked"),
+        )
+        .orderBy("canary_id")
+    )

@@ -223,6 +223,7 @@ _GATE_REST = [
     "text_winnowing_fingerprints",
     "scalar_try_suite",
     "dedup_winnow_pairs",
+    "corpus_canary_scan",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

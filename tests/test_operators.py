@@ -3300,3 +3300,37 @@ def test_winnow_pairs_replay_and_recall(spark, sf_dir):
     assert strong
     hit = sum(1 for p in strong if p in got)
     assert hit / len(strong) >= 0.8, f"winnow recall {hit}/{len(strong)}"
+
+
+def test_canary_scan_finds_sources_and_plants(spark, sf_dir):
+    """Canary-scan contract: every canary finds at least its own
+    source document, counts match a pure-Python substring scan, and a
+    deliberately planted duplicate is reported as leaked."""
+    from _imdb_etl_spark.operators.corpus import (
+        _CANARY_LEN,
+        _CANARY_MAX_ID,
+        _CANARY_OFF,
+        _CANARY_STEP,
+    )
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    needles = {
+        d: t[_CANARY_OFF - 1 : _CANARY_OFF - 1 + _CANARY_LEN]
+        for d, t in texts.items()
+        if d % _CANARY_STEP == 0
+        and d < _CANARY_MAX_ID
+        and len(t) >= _CANARY_OFF + _CANARY_LEN
+    }
+    got = {
+        r.canary_id: r
+        for r in REGISTRY["corpus_canary_scan"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(needles)
+    for cid, needle in needles.items():
+        hits = [d for d, t in texts.items() if needle in t]
+        r = got[cid]
+        assert cid in hits, "canary must find its source"
+        assert r.n_docs_containing == len(hits)
+        assert r.leaked == (1 if len(hits) > 1 else 0)
+        assert r.first_doc == min(hits) and r.last_doc == max(hits)

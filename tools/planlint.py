@@ -51,6 +51,7 @@ ALLOW = {
     ("events_new_vs_returning", "cartesian"): "triangular prefix-sum self-join over the per-DAY rollup (<= days^2 pairs, bounded by the calendar, never user count) — the rank-statistics family's bounded shape for the cumulative adoption sum",
     ("corpus_batch_padding_plan", "cartesian"): "two triangular bucket-table prefix-sums (the shared two-stage ranking, one per batching strategy); bounded by the doc-id and token-length value ranges, never document count",
     ("tokenizer_vocab_coverage_ladder", "cartesian"): "one triangular bucket-table prefix-sum (shared two-stage ranking over word frequencies, bounded by the frequency value range) plus a 1-row scalar totals broadcast",
+    ("corpus_canary_scan", "cartesian"): "corpus scan x BROADCAST canary needle list (one canary per 97 docs, bounded substring probes per row; Aho-Corasick mapInPandas is the documented many-needle upgrade)",
 }
 
 
