@@ -1951,3 +1951,109 @@ def corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canary_id")
     )
+
+
+# --- dataset datasheet (the data card) ------------------------------------
+#
+# Datasheets for Datasets (Gebru et al.) is the artifact a dataset
+# release ships: per slice, how much is there, how long is it, how
+# duplicated, how contaminated with PII. Every constituent here reuses
+# a registered operator's exact semantics — whitespace tokens
+# (text_stats), md5 exact-dup groups (dedup_exact), the deterministic
+# PII enrichment text_pii_redact scrubs (so PII rows provably exist) —
+# composed into one (lang, source) summary: the single table a
+# reviewer reads before anything trains on the corpus. Two passes
+# (a global dup-hash aggregate + the slice rollup), all exact
+# integers; the datasheet is the cheap-by-construction artifact even
+# at 100 TB because it rides aggregations the pipeline runs anyway.
+
+_DATASHEET_SQL = f"""
+WITH enriched AS (
+  SELECT doc_id, lang, source,
+         {_ENRICH_SQL.replace("STRING", "VARCHAR")} AS body,
+         length(string_split(text, ' ')) AS n_tokens,
+         n_chars
+  FROM documents
+),
+dups AS (
+  SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY md5(text)
+),
+flagged AS (
+  SELECT e.*,
+         CASE WHEN d.n > 1 THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN regexp_matches(e.body, '{_EMAIL_RE}')
+                OR regexp_matches(e.body, '{_IPV4_RE}')
+              THEN 1 ELSE 0 END AS has_pii
+  FROM enriched e
+  JOIN documents doc ON e.doc_id = doc.doc_id
+  JOIN dups d ON md5(doc.text) = d.h
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(has_pii) AS BIGINT) AS n_pii_docs,
+       CAST((1000 * SUM(is_dup)) // COUNT(*) AS BIGINT) AS dup_permille,
+       CAST((1000 * SUM(has_pii)) // COUNT(*) AS BIGINT) AS pii_permille
+FROM flagged
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register(
+    "corpus_datasheet",
+    _DATASHEET_SQL,
+    doc="The dataset datasheet (Gebru et al.'s data card) as one "
+    "query: per (lang, source) slice — document and token volume, "
+    "length range, exact-duplicate membership rate (md5 groups, "
+    "dedup_exact's semantics), and PII incidence over the same "
+    "deterministic enrichment text_pii_redact scrubs — the release "
+    "artifact a reviewer reads before anything trains. Two passes "
+    "(global dup-hash aggregate joined back + the slice rollup), "
+    "exact integers and integer permille throughout; every "
+    "constituent reuses a registered operator's semantics so the "
+    "datasheet can never drift from the pipeline it documents.",
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    dups = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    body = F.expr(_ENRICH_SQL)
+    has_pii = (
+        (F.regexp_count(body, F.lit(_EMAIL_RE)) > 0)
+        | (F.regexp_count(body, F.lit(_IPV4_RE)) > 0)
+    ).cast("int")
+    flagged = (
+        docs.withColumn("h", F.md5("text"))
+        .join(dups, "h")
+        .select(
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "n_chars",
+            F.when(F.col("n") > 1, 1).otherwise(0).alias("is_dup"),
+            has_pii.alias("has_pii"),
+        )
+    )
+    return (
+        flagged.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum("has_pii").cast("long").alias("n_pii_docs"),
+            F.expr("(1000 * sum(is_dup)) div count(*)")
+            .cast("long")
+            .alias("dup_permille"),
+            F.expr("(1000 * sum(has_pii)) div count(*)")
+            .cast("long")
+            .alias("pii_permille"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -224,6 +224,7 @@ _GATE_REST = [
     "scalar_try_suite",
     "dedup_winnow_pairs",
     "corpus_canary_scan",
+    "corpus_datasheet",
     "sketch_distinct_kmv_setops",
     "events_attribution_last_touch",
     "privacy_k_anonymity_audit",

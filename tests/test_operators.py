@@ -3334,3 +3334,47 @@ def test_canary_scan_finds_sources_and_plants(spark, sf_dir):
         assert r.n_docs_containing == len(hits)
         assert r.leaked == (1 if len(hits) > 1 else 0)
         assert r.first_doc == min(hits) and r.last_doc == max(hits)
+
+
+def test_datasheet_consistency_with_constituents(spark, sf_dir):
+    """The datasheet can never drift from the operators it documents:
+    its totals must reconcile with the raw corpus, its dup membership
+    with dedup_exact's groups, and its PII incidence with the
+    text_pii_redact enrichment — all recomputed directly."""
+    import hashlib
+    import re
+
+    from _imdb_etl_spark.operators.corpus import _EMAIL_RE, _IPV4_RE
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    raw = docs.collect()
+    by_hash: dict = {}
+    for r in raw:
+        by_hash.setdefault(
+            hashlib.md5(r.text.encode()).hexdigest(), []
+        ).append(r.doc_id)
+    dup_ids = {d for ids in by_hash.values() if len(ids) > 1 for d in ids}
+    em, ip = re.compile(_EMAIL_RE), re.compile(_IPV4_RE)
+    want: dict = {}
+    for r in raw:
+        body = (
+            r.text
+            + f" user{r.doc_id}@example.com" * (r.doc_id % 3)
+            + f" 10.{r.doc_id % 256}.0.{r.doc_id % 100}" * (r.doc_id % 2)
+        )
+        k = (r.lang, r.source)
+        c = want.setdefault(k, [0, 0, 0, 0])
+        c[0] += 1
+        c[1] += len(r.text.split(" "))
+        c[2] += 1 if r.doc_id in dup_ids else 0
+        c[3] += 1 if (em.search(body) or ip.search(body)) else 0
+    rows = REGISTRY["corpus_datasheet"].spark(spark, sf_dir).collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        n, toks, dups_, pii = want[(r.lang, r.source)]
+        assert r.n_docs == n
+        assert r.total_tokens == toks
+        assert r.n_dup_docs == dups_
+        assert r.n_pii_docs == pii
+        assert r.dup_permille == (1000 * dups_) // n
+        assert r.pii_permille == (1000 * pii) // n
