@@ -66,16 +66,20 @@ GATE_WINDOW_SIZE = 50
 # route). Round-7 rotation head = _GATE_REST order: first
 # tokenizer_bpe_encode (registered after this window filled — no
 # driver row yet), then dedup_embedding_ivf.
-# Round-7 arithmetic update (closing continuation): 14 more queries
-# registered after the window filled (clustering coefficient, audio
-# pitch, EWMA burst, CCNet buckets, hard negatives, 2-core, schema
-# evolution, bloom join, binary rerank, AQE skew, observe metrics,
-# span corruption, new-vs-returning, batch padding), each queued in
-# _GATE_REST directly behind the second-continuation block at
-# positions 50-63. The round-7 window (first 50 of _GATE_REST) thus
-# ends at neardup_clustering_coefficient; the other 13 new queries
-# head the round-8 window. Every queued name carries local-gate
-# (sf0.001 + sf0.01) + pytest evidence in the meantime.
+# Round-7 arithmetic (final for this round): the closing continuation
+# registered 33 more queries (graph LCC/2-core, audio pitch, EWMA
+# burst, CCNet buckets, hard negatives, schema evolution, bloom join,
+# binary rerank, AQE skew, observe metrics, span corruption,
+# new-vs-returning, batch padding, hashing vectorizer, vocab-coverage
+# ladder, persisted MinHash index, pseudonymization, IDENTIFIER
+# binding, feature store, negative sampling, target encoding, session
+# variables, PSI drift, silhouette, forecast backtest, winnowing x2,
+# try suite, canary scan, datasheet, ...), queued in _GATE_REST
+# directly behind the second-continuation block from position 50.
+# The round-7 window (first 50 of _GATE_REST) ends at
+# neardup_clustering_coefficient; the remaining ~32 new names fill
+# the round-8 window. Every queued name carries local-gate
+# (sf0.001 + sf0.01) + planlint + pytest evidence in the meantime.
 GATE_WINDOW = [
     "imdb_reference_parity",
     "tokenizer_bpe_train_n",
