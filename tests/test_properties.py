@@ -635,3 +635,154 @@ def test_prefix_filter_lossless_on_random_corpora(spark, tmp_path_factory, data)
     exact = {tuple(r) for r in dedup_ngram_jaccard(spark, d).collect()}
     pref = {tuple(r) for r in dedup_jaccard_prefix(spark, d).collect()}
     assert pref == exact, (seed, len(pref), len(exact))
+
+
+# --- round-6 continuation ops under random inputs -------------------------
+#
+# The continuation ops each carry a pure-Python replay pinned on the
+# driver corpus; these properties re-run the SAME comparisons on
+# hypothesis-generated inputs, where gaps, ties, empty strings, and
+# degenerate lengths occur far more often than in the fixture data.
+# Each example writes a synthetic parquet table shaped like the driver
+# schema and runs the REGISTERED builder against it — the production
+# entry point, not a private helper.
+
+_tmp_counter = [0]
+
+
+def _mk_dir(tmp_path_factory, spark, name, pdf):
+    import pandas as pd
+
+    _tmp_counter[0] += 1
+    d = tmp_path_factory.mktemp(f"prop_{name}_{_tmp_counter[0]}")
+    spark.createDataFrame(pd.DataFrame(pdf)).write.mode("overwrite").parquet(
+        os.path.join(str(d), f"{name}.parquet")
+    )
+    return str(d)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 120), st.integers(1, 5)),  # (hour, n)
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_ewma_burst_property_gappy_series(spark, tmp_path_factory, counts):
+    """events_ewma_burst on a random GAPPY hourly series: the dyadic
+    baseline, residual, and burst flag must match the dense pure-Python
+    recursion for any gap pattern (the spine is the part fixture data
+    barely exercises: driver events rarely skip hours at sf0.1)."""
+    import datetime
+
+    from _imdb_etl_spark.plans.events import (
+        _EWMA_LAGS,
+        _EWMA_SCALE,
+        _ewma_weight,
+    )
+    from _imdb_etl_spark.plans import REGISTRY
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = {"event_id": [], "ts": [], "user_id": [], "event_type": [], "value": [], "props": []}
+    eid = 0
+    for hour, n in counts:
+        for k in range(n):
+            rows["event_id"].append(eid)
+            rows["ts"].append(base + datetime.timedelta(hours=hour, minutes=k))
+            rows["user_id"].append(1)
+            rows["event_type"].append("view")
+            rows["value"].append(1.0)
+            rows["props"].append("{}")
+            eid += 1
+    d = _mk_dir(tmp_path_factory, spark, "events", rows)
+    got = REGISTRY["events_ewma_burst"].spark(spark, d).collect()
+
+    hours = sorted(h for h, _ in counts)
+    lo, hi = hours[0], hours[-1]
+    ns = {h: n for h, n in counts}
+    dense = [ns.get(h, 0) for h in range(lo, hi + 1)]
+    want = []
+    for i in range(_EWMA_LAGS, len(dense)):
+        ew = sum(
+            dense[i - k] * _ewma_weight(k) for k in range(1, _EWMA_LAGS + 1)
+        )
+        want.append(
+            (
+                dense[i],
+                ew,
+                dense[i] * _EWMA_SCALE - ew,
+                1 if dense[i] * _EWMA_SCALE > 2 * ew + 3 * _EWMA_SCALE else 0,
+            )
+        )
+    assert [
+        (r.n_events, r.ewma_x32768, r.resid_x32768, r.is_burst) for r in got
+    ] == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=60),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_winnowing_property_random_texts(spark, tmp_path_factory, texts):
+    """text_winnowing_fingerprints on random texts over a 3-symbol
+    alphabet (maximizing hash TIES, the rightmost-min rule's hard
+    case) plus lengths straddling both short-input edges: counts and
+    position-ordered fingerprints must match the pure-Python scan."""
+    import hashlib
+
+    from _imdb_etl_spark.operators.text import _WIN_K, _WIN_W
+    from _imdb_etl_spark.plans import REGISTRY
+
+    d = _mk_dir(
+        tmp_path_factory,
+        spark,
+        "documents",
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["prop"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["text_winnowing_fingerprints"].spark(spark, d).collect()
+    }
+    for i, t in enumerate(texts):
+        n = len(t)
+        hs = (
+            [
+                hashlib.md5(t[j : j + _WIN_K].encode()).hexdigest()
+                for j in range(n - _WIN_K + 1)
+            ]
+            if n >= _WIN_K
+            else []
+        )
+        sel = set()
+        if len(hs) >= _WIN_W:
+            for j in range(len(hs) - _WIN_W + 1):
+                win = hs[j : j + _WIN_W]
+                mn = min(win)
+                sel.add(j + max(k for k, v in enumerate(win) if v == mn))
+        sel = sorted(sel)
+        r = got[i]
+        assert r.n_kgrams == len(hs)
+        assert r.n_fingerprints == len(sel)
+        assert r.fp_md5 == hashlib.md5(
+            ",".join(hs[p] for p in sel).encode()
+        ).hexdigest()
