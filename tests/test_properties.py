@@ -786,3 +786,114 @@ def test_winnowing_property_random_texts(spark, tmp_path_factory, texts):
         assert r.fp_md5 == hashlib.md5(
             ",".join(hs[p] for p in sel).encode()
         ).hexdigest()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(alphabet="xy ", min_size=0, max_size=50),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_span_corruption_property_random_texts(
+    spark, tmp_path_factory, texts
+):
+    """corpus_span_corruption on random texts (empty strings, single
+    tokens, runs of separators): the md5-driven span plan must match
+    the pure-Python mask union on every document, fingerprints
+    included."""
+    import hashlib
+
+    from _imdb_etl_spark.operators.corpus import _SPAN_LEN, _SPAN_MOD
+    from _imdb_etl_spark.plans import REGISTRY
+
+    d = _mk_dir(
+        tmp_path_factory,
+        spark,
+        "documents",
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["prop"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["corpus_span_corruption"].spark(spark, d).collect()
+    }
+    for i, t in enumerate(texts):
+        n = len(t.split(" "))
+        starts = [
+            j
+            for j in range(1, n + 1)
+            if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:4], 16)
+            % _SPAN_MOD
+            == 0
+        ]
+        masked = sorted(
+            {k for s in starts for k in range(s, min(s + _SPAN_LEN, n + 1))}
+        )
+        r = got[i]
+        assert r.n_tokens == n
+        assert r.n_spans == len(starts)
+        assert r.n_masked == len(masked)
+        assert r.mask_md5 == hashlib.md5(
+            ",".join(str(k) for k in masked).encode()
+        ).hexdigest()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=80),
+)
+def test_batch_padding_property_dominance(spark, tmp_path_factory, lens):
+    """corpus_batch_padding_plan on random length distributions:
+    sorted batching never pads more than arrival order, totals are
+    conserved, and both bills match the pure-Python batcher."""
+    from _imdb_etl_spark.operators.corpus import _BATCH_SIZE
+    from _imdb_etl_spark.plans import REGISTRY
+
+    texts = ["w" + " w" * (n - 1) for n in lens]
+    d = _mk_dir(
+        tmp_path_factory,
+        spark,
+        "documents",
+        {
+            "doc_id": list(range(len(texts))),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["prop"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        },
+    )
+    rows = {
+        r.strategy: r
+        for r in REGISTRY["corpus_batch_padding_plan"].spark(spark, d).collect()
+    }
+
+    def bill(order):
+        padded = 0
+        for i in range(0, len(order), _BATCH_SIZE):
+            chunk = [lens[doc] for doc in order[i : i + _BATCH_SIZE]]
+            padded += max(chunk) * len(chunk)
+        return padded
+
+    ids = list(range(len(lens)))
+    arr, srt = rows["arrival"], rows["sorted"]
+    assert arr.total_tokens == srt.total_tokens == sum(lens)
+    assert arr.padded_tokens == bill(sorted(ids))
+    assert srt.padded_tokens == bill(
+        sorted(ids, key=lambda doc: (lens[doc], doc))
+    )
+    assert srt.padded_tokens <= arr.padded_tokens
