@@ -897,3 +897,50 @@ def test_batch_padding_property_dominance(spark, tmp_path_factory, lens):
         sorted(ids, key=lambda doc: (lens[doc], doc))
     )
     assert srt.padded_tokens <= arr.padded_tokens
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    period=st.integers(2, 20),
+    amp=st.integers(200, 3000),
+    phase=st.integers(0, 19),
+)
+def test_audio_pitch_detects_every_period(period, amp, phase):
+    """The autocorrelation detector must find ANY period in its lag
+    range from a pure square wave, at any amplitude and phase — the
+    detector detects structure, not an artifact of one waveform. Pure
+    function property (no Spark in the loop): _audio_pitch is the
+    registered op's exact kernel."""
+    import io
+    import struct
+    import wave
+
+    import pandas as pd
+
+    from _imdb_etl_spark.operators.multimodal import (
+        _PITCH_N,
+        _WAV_RATE,
+        _audio_pitch,
+    )
+
+    # square wave of period `period`: high for ceil(p/2), low for rest
+    samples = [
+        amp if ((k + phase) % period) < (period + 1) // 2 else -amp
+        for k in range(_PITCH_N)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_RATE)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    out = next(
+        _audio_pitch(
+            iter([pd.DataFrame({"asset_id": [0], "payload": [buf.getvalue()]})])
+        )
+    )
+    got = int(out["dominant_period"][0])
+    # the true period always wins or ties with an exact multiple that
+    # is also a perfect period of the signal (e.g. 2 -> 4): accept
+    # multiples, reject everything else
+    assert got % period == 0, (period, got)
