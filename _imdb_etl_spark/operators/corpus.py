@@ -1756,7 +1756,10 @@ np AS (SELECT COUNT(*) AS p FROM part),
 pc AS (SELECT custkey, COUNT(*) AS n_pos FROM pos GROUP BY custkey),
 cand AS (
   SELECT custkey, i,
-         {md5_prefix_int_sql("custkey || ':' || i")} % (SELECT p FROM np)
+         -- 1 + (h %% p): the part catalog is 1-based [1, p], so the
+         -- bare modulus [0, p-1] would emit nonexistent item 0 and
+         -- never sample item p (round-7 advisory fix)
+         1 + {md5_prefix_int_sql("custkey || ':' || i")} % (SELECT p FROM np)
            AS partkey
   FROM (SELECT DISTINCT custkey FROM pos) c,
        unnest(range(0, {_NEG_DRAWS})) AS t(i)
@@ -1833,11 +1836,14 @@ def reco_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "custkey",
             "i",
+            # 1 + (h % p) maps draws onto the actual 1-based part key
+            # space [1, p] (mirrors the oracle; round-7 advisory fix)
             (
                 hex_prefix_int(
                     F.md5(F.concat_ws(":", F.col("custkey"), F.col("i")))
                 )
                 % F.col("p")
+                + 1
             ).alias("partkey"),
         )
     )

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf resolves postponed hints here
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
@@ -1391,32 +1391,98 @@ _JACCARD_PREFIX_SQL = _JACCARD_SQL
     "of the pair-stage cost, and unlike MinHash-LSH it has NO false "
     "negatives — the route a compliance-grade dedup takes at 100 TB. "
     "The oracle is the unfiltered exact all-pairs Jaccard SQL, so the "
-    "hash match doubles as the losslessness proof. Measured 11.5 s at "
-    "10x / 179 s at 100x bench scale: the lazy plan re-executes the "
-    "shingle pipeline once per verify side (Spark does not CSE common "
-    "subplans), which is the right trade at query scale — both an "
-    "executor-memory localCheckpoint of the set table and a semi-join "
-    "prefilter measured SLOWER (checkpoint I/O / extra lineage runs) "
-    "and the checkpoint OOMed at 100x; a production service instead "
-    "materializes the ordered-shingle index to storage once, the "
-    "sim_knn_ivf_persisted pattern.",
+    "hash match doubles as the losslessness proof. Round-7 rewrite "
+    "(exact int-gid dictionary + positional filter) took the 100x "
+    "bench probe from 179 s to 27 s: the verify stage intersects "
+    "8-byte gid arrays instead of ~30-byte trigram strings, and the "
+    "positional bound prunes the random rare-token collisions that "
+    "dominated candidate volume. dedup_jaccard_prefix_persisted is "
+    "the amortized production face — the same index materialized to "
+    "storage once (sim_knn_ivf_persisted pattern), serve measured "
+    "12.7 s at 100x against the stored index.",
 )
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
+    return _prefix_join(_prefix_doc_sets(docs))
+
+
+_GID_BUCKETS = 1024
+
+
+def _prefix_doc_sets(docs: DataFrame) -> DataFrame:
+    """Rarity-ordered shingle sets with PPJoin prefix lengths: one row
+    per doc with its shingles as EXACT global integer ids sorted by
+    rarity, the set size, and the prefix length n - ceil(tau*n) + 1.
+    This is the PPJoin index table — the part a production service
+    materializes to storage once (see dedup_jaccard_prefix_persisted).
+
+    The shingle->gid dictionary is exact (injective, no hashing in the
+    id itself) and built distributedly in two stages: bucket the
+    distinct-shingle table by (df, xxhash64(sh) % B), take offsets
+    from the cumulative bucket counts, and row_number within each
+    bucket by shingle. The resulting total order is (df asc, bucket,
+    shingle) — PPJoin only requires SOME fixed total order ascending
+    in document frequency, so the hash-bucket middle key is a valid
+    tiebreak, and the hash buckets keep the rank windows balanced
+    (partitioning by df alone would put the whole df=1 long tail in
+    one partition). Int arrays then make both the stored index and the
+    verify-stage intersections ~4x smaller/cheaper than word-trigram
+    string arrays, with bit-exact semantics (gid equality == shingle
+    equality)."""
     sh = _shingles(docs)
     # global shingle doc-frequency = the rarity ordering key. The join
     # back to sh shuffles on the shingle — same exchange the df agg
     # already keyed, so AQE coalesces; no doc-side explosion.
     df_t = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    doc_sets = (
-        sh.join(df_t, "sh")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"))
-        .select(
-            "doc_id",
-            F.col("ord.sh").alias("shs"),
-            F.size("ord").alias("n_sh"),
+    b = (F.xxhash64("sh") % _GID_BUCKETS + _GID_BUCKETS) % _GID_BUCKETS
+    bt = df_t.groupBy(F.col("df"), b.alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # offsets in two distributed stages, no global-sort funnel:
+    # (1) across df values — triangular prefix-sum over the df
+    #     DISTRIBUTION table (one row per distinct df, << vocabulary;
+    #     the rank-statistics family's bounded shape, cf.
+    #     vocab_zipf_slope), and
+    # (2) within a df — running sum over its bucket counts, a window
+    #     PARTITIONED by df whose partitions hold <= _GID_BUCKETS rows
+    #     by construction.
+    df_tot = bt.groupBy("df").agg(F.sum("c").alias("ct"))
+    off_df = (
+        df_tot.alias("a")
+        .join(
+            F.broadcast(
+                df_tot.select(
+                    F.col("df").alias("df_b"), F.col("ct").alias("ct_b")
+                )
+            ),
+            F.col("df_b") < F.col("a.df"),
+            "left",
         )
+        .groupBy(F.col("a.df").alias("df"))
+        .agg(F.coalesce(F.sum("ct_b"), F.lit(0)).alias("off_df"))
+    )
+    w_b = (
+        Window.partitionBy("df")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = (
+        bt.withColumn("off_b", F.coalesce(F.sum("c").over(w_b), F.lit(0)))
+        .join(off_df, "df")
+        .select("df", "b", (F.col("off_df") + F.col("off_b")).alias("off"))
+    )
+    w_rn = Window.partitionBy("df", "b").orderBy("sh")
+    gids = (
+        df_t.withColumn("b", b)
+        .withColumn("rn", F.row_number().over(w_rn))
+        .join(F.broadcast(off), ["df", "b"])
+        .select("sh", (F.col("off") + F.col("rn")).alias("gid"))
+    )
+    return (
+        sh.join(gids, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("gid")).alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("n_sh"))
         .withColumn(
             "p_len",
             (
@@ -1426,25 +1492,53 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _prefix_join(doc_sets: DataFrame) -> DataFrame:
+    """Candidate generation + exact verify over a (possibly stored)
+    PPJoin index table: prefix-shingle collisions filtered by the
+    Jaccard length bound AND the PPJoin positional bound, then exact
+    verify by sorted-set intersection on candidates only. Shared
+    verbatim by the lazy-lineage and persisted faces so the two can
+    never drift semantically."""
     pre_a = doc_sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("na"),
-        F.explode(F.slice("shs", F.lit(1), F.col("p_len"))).alias("ptok"),
+        F.posexplode(F.slice("shs", F.lit(1), F.col("p_len"))).alias(
+            "ia", "ptok"
+        ),
     )
     pre_b = doc_sets.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_sh").alias("nb"),
-        F.explode(F.slice("shs", F.lit(1), F.col("p_len"))).alias("ptok"),
+        F.posexplode(F.slice("shs", F.lit(1), F.col("p_len"))).alias(
+            "jb", "ptok"
+        ),
     )
+    # required overlap alpha = ceil(tau/(1+tau) * (na+nb)); for tau =
+    # 3/5 that is ceil(3(na+nb)/8), computed in EXACT integer form
+    # (floats near the ceil boundary could over-tighten the bound and
+    # silently drop a qualifying pair)
+    assert _PREFIX_TAU == 0.6, "alpha below is specialized to tau=3/5"
+    alpha = (3 * (F.col("na") + F.col("nb")) + 7) / F.lit(8)
+    alpha = F.floor(alpha).cast("int")
     # length filter: tau*na <= nb and tau*nb <= na (necessary for
     # Jaccard >= tau), applied during candidate generation so oversize
-    # mismatches never reach the verify stage
+    # mismatches never reach the verify stage; positional filter: a
+    # qualifying pair's FIRST common token (global rarity order) sits
+    # at i <= na - alpha + 1 and j <= nb - alpha + 1 (all alpha common
+    # tokens lie at positions >= that first match), so requiring it of
+    # SOME matching token is lossless while pruning the random
+    # rare-token collisions that dominate candidate volume
     cand = (
         pre_a.join(pre_b, "ptok")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("nb").cast("double") >= F.lit(_PREFIX_TAU) * F.col("na"))
             & (F.col("na").cast("double") >= F.lit(_PREFIX_TAU) * F.col("nb"))
+            # posexplode positions are 0-based: i = ia + 1
+            & (F.col("ia") + 1 <= F.col("na") - alpha + 1)
+            & (F.col("jb") + 1 <= F.col("nb") - alpha + 1)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -1468,6 +1562,72 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- persisted PPJoin index (the 100x answer) ----------------------------
+#
+# dedup_jaccard_prefix's one measured scale casualty is lineage
+# re-execution: Spark does not CSE common subplans, so the lazy plan
+# recomputes the full shingle pipeline once per consumer (two explode
+# sides + two verify sides), and at 100x bench scale that measured
+# 179 s. The production shape — exactly the sim_knn_ivf_persisted
+# index lifecycle — is to BUILD the rarity-ordered shingle index once,
+# write it to parquet, and run candidate generation + verify against
+# the STORED table: every consumer is then a column-pruned parquet
+# scan, and the shingle pipeline executes exactly once no matter how
+# many times the index is read. Same oracle as the quadratic exact
+# join, so the hash match keeps proving losslessness end to end
+# through the storage round-trip.
+
+_JPREFIX_DIR = None  # assigned per-process on first use
+
+
+def _jprefix_dir() -> str:
+    import os
+
+    global _JPREFIX_DIR
+    if _JPREFIX_DIR is None:
+        _JPREFIX_DIR = f"/root/repo/spark-warehouse/jprefix_index_{os.getpid()}"
+    return _JPREFIX_DIR
+
+
+@register(
+    "dedup_jaccard_prefix_persisted",
+    _JACCARD_PREFIX_SQL,
+    doc="Lossless set-similarity dedup served from a PERSISTED PPJoin "
+    "index: the rarity-ordered shingle table (doc_id, ordered shingle "
+    "array, set size, prefix length) is materialized to parquet once "
+    "— the build job — and candidate generation + exact verify read "
+    "only the stored index, so the shingle pipeline executes exactly "
+    "once instead of once per lineage consumer (the re-execution that "
+    "cost the lazy face 179 s at 100x scale). Candidate/verify logic "
+    "is shared verbatim with dedup_jaccard_prefix (_prefix_join); the "
+    "oracle is the unfiltered exact all-pairs Jaccard SQL, so the "
+    "hash match proves prefix filtering lossless THROUGH the storage "
+    "round-trip. This is the compliance-grade no-false-negative dedup "
+    "shape at 100 TB: index amortized across runs, serve cost is "
+    "prefix-collision-linear.",
+)
+def dedup_jaccard_prefix_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    base = _jprefix_dir()
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    reap_stale_pid_dirs(os.path.dirname(base), "jprefix_index")
+
+    # -- build phase: one execution of the shingle pipeline, written
+    # once. No partitionBy: consumers scan the whole index but join on
+    # different keys (prefix token vs doc id), so a single compact
+    # layout with column pruning beats any one partitioning.
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    _prefix_doc_sets(docs).write.mode("overwrite").parquet(f"{base}/doc_sets")
+
+    # -- serve phase: all four consumers of the index table are scans
+    # of the stored parquet (explode sides read (doc_id, n_sh, shs,
+    # p_len); verify sides read (doc_id, shs, n_sh) — column-pruned)
+    return _prefix_join(spark.read.parquet(f"{base}/doc_sets"))
 
 
 # --- near-dup rate by source pair --------------------------------------

@@ -188,7 +188,9 @@ ORDER BY query_id, neighbor_rank
     "random for one 8-bit table to bucket neighbors together. It "
     "stays registered as the LSH-family mechanics exhibit; the "
     "production ANN routes here are sim_knn_ivf / sim_knn_ivfpq "
-    "(multi-probe coarse quantization, recall floors pinned).",
+    "(multi-probe coarse quantization, recall floors pinned) and "
+    "sim_knn_binary_rerank (binary quantization + exact rerank, "
+    "measured recall@5 0.45-0.48 on this corpus vs ~0 here).",
 )
 def sim_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load_tables(spark, sf_dir, "embeddings")

@@ -1093,8 +1093,13 @@ def _wres_sql() -> str:
     )
     return f"""
 WITH keyed AS (
+  -- round BEFORE ranking (round-7 advisory fix): ln() is not required
+  -- to be correctly rounded, so ranking the raw double could in
+  -- principle reorder near-equal keys across libm implementations;
+  -- ranking the round-9 key (the same key the query emits) with the
+  -- doc_id tiebreak makes the ordering structurally engine-identical
   SELECT source, doc_id, n_chars,
-         ln({u}) / n_chars AS es_key
+         ROUND(ln({u}) / n_chars, 9) AS es_key
   FROM documents
 ),
 ranked AS (
@@ -1103,7 +1108,7 @@ ranked AS (
                             ORDER BY es_key DESC, doc_id) AS rnk
   FROM keyed
 )
-SELECT source, rnk, doc_id, n_chars, ROUND(es_key, 9) AS es_key
+SELECT source, rnk, doc_id, n_chars, es_key
 FROM ranked
 WHERE rnk <= {_WRES_K}
 ORDER BY source, rnk
@@ -1137,20 +1142,20 @@ def corpus_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         8,
     )
     u = (h + F.lit(1.0)) / F.lit(_WRES_DENOM)
+    # round-before-rank (repo determinism contract, matches the kNN
+    # round-to-6 policy): ranking the emitted round-9 key removes the
+    # libm-vs-JVM last-ulp ordering hazard the raw ln() key carried
     keyed = spread(docs).select(
         "source",
         "doc_id",
         "n_chars",
-        (F.log(u) / F.col("n_chars")).alias("es_key"),
+        F.round(F.log(u) / F.col("n_chars"), 9).alias("es_key"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
     return (
         keyed.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= _WRES_K)
-        .select(
-            "source", "rnk", "doc_id", "n_chars",
-            F.round("es_key", 9).alias("es_key"),
-        )
+        .select("source", "rnk", "doc_id", "n_chars", "es_key")
         .orderBy("source", "rnk")
     )
 

@@ -45,110 +45,21 @@ from _imdb_etl_spark import streaming  # noqa: E402,F401
 # silently lost the last two).
 #
 GATE_WINDOW_SIZE = 50
-# Round 6 window (the ledger-closing rotation, round-5 verdict task 1):
-# (a) the five queries REGISTERED THIS ROUND — the LSH/IVF-composed
-#     dedup scale faces that replace the demoted quadratic
-#     registrations, the N-round BPE trainer, and the reference-parity
-#     promotion;
-# (b) dedup_minhash_lsh, whose implementation was refactored this round
-#     (candidate stage extracted into lsh_candidates) — its prior green
-#     no longer vouches for the new code path;
-# (c) ALL 44 registry entries that have never had a driver CORRECTNESS
-#     row (the round-5 continuation out-registered the 50-slot window;
-#     each has only local tools/check.py + pytest evidence). 6 + 44 =
-#     50 exactly — after this round r1 U ... U r6 gives every
-#     registered query a driver gate row.
-# dedup_embedding_ivf was also touched (same helper extraction) but
-# yields its slot to the arithmetic: its refactor is pure code motion,
-# its r5 green stands, tools/check.py re-proved it this round, and the
-# in-window dedup_embedding_cosine_ivf shares its oracle and is pinned
-# equal to it in pytest (test_embedding_cosine_ivf_matches_expression_
-# route). Round-7 rotation head = _GATE_REST order: first
-# tokenizer_bpe_encode (registered after this window filled — no
-# driver row yet), then dedup_embedding_ivf.
-# Round-7 arithmetic (final for this round): the closing continuation
-# registered 33 more queries (graph LCC/2-core, audio pitch, EWMA
-# burst, CCNet buckets, hard negatives, schema evolution, bloom join,
-# binary rerank, AQE skew, observe metrics, span corruption,
-# new-vs-returning, batch padding, hashing vectorizer, vocab-coverage
-# ladder, persisted MinHash index, pseudonymization, IDENTIFIER
-# binding, feature store, negative sampling, target encoding, session
-# variables, PSI drift, silhouette, forecast backtest, winnowing x2,
-# try suite, canary scan, datasheet, ...), queued in _GATE_REST
-# directly behind the second-continuation block from position 50.
-# The round-7 window (first 50 of _GATE_REST) ends at
-# neardup_clustering_coefficient; the remaining ~32 new names fill
-# the round-8 window. Every queued name carries local-gate
-# (sf0.001 + sf0.01) + planlint + pytest evidence in the meantime.
+# Round 7 window (rotation per the round-6 verdict task 1, applied at
+# round start before any other change): EXACTLY the first 50 of the
+# round-6 _GATE_REST — the queue head announced in the round-6
+# rotation note. Composition: the round-6 refactor that missed the
+# window (fuzzy_part_name_match), tokenizer_bpe_encode, and the first
+# 48 round-6-continuation registrations through
+# neardup_clustering_coefficient. All 50 were replayed green locally
+# (tools/check.py, sf0.01) during the round-6 verification pass; this
+# window turns those local replays into driver CORRECTNESS rows.
+# After this round the never-gated backlog drops to ~38 names (the
+# round-8 window absorbs them, leaving slack for <=12 new round-7
+# registrations per the freeze).
 GATE_WINDOW = [
-    "imdb_reference_parity",
-    "tokenizer_bpe_train_n",
-    "dedup_jaccard_lsh",
-    "dedup_containment_lsh",
-    "dedup_embedding_cosine_ivf",
-    "dedup_minhash_lsh",
-    "streaming_corpus_ingest",
-    "dedup_semantic_clusters",
-    "dedup_threshold_sweep",
-    "text_bm25_search",
-    "text_bigram_lm_score",
-    "dedup_keep_best",
-    "events_anomaly_mad",
-    "sql_pipe_revenue",
-    "sketch_heavy_users_cms",
-    "orc_roundtrip_source",
-    "dedup_cdc_chunks",
-    "text_tfidf_keywords",
-    "corpus_chars_tokens_regression",
-    "events_rollup_incremental",
-    "sim_knn_ivf_persisted",
-    "events_sliding_distinct_hll",
-    "events_welch_ttest",
-    "corpus_ngram_novelty",
-    "corpus_entropy_profile",
-    "events_cusum_changepoint",
-    "tokenizer_bpe_first_merges",
-    "text_embed_batch_inference",
-    "events_conversion_latency",
-    "quality_logreg_scorecard",
-    "quality_score_auc",
-    "quality_pr_curve",
-    "retrieval_hybrid_rrf",
-    "shuffle_skew_profile",
-    "corpus_upsample_epochs",
-    "corpus_epoch_shuffle",
-    "split_temporal_embargo",
-    "tokenizer_bpe_apply_merge",
-    "basket_part_affinity",
-    "events_funnel_time_bound",
-    "sim_recall_curve",
-    "scalar_timestamp_suite",
-    "text_lm_heldout_perplexity",
-    "sql_parameterized_revenue",
-    "sql_group_by_all_revenue",
-    "udtf_polymorphic_first_tokens",
-    "pysource_pushdown_range",
-    "grouped_arrow_user_stats",
-    "setop_except_all_views",
-    "setop_intersect_all_views",
-]
-# everything below keeps per-round local coverage (tools/check.py +
-# pytest); ordering = round-7 rotation priority. Leading: the round-6
-# refactor that didn't fit the window; then the round-6 continuation
-# registrations (57 entries with no driver row yet — the
-# round-7 window takes the first 50, the remainder spills to round 8);
-# then the round-5 window (r5 greens, newest driver evidence); then
-# the older spillover.
-_GATE_REST = [
-    # registered after the round-6 window was already full (44 backlog
-    # + 6 = 50): first in line for the round-7 window
     "tokenizer_bpe_encode",
-    # rewritten late in round 6 (distinct-name FastSS restructure after
-    # the 10x audit) with the window already full — local gate replay
-    # green at sf0.001/sf0.01; needs its fresh driver row in round 7
     "fuzzy_part_name_match",
-    # registered in the round-6 continuation (window full): local gate
-    # replay green at sf0.001/sf0.01 + independent pytest references
     "dedup_incremental_minhash",
     "cube_orders_status_year",
     "median_exact_price_per_brand",
@@ -196,9 +107,17 @@ _GATE_REST = [
     "quality_calibration_bins",
     "multimodal_audio_segments",
     "text_remove_duplicate_spans",
+    "neardup_clustering_coefficient",
+]
+# everything below keeps per-round local coverage (tools/check.py +
+# pytest); ordering = round-8 rotation priority. Leading: the round-6
+# closing-continuation registrations still without a driver row (the
+# round-8 window takes these first), then any round-7 registrations,
+# then the round-6 window (r6 greens, newest driver evidence), then
+# the older spillover.
+_GATE_REST = [
     # registered in the round-6 closing continuation (window full):
     # local gate green at sf0.001 + sf0.01 + third-implementation pins
-    "neardup_clustering_coefficient",
     "multimodal_audio_pitch",
     "events_ewma_burst",
     "corpus_ccnet_buckets",
@@ -244,6 +163,10 @@ _GATE_REST = [
     # fresh driver row
     "sim_knn_ivfpq",
     "dedup_embedding_ivf",
+    # registered in round 7 (window already rotated and frozen): the
+    # persisted PPJoin index face closing the round-6 verdict's one
+    # named 100x-scale casualty — queued for the round-8 window
+    "dedup_jaccard_prefix_persisted",
     "vocab_oov_rate",
     "fact_star_left_joins",
     "merge_scd2_customer_history",
@@ -302,6 +225,59 @@ _GATE_REST = [
     "tpch_q3_shipping_priority",
     "w1_top3_parts_per_brand",
     "graf4_top3_customers_top3_nations",
+    # the retired round-6 window: all 50 green in CORRECTNESS_r06.json
+    # (the newest driver evidence in the ledger) — lowest re-gate
+    # priority unless an implementation changes again
+    "imdb_reference_parity",
+    "tokenizer_bpe_train_n",
+    "dedup_jaccard_lsh",
+    "dedup_containment_lsh",
+    "dedup_embedding_cosine_ivf",
+    "dedup_minhash_lsh",
+    "streaming_corpus_ingest",
+    "dedup_semantic_clusters",
+    "dedup_threshold_sweep",
+    "text_bm25_search",
+    "text_bigram_lm_score",
+    "dedup_keep_best",
+    "events_anomaly_mad",
+    "sql_pipe_revenue",
+    "sketch_heavy_users_cms",
+    "orc_roundtrip_source",
+    "dedup_cdc_chunks",
+    "text_tfidf_keywords",
+    "corpus_chars_tokens_regression",
+    "events_rollup_incremental",
+    "sim_knn_ivf_persisted",
+    "events_sliding_distinct_hll",
+    "events_welch_ttest",
+    "corpus_ngram_novelty",
+    "corpus_entropy_profile",
+    "events_cusum_changepoint",
+    "tokenizer_bpe_first_merges",
+    "text_embed_batch_inference",
+    "events_conversion_latency",
+    "quality_logreg_scorecard",
+    "quality_score_auc",
+    "quality_pr_curve",
+    "retrieval_hybrid_rrf",
+    "shuffle_skew_profile",
+    "corpus_upsample_epochs",
+    "corpus_epoch_shuffle",
+    "split_temporal_embargo",
+    "tokenizer_bpe_apply_merge",
+    "basket_part_affinity",
+    "events_funnel_time_bound",
+    "sim_recall_curve",
+    "scalar_timestamp_suite",
+    "text_lm_heldout_perplexity",
+    "sql_parameterized_revenue",
+    "sql_group_by_all_revenue",
+    "udtf_polymorphic_first_tokens",
+    "pysource_pushdown_range",
+    "grouped_arrow_user_stats",
+    "setop_except_all_views",
+    "setop_intersect_all_views",
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 

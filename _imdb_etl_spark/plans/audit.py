@@ -794,8 +794,11 @@ def orders_spearman_price_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ABC_SQL = """
 WITH base AS (
   SELECT l_partkey AS partkey,
-         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                       AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+         -- floor, not bare CAST: DuckDB CAST(DECIMAL AS BIGINT) rounds
+         -- half-away-from-zero while Spark .cast('long') truncates;
+         -- floor is engine-identical (round-7 advisory fix)
+         CAST(floor(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6)) * 100)) AS BIGINT) AS cents
   FROM lineitem GROUP BY l_partkey
 ),
 bt AS (
@@ -853,7 +856,10 @@ def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,6)"
     )
     base = lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        F.sum(rev * 100).cast("long").alias("cents")
+        # F.floor before the long cast mirrors the oracle's floor():
+        # decimal->long casts round vs truncate differently across
+        # engines; floor removes the fractional cent identically
+        F.floor(F.sum(rev * 100)).cast("long").alias("cents")
     )
     bkt = F.floor(F.col("cents") / 10000000).cast("long")
     bt = base.groupBy(bkt.alias("bkt")).agg(
@@ -1042,8 +1048,9 @@ def lineitem_weighted_median_price(
 _HHI_SQL = """
 WITH rev AS (
   SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
-         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                       AS DECIMAL(18,6)) * 100) AS BIGINT) AS cents
+         -- floor for engine-identical decimal->bigint (see _ABC_SQL)
+         CAST(floor(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6)) * 100)) AS BIGINT) AS cents
   FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
   GROUP BY 1, 2
 ),
@@ -1083,11 +1090,15 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("suppkey"),
         )
         .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                    "decimal(18,6)"
+            # floor-then-cast mirrors the oracle (engine-identical
+            # decimal->long; see parts_abc_classification)
+            F.floor(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,6)")
+                    * 100
                 )
-                * 100
             )
             .cast("long")
             .alias("cents")

@@ -14,6 +14,7 @@ deleted) or a duplicated backfill day flips row counts and the hash.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,7 +166,13 @@ def bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> None:
         ("l", lineitem.select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey"),
     ):
         name = _bucket_table(side)
-        marker = os.path.join(warehouse, f"bjoin_{side}_{os.getpid()}", f"_src_{abs(hash(sf_dir))}")
+        # hashlib, not builtin hash(): PYTHONHASHSEED randomizes the
+        # builtin per process, so marker names would never match across
+        # restarts and stale markers would pile up (round-7 advisory fix)
+        src_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        marker = os.path.join(
+            warehouse, f"bjoin_{side}_{os.getpid()}", f"_src_{src_tag}"
+        )
         if spark.catalog.tableExists(name) and os.path.exists(marker):
             continue  # already materialized for this sf_dir in this process
         spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -66,7 +66,14 @@ def main() -> None:
     from _imdb_etl_spark.plans import REGISTRY
     from _imdb_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="bench")
+    # console progress bars OFF: their \r-spam inflated the driver's
+    # tail capture past its window and truncated the result JSON twice
+    # (BENCH_r03/BENCH_r06 recorded "parsed": null) — the one line that
+    # matters must be the one line that survives
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up: JVM codegen + parquet reader paths, so the first timed
     # query isn't charged for session bring-up
@@ -134,12 +141,54 @@ def main() -> None:
         "queries": times,
         "band": band,
         "failed": failed,
+        "regressions": regressions(times),
         "sf": sf,
     }
     spot = sf1_spot(spark)
     if spot is not None:
         out["sf1_spot"] = spot
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # belt and braces for the driver's tail capture: also persist the
+    # full JSON to a file it can read whole (round-6 verdict task 3)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LAST.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError as e:
+        print(f"BENCH_LAST.json write failed: {e}", file=sys.stderr)
+    print(line)
+
+
+_R1_BASELINE = "BENCH_r01.json"
+_REGRESSION_FACTOR = 1.5
+
+
+def regressions(times: dict[str, float | None]) -> list[dict]:
+    """Per-query tripwire vs the round-1 baseline (round-6 verdict task
+    8): flag any query whose best-of-N this run exceeds 1.5x its r1
+    time. Automates the drift check the per-round judge was doing by
+    hand; an empty list is the healthy signal. Never raises — a
+    missing/unparsable baseline file reports nothing."""
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         _R1_BASELINE)
+        ) as f:
+            base = (json.load(f).get("parsed") or {}).get("queries") or {}
+    except (OSError, ValueError):
+        return []
+    flagged = []
+    for name, t in times.items():
+        b = base.get(name)
+        if t is not None and b and t > _REGRESSION_FACTOR * b:
+            flagged.append(
+                {"query": name, "r1_sec": b, "now_sec": t,
+                 "ratio": round(t / b, 2)}
+            )
+    return flagged
 
 
 # One order of magnitude above the sf0.1 envelope: the heaviest headline

@@ -1964,6 +1964,37 @@ def test_prefix_filter_matches_exact_jaccard(spark, sf_dir):
     assert pref == exact
 
 
+def test_prefix_persisted_matches_lazy_and_gids_injective(spark, sf_dir):
+    """The persisted PPJoin face must return EXACTLY the lazy face's
+    result through the parquet round-trip (which test_prefix_filter_
+    matches_exact_jaccard pins to the quadratic truth), and the gid
+    dictionary must be injective with sizes preserved: every doc's
+    stored int array has exactly n_sh distinct gids, and the global
+    gid space has one id per distinct shingle string."""
+    from _imdb_etl_spark.operators.dedup import (
+        _prefix_doc_sets,
+        _shingles,
+        dedup_jaccard_prefix,
+        dedup_jaccard_prefix_persisted,
+    )
+
+    lazy = {tuple(r) for r in dedup_jaccard_prefix(spark, sf_dir).collect()}
+    pers = {
+        tuple(r)
+        for r in dedup_jaccard_prefix_persisted(spark, sf_dir).collect()
+    }
+    assert pers == lazy
+
+    docs = load_tables(spark, sf_dir, "documents")[0]
+    ds = _prefix_doc_sets(docs).collect()
+    n_gids = len({g for r in ds for g in r.shs})
+    n_shingles = _shingles(docs).select("sh").distinct().count()
+    assert n_gids == n_shingles  # injective AND surjective onto vocab
+    for r in ds:
+        assert len(set(r.shs)) == r.n_sh == len(r.shs)
+        assert r.shs == sorted(r.shs)  # rarity order = ascending gid
+
+
 def test_prefix_filter_antiskew_under_hot_shingle(spark):
     """The prefix join's anti-skew claim, empirically: a boilerplate
     shingle shared by 30% of docs has maximal doc-frequency, so the
@@ -2997,8 +3028,11 @@ def test_negative_sampling_never_mislabels(spark, sf_dir):
         assert [r.neg_rank for r in lst] == list(range(1, len(lst) + 1))
         seen: dict = {}
         for i in range(_NEG_DRAWS):
+            # 1 + (h % p): draws live on the 1-based part key space
+            # [1, p] (matches the operator's round-7 advisory fix)
             pk = (
-                int(hashlib.md5(f"{c}:{i}".encode()).hexdigest()[:4], 16)
+                1
+                + int(hashlib.md5(f"{c}:{i}".encode()).hexdigest()[:4], 16)
                 % n_parts
             )
             seen.setdefault(pk, i)

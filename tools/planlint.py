@@ -52,6 +52,8 @@ ALLOW = {
     ("corpus_batch_padding_plan", "cartesian"): "two triangular bucket-table prefix-sums (the shared two-stage ranking, one per batching strategy); bounded by the doc-id and token-length value ranges, never document count",
     ("tokenizer_vocab_coverage_ladder", "cartesian"): "one triangular bucket-table prefix-sum (shared two-stage ranking over word frequencies, bounded by the frequency value range) plus a 1-row scalar totals broadcast",
     ("corpus_canary_scan", "cartesian"): "corpus scan x BROADCAST canary needle list (one canary per 97 docs, bounded substring probes per row; Aho-Corasick mapInPandas is the documented many-needle upgrade)",
+    ("dedup_jaccard_prefix", "cartesian"): "triangular prefix-sum over the shingle df-DISTRIBUTION table (one row per distinct document-frequency value, << vocabulary) for the exact gid-dictionary offsets; the rank-statistics family's bounded shape",
+    ("dedup_jaccard_prefix_persisted", "cartesian"): "same bounded df-distribution triangular prefix-sum as dedup_jaccard_prefix (shared _prefix_doc_sets builder), executed once at index-build time",
 }
 
 
