@@ -301,30 +301,108 @@ def sf1_spot(spark) -> dict | None:
     ):
         for name, fn in ((qname, build), (twin, None)):
             if fn is None:
-                if name in section["queries"]:
-                    continue
                 fn = REGISTRY[name].spark
-            if time.time() - t_start > _SF1_BUDGET_S:
+            if time.time() - t_start > _SF1_BUDGET_S + _XOVER_EXTRA_S:
                 section["failed"].append(f"{name} (budget)")
                 continue
+            band = _capped_band(spark, fn, sf1_dir, _XOVER_REPEAT)
+            if band is None:
+                section["failed"].append(f"{name} (timeout/error)")
+                quad[name] = None
+            else:
+                quad[name] = band
+    section["quadratic_crossover"] = quad
+    section["hot_shingle"] = hot_shingle_crossover(spark, sf1_dir)
+    return section
+
+
+# Crossover measurements are 3-repeat [min, median, max] bands (round-6
+# verdict task 5): the r6 artifact recorded a single-shot 21.6 s for a
+# query whose true band is ~5-8 s — single samples under co-tenant load
+# cannot support the flagship scale-face claim.
+_XOVER_REPEAT = 3
+_XOVER_EXTRA_S = 120.0  # crossover+skew get their own slice of budget
+
+
+def _capped_band(spark, fn, sf_dir: str, repeat: int) -> list[float] | None:
+    """[min, median, max] of `repeat` capped runs; None if the FIRST
+    run times out or errors (no point repeating a blown cap — the
+    timeout IS the datapoint, recorded by the caller)."""
+    runs: list[float] = []
+    for _ in range(repeat):
+        try:
+            runs.append(
+                _run_capped(spark, lambda: fn(spark, sf_dir), _QUAD_CAP_S)
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"crossover run failed: {e}", file=sys.stderr)
+            if not runs:
+                return None
+            break
+    runs.sort()
+    return [runs[0], runs[len(runs) // 2], runs[-1]]
+
+
+# Hot-shingle skewed corpus (round-6 verdict task 5): the sf1 corpus
+# with a fixed boilerplate sentence appended to 30% of documents — the
+# adversarial shape where the exact shared-shingle self-join goes
+# quadratic in the hot-doc count (the skew-stress pytest's corpus at
+# bench scale) while LSH banding stays candidate-bounded. This is the
+# datapoint where LSH must win ON THE CLOCK, not just combinatorially.
+_HOT_FRACTION_MOD = 10  # doc_id % 10 < 3 -> 30% of docs
+_HOT_BOILERPLATE = (
+    "standard legal disclaimer applies to this document entirely"
+)
+
+
+def hot_shingle_crossover(spark, sf1_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    # plans first: importing operators.dedup directly would hit the
+    # package's circular-import guard (registration order lives in plans)
+    from _imdb_etl_spark.plans import REGISTRY
+    from _imdb_etl_spark.operators.dedup import (  # noqa: E402
+        dedup_ngram_jaccard,
+    )
+
+    out: dict = {}
+    try:
+        hot_dir = os.path.join(os.path.dirname(sf1_dir), "sf1_hotshingle")
+        marker = os.path.join(hot_dir, "_DONE")
+        if not os.path.exists(marker):
+            docs = spark.read.parquet(
+                os.path.join(sf1_dir, "documents.parquet")
+            )
+            docs.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % _HOT_FRACTION_MOD < 3,
+                    F.concat(F.col("text"), F.lit(" " + _HOT_BOILERPLATE)),
+                ).otherwise(F.col("text")),
+            ).write.mode("overwrite").parquet(
+                os.path.join(hot_dir, "documents.parquet")
+            )
+            open(marker, "w").close()
+        for name, fn in (
+            ("dedup_ngram_jaccard", dedup_ngram_jaccard),
+            ("dedup_jaccard_lsh", REGISTRY["dedup_jaccard_lsh"].spark),
+        ):
             t0 = time.time()
             try:
-                quad[name] = _run_capped(
-                    spark, lambda f=fn: f(spark, sf1_dir), _QUAD_CAP_S
+                out[name] = _run_capped(
+                    spark, lambda f=fn: f(spark, hot_dir), _QUAD_CAP_S
                 )
             except Exception as e:  # noqa: BLE001
-                # distinguish the watchdog kill (the crossover finding
-                # this section exists to measure) from a broken query
                 kind = (
                     "timeout"
                     if time.time() - t0 >= 0.95 * _QUAD_CAP_S
                     else "error"
                 )
-                print(f"sf1 crossover {name} {kind}: {e}", file=sys.stderr)
-                quad[name] = None
-                section["failed"].append(f"{name} ({kind})")
-    section["quadratic_crossover"] = quad
-    return section
+                print(f"hot-shingle {name} {kind}: {e}", file=sys.stderr)
+                out[name] = f"({kind})"
+    except Exception as e:  # noqa: BLE001
+        out["error"] = str(e)
+    return out
 
 
 _QUAD_CAP_S = 120.0
