@@ -1430,6 +1430,30 @@ def _prefix_doc_sets(docs: DataFrame) -> DataFrame:
     string arrays, with bit-exact semantics (gid equality == shingle
     equality)."""
     sh = _shingles(docs)
+    gids = _gid_dictionary(sh)
+    return (
+        sh.join(gids, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("gid")).alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("n_sh"))
+        .withColumn(
+            "p_len",
+            (
+                F.col("n_sh")
+                - F.ceil(F.lit(_PREFIX_TAU) * F.col("n_sh")).cast("int")
+                + 1
+            ),
+        )
+    )
+
+
+def _gid_dictionary(sh: DataFrame) -> DataFrame:
+    """Exact (sh -> gid) dictionary over a shingle stream, gid order =
+    (df asc, hash-bucket, shingle) — see _prefix_doc_sets. Exposed
+    separately so the incremental face can persist the dictionary and
+    left-join a NEW batch's shingles against it (unknown shingles get
+    NULL: provably absent from the indexed corpus, so they contribute
+    set size and prefix positions but never candidates)."""
     # global shingle doc-frequency = the rarity ordering key. The join
     # back to sh shuffles on the shingle — same exchange the df agg
     # already keyed, so AQE coalesces; no doc-side explosion.
@@ -1472,25 +1496,11 @@ def _prefix_doc_sets(docs: DataFrame) -> DataFrame:
         .select("df", "b", (F.col("off_df") + F.col("off_b")).alias("off"))
     )
     w_rn = Window.partitionBy("df", "b").orderBy("sh")
-    gids = (
+    return (
         df_t.withColumn("b", b)
         .withColumn("rn", F.row_number().over(w_rn))
         .join(F.broadcast(off), ["df", "b"])
         .select("sh", (F.col("off") + F.col("rn")).alias("gid"))
-    )
-    return (
-        sh.join(gids, "sh")
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("gid")).alias("shs"))
-        .select("doc_id", "shs", F.size("shs").alias("n_sh"))
-        .withColumn(
-            "p_len",
-            (
-                F.col("n_sh")
-                - F.ceil(F.lit(_PREFIX_TAU) * F.col("n_sh")).cast("int")
-                + 1
-            ),
-        )
     )
 
 
@@ -1628,6 +1638,187 @@ def dedup_jaccard_prefix_persisted(spark: SparkSession, sf_dir: str) -> DataFram
     # of the stored parquet (explode sides read (doc_id, n_sh, shs,
     # p_len); verify sides read (doc_id, shs, n_sh) — column-pruned)
     return _prefix_join(spark.read.parquet(f"{base}/doc_sets"))
+
+
+# --- incremental LOSSLESS near-dup: the crawl increment vs the stored
+# PPJoin index --------------------------------------------------------
+#
+# dedup_incremental_minhash's compliance-grade sibling: the same
+# deterministic 20% batch slice probed against the accumulated corpus,
+# but via the persisted prefix index — NO false negatives, every
+# cross-boundary pair with true Jaccard >= tau is emitted. The subtle
+# part is the asymmetric dictionary: the gid dictionary is built from
+# (and persisted with) the INDEX corpus only, so a batch document can
+# contain shingles the dictionary has never seen. Those are provably
+# absent from every indexed document (df_index = 0 — the globally
+# rarest), so they can never produce a candidate or an intersection;
+# they still count toward the batch doc's set size and, sorting ahead
+# of all known gids in the rarity order, shift the positions of its
+# known prefix members by n_unknown. Handling them this way keeps the
+# PPJoin prefix/positional theorems exact: the prefix is still the
+# first p_len elements of the doc's totally-ordered set — its unknown
+# members simply generate no join rows.
+
+_JPREFIX_INC_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_SQL}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_PREFIX_TAU}
+  AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4))
+ORDER BY doc_a, doc_b
+"""
+
+_INC_IS_BATCH = "doc_id % 5 = 4"  # the corpus-wide increment slice
+
+
+@register(
+    "dedup_jaccard_prefix_incremental",
+    _JPREFIX_INC_SQL,
+    doc="Incremental LOSSLESS near-dup ingest: the deterministic 20% "
+    "crawl increment probed against the persisted PPJoin index of the "
+    "accumulated corpus — every cross-boundary pair with exact "
+    "3-gram Jaccard >= 0.6, no false negatives (the compliance-grade "
+    "sibling of dedup_incremental_minhash, whose banding can miss). "
+    "The gid dictionary persists WITH the index; batch shingles "
+    "left-join it and unknown shingles (provably absent from every "
+    "indexed doc) contribute set size and prefix positions but never "
+    "candidates, keeping the prefix/positional pruning theorems exact "
+    "under the asymmetric dictionary. Serve-side work is batch-"
+    "prefix x index-prefix collisions plus exact verify on survivors "
+    "— the index corpus is scanned from storage, never re-shingled. "
+    "Oracle is the unfiltered all-pairs exact Jaccard restricted to "
+    "cross-boundary pairs, so the hash match proves losslessness.",
+)
+def dedup_jaccard_prefix_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    base = _jprefix_dir() + "_inc"
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    reap_stale_pid_dirs(os.path.dirname(base), "jprefix_index")
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    is_batch = F.expr(_INC_IS_BATCH)
+
+    # -- build phase (offline): dictionary + ordered doc sets over the
+    # ACCUMULATED corpus only, persisted together (the dictionary is
+    # part of the index: probing requires the same total order)
+    sh_idx = _shingles(docs.where(~is_batch))
+    gids = _gid_dictionary(sh_idx)
+    gids.write.mode("overwrite").parquet(f"{base}/dict")
+    stored_gids = spark.read.parquet(f"{base}/dict")
+    (
+        sh_idx.join(stored_gids, "sh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("gid")).alias("shs"))
+        .select("doc_id", "shs", F.size("shs").alias("n_sh"))
+        .withColumn(
+            "p_len",
+            F.col("n_sh")
+            - F.ceil(F.lit(_PREFIX_TAU) * F.col("n_sh")).cast("int")
+            + 1,
+        )
+        .write.mode("overwrite")
+        .parquet(f"{base}/doc_sets")
+    )
+
+    # -- serve phase: assemble the increment against the STORED
+    # dictionary; unknowns -> NULL gid (collect_list drops them), kept
+    # in n_sh and in the position shift n_unk
+    idx = spark.read.parquet(f"{base}/doc_sets")
+    batch = (
+        _shingles(docs.where(is_batch))
+        .join(stored_gids, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("gid")).alias("kshs"),
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("gid").isNull(), 1).otherwise(0))
+            .cast("int")
+            .alias("n_unk"),
+        )
+        .withColumn(
+            "p_len",
+            F.col("n_sh")
+            - F.ceil(F.lit(_PREFIX_TAU) * F.col("n_sh")).cast("int")
+            + 1,
+        )
+    )
+    pre_x = idx.select(
+        F.col("doc_id").alias("doc_x"),
+        F.col("n_sh").alias("nx"),
+        F.posexplode(F.slice("shs", F.lit(1), F.col("p_len"))).alias(
+            "ix0", "ptok"
+        ),
+    )
+    # known prefix members of a batch doc: the first p_len - n_unk of
+    # its known-gid array (the n_unk unknowns occupy the head of the
+    # totally-ordered set); global position = n_unk + pos + 1
+    pre_q = batch.select(
+        F.col("doc_id").alias("doc_q"),
+        F.col("n_sh").alias("nq"),
+        F.col("n_unk"),
+        F.posexplode(
+            F.slice(
+                "kshs",
+                F.lit(1),
+                F.greatest(F.col("p_len") - F.col("n_unk"), F.lit(0)),
+            )
+        ).alias("jq0", "ptok"),
+    )
+    assert _PREFIX_TAU == 0.6, "alpha below is specialized to tau=3/5"
+    alpha = F.floor((3 * (F.col("nx") + F.col("nq")) + 7) / F.lit(8)).cast(
+        "int"
+    )
+    cand = (
+        pre_x.join(pre_q, "ptok")
+        .where(
+            (F.col("nq").cast("double") >= F.lit(_PREFIX_TAU) * F.col("nx"))
+            & (F.col("nx").cast("double") >= F.lit(_PREFIX_TAU) * F.col("nq"))
+            & (F.col("ix0") + 1 <= F.col("nx") - alpha + 1)
+            & (F.col("n_unk") + F.col("jq0") + 1 <= F.col("nq") - alpha + 1)
+        )
+        .select("doc_x", "doc_q")
+        .distinct()
+    )
+    dx = idx.select(
+        F.col("doc_id").alias("kx"),
+        F.col("shs").alias("shs_x"),
+        F.col("n_sh").alias("nx2"),
+    )
+    dq = batch.select(
+        F.col("doc_id").alias("kq"),
+        F.col("kshs").alias("shs_q"),
+        F.col("n_sh").alias("nq2"),
+    )
+    inter = F.size(F.array_intersect("shs_x", "shs_q")).cast("double")
+    jacc = inter / (F.col("nx2") + F.col("nq2") - inter)
+    return (
+        cand.join(dx, F.col("doc_x") == F.col("kx"))
+        .join(dq, F.col("doc_q") == F.col("kq"))
+        .where(jacc >= _PREFIX_TAU)
+        .select(
+            F.least("doc_x", "doc_q").alias("doc_a"),
+            F.greatest("doc_x", "doc_q").alias("doc_b"),
+            F.round(jacc, 6).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 # --- near-dup rate by source pair --------------------------------------

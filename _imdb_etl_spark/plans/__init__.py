@@ -165,8 +165,10 @@ _GATE_REST = [
     "dedup_embedding_ivf",
     # registered in round 7 (window already rotated and frozen): the
     # persisted PPJoin index face closing the round-6 verdict's one
-    # named 100x-scale casualty — queued for the round-8 window
+    # named 100x-scale casualty, and its incremental (batch-vs-stored-
+    # index) sibling — queued for the round-8 window
     "dedup_jaccard_prefix_persisted",
+    "dedup_jaccard_prefix_incremental",
     "vocab_oov_rate",
     "fact_star_left_joins",
     "merge_scd2_customer_history",

@@ -1995,6 +1995,52 @@ def test_prefix_persisted_matches_lazy_and_gids_injective(spark, sf_dir):
         assert r.shs == sorted(r.shs)  # rarity order = ascending gid
 
 
+def test_prefix_incremental_lossless_and_unknown_shingles(
+    spark, sf_dir, tmp_path
+):
+    """dedup_jaccard_prefix_incremental must equal the exact all-pairs
+    result restricted to cross-boundary pairs (losslessness under the
+    asymmetric dictionary), and a planted batch doc whose text mixes
+    UNKNOWN shingles (absent from the index corpus) with a qualifying
+    near-dup of an index doc must still be caught — the unknown-
+    shingle position-shift path exercised deterministically."""
+    from _imdb_etl_spark.operators.dedup import (
+        dedup_jaccard_prefix_incremental,
+        dedup_ngram_jaccard,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+        if (r.doc_a % 5 == 4) != (r.doc_b % 5 == 4)
+    }
+    inc = {
+        tuple(r)
+        for r in dedup_jaccard_prefix_incremental(spark, sf_dir).collect()
+    }
+    assert inc == exact
+
+    # planted corpus: index doc 10 and batch doc 14 share most tokens;
+    # doc 14 carries extra tokens seen nowhere in the index corpus
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (10, base),  # index (10 % 5 != 4)
+        (11, "lorem ipsum dolor sit amet consectetur adipiscing"),
+        (14, base + " zzunknown1 zzunknown2"),  # batch (14 % 5 == 4)
+    ]
+    d = str(tmp_path / "inc")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_prefix_incremental(spark, d).collect()
+    }
+    # trigram sets: |A|=8, |B|=10 (2 unknown-bearing extras), overlap 8
+    # -> jaccard 0.8 >= 0.6: must be found despite the unknowns
+    assert (10, 14) in got
+
+
 def test_prefix_filter_antiskew_under_hot_shingle(spark):
     """The prefix join's anti-skew claim, empirically: a boilerplate
     shingle shared by 30% of docs has maximal doc-frequency, so the
