@@ -38,7 +38,7 @@ from _imdb_etl_spark.functions import (
     md5_prefix_int_sql,
 )
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, spread
 
 _EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _IPV4_RE = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
@@ -1943,6 +1943,162 @@ def corpus_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = docs.join(
         F.broadcast(canaries),  # bounded: one canary per 97 docs
         F.expr("contains(text, needle)"),
+    )
+    return (
+        hits.groupBy("canary_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_containing"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+            F.when(F.count(F.lit(1)) > 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("leaked"),
+        )
+        .orderBy("canary_id")
+    )
+
+
+# --- many-needle canary scan: Aho-Corasick over mapInPandas ---------------
+#
+# corpus_canary_scan's documented upgrade, now a registered face: when
+# the needle list grows into the thousands (benchmark-contamination
+# string sets, large planted-canary universes), per-needle contains()
+# probes cost O(K * len) per document; an Aho-Corasick automaton costs
+# O(len + hits) per document REGARDLESS of K. The automaton is built
+# once per partition from the broadcast needle list (needles are a
+# FIXED universe — one per 29 ids under an id cap — so the broadcast
+# and the bounded driver collect are O(1) in corpus size), and the
+# corpus makes exactly one mapInPandas pass: Arrow batches in, (canary
+# hit) pairs out, then the same per-canary rollup as the contains()
+# face. The JVM contains() join wins at tens of needles (no Python
+# crossing); this face is the documented route when K is large — both
+# hash-match the same oracle family, so the trade is purely a cost
+# choice.
+
+_CANARY_MANY_STEP = 29
+_CANARY_MANY_MAX_ID = 20000  # fixed universe: needle list is O(1)
+
+_CANARY_MANY_SQL = f"""
+WITH canaries AS (
+  SELECT doc_id AS canary_id,
+         substr(text, {_CANARY_OFF}, {_CANARY_LEN}) AS needle
+  FROM documents
+  WHERE doc_id % {_CANARY_MANY_STEP} = 0 AND doc_id < {_CANARY_MANY_MAX_ID}
+    AND length(text) >= {_CANARY_OFF + _CANARY_LEN}
+),
+hits AS (
+  SELECT c.canary_id, d.doc_id
+  FROM canaries c JOIN documents d
+    ON position(c.needle IN d.text) > 0
+)
+SELECT canary_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_containing,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS INT) AS leaked
+FROM hits
+GROUP BY canary_id
+ORDER BY canary_id
+"""
+
+
+def _aho_corasick(needles: list[tuple[int, str]]):
+    """Build an Aho-Corasick automaton: returns (goto, fail, out) with
+    goto as list[dict[ch -> state]], fail as list[int], out as
+    list[list[int]] of needle ids terminating at each state. Pure
+    Python, built once per partition from the broadcast needle list."""
+    goto: list[dict] = [{}]
+    out: list[list[int]] = [[]]
+    for nid, pat in needles:
+        s = 0
+        for ch in pat:
+            if ch not in goto[s]:
+                goto.append({})
+                out.append([])
+                goto[s][ch] = len(goto) - 1
+            s = goto[s][ch]
+        out[s].append(nid)
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque()
+    for s in goto[0].values():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s].extend(out[fail[s]])
+    return goto, fail, out
+
+
+@register(
+    "corpus_canary_scan_many",
+    _CANARY_MANY_SQL,
+    doc="Many-needle canary scan — corpus_canary_scan's documented "
+    f"Aho-Corasick upgrade as a first-class face: one needle per "
+    f"{_CANARY_MANY_STEP} ids under a fixed id cap (O(1) universe), "
+    "automaton built once per partition from the broadcast list, one "
+    "mapInPandas corpus pass at O(len + hits) per document regardless "
+    "of needle count (the contains() face pays O(K*len)). Same "
+    "per-canary leak rollup and oracle family as the contains() face; "
+    "the hash match proves the automaton finds exactly the verbatim "
+    "occurrence set. The bounded driver collect is the fixed needle "
+    "universe, never corpus-scaled.",
+)
+def corpus_canary_scan_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    canaries = [
+        (int(r.canary_id), r.needle)
+        for r in docs.where(
+            (F.col("doc_id") % _CANARY_MANY_STEP == 0)
+            & (F.col("doc_id") < _CANARY_MANY_MAX_ID)
+            & (F.length("text") >= _CANARY_OFF + _CANARY_LEN)
+        )
+        .select(
+            F.col("doc_id").alias("canary_id"),
+            F.substring("text", _CANARY_OFF, _CANARY_LEN).alias("needle"),
+        )
+        .collect()  # bounded: fixed canary universe, O(1) in corpus size
+    ]
+    bc = spark.sparkContext.broadcast(canaries)
+    hit_schema = StructType(
+        [
+            StructField("canary_id", LongType()),
+            StructField("doc_id", LongType()),
+        ]
+    )
+
+    def scan(batches):
+        import pandas as pd  # worker-side
+
+        goto, fail, out = _aho_corasick(bc.value)
+        for pdf in batches:
+            ids: list[int] = []
+            cids: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = 0
+                seen: set[int] = set()
+                for ch in text:
+                    while s and ch not in goto[s]:
+                        s = fail[s]
+                    s = goto[s].get(ch, 0)
+                    if out[s]:
+                        seen.update(out[s])
+                for cid in seen:
+                    ids.append(int(doc_id))
+                    cids.append(cid)
+            yield pd.DataFrame({"canary_id": cids, "doc_id": ids})
+
+    hits = spread(docs).select("doc_id", "text").mapInPandas(
+        scan, hit_schema
     )
     return (
         hits.groupBy("canary_id")

@@ -169,6 +169,7 @@ _GATE_REST = [
     # index) sibling — queued for the round-8 window
     "dedup_jaccard_prefix_persisted",
     "dedup_jaccard_prefix_incremental",
+    "corpus_canary_scan_many",
     "vocab_oov_rate",
     "fact_star_left_joins",
     "merge_scd2_customer_history",

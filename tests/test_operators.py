@@ -3416,6 +3416,65 @@ def test_canary_scan_finds_sources_and_plants(spark, sf_dir):
         assert r.first_doc == min(hits) and r.last_doc == max(hits)
 
 
+def test_canary_scan_many_matches_naive_and_handles_overlaps(
+    spark, sf_dir, tmp_path
+):
+    """Aho-Corasick face contract: (a) on the driver corpus its rows
+    match a pure-Python `needle in text` scan over its own needle
+    universe; (b) on a planted corpus with OVERLAPPING needles
+    (one a substring of another, shared prefixes, a needle spanning a
+    fail-link transition) the automaton still reports exactly the
+    naive truth — the classic AC edge cases a broken fail/output-link
+    construction gets wrong."""
+    from _imdb_etl_spark.operators.corpus import (
+        _CANARY_LEN,
+        _CANARY_MANY_MAX_ID,
+        _CANARY_MANY_STEP,
+        _CANARY_OFF,
+        _aho_corasick,
+    )
+
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    needles = {
+        d: t[_CANARY_OFF - 1 : _CANARY_OFF - 1 + _CANARY_LEN]
+        for d, t in texts.items()
+        if d % _CANARY_MANY_STEP == 0
+        and d < _CANARY_MANY_MAX_ID
+        and len(t) >= _CANARY_OFF + _CANARY_LEN
+    }
+    got = {
+        r.canary_id: r
+        for r in REGISTRY["corpus_canary_scan_many"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(needles)
+    for cid, needle in needles.items():
+        hits = [d for d, t in texts.items() if needle in t]
+        r = got[cid]
+        assert r.n_docs_containing == len(hits)
+        assert r.first_doc == min(hits) and r.last_doc == max(hits)
+        assert r.leaked == (1 if len(hits) > 1 else 0)
+
+    # direct automaton check on adversarial needle sets: nested
+    # ("abcde" contains "bcd"), shared-prefix ("abx"/"aby"), and a
+    # match that only an intact fail link finds ("baba" in "ababa")
+    cases = [("abcde", "bcd", "ab", "baba"), ("aaa", "aa", "a", "ba")]
+    for pats in cases:
+        npats = list(enumerate(pats))
+        goto, fail, out = _aho_corasick(npats)
+        for text in ("xabcdex", "ababa", "aaaa", "bcd", "zzz", "aabxaby"):
+            s, found = 0, set()
+            for ch in text:
+                while s and ch not in goto[s]:
+                    s = fail[s]
+                s = goto[s].get(ch, 0)
+                found.update(out[s])
+            want = {i for i, p in npats if p in text}
+            assert found == want, (pats, text, found, want)
+
+
 def test_datasheet_consistency_with_constituents(spark, sf_dir):
     """The datasheet can never drift from the operators it documents:
     its totals must reconcile with the raw corpus, its dup membership
