@@ -1821,6 +1821,87 @@ def dedup_jaccard_prefix_incremental(
     )
 
 
+# --- LSH recall audit: banding vs the lossless prefix-join truth ---------
+#
+# The honest-measurement face for the flagship scale path: MinHash-LSH
+# banding is probabilistic (a near-dup pair that never collides in any
+# band is silently missed), and the repo's policy is to MEASURE such
+# gaps, not assert them (cf. sim_recall_curve's recorded ~0 recall for
+# sign-LSH). Ground truth here is cheap because dedup_jaccard_prefix is
+# lossless AND subquadratic: truth = the exact pair set from the
+# prefix-filtered join, found = truth pairs that band-collide, rolled
+# up per Jaccard permille-band. The expected shape is the S-curve of
+# 3 bands x 4 rows banding: recall near 1 for jaccard ~1 duplicates,
+# decaying toward the 0.6 threshold — the number a pipeline owner
+# reads to size bands/rows for a recall SLO. Spark side composes two
+# bucketed pipelines (no quadratic stage); the DuckDB twin replays the
+# quadratic truth, which is fine at oracle scale.
+
+_LSH_RECALL_SQL = f"""{_LSH_CAND_CTE},
+inter_all AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6)
+           AS jaccard
+  FROM inter_all i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+        >= {_PREFIX_TAU}
+)
+SELECT CAST(floor(floor(t.jaccard * 1000 + 0.5) / 100) AS INT) AS jacc_band,
+       CAST(COUNT(*) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_found,
+       ROUND(CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS recall
+FROM truth t
+LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    _LSH_RECALL_SQL,
+    doc="Measured MinHash-LSH recall per Jaccard permille-band against "
+    "LOSSLESS ground truth from the prefix-filtered exact join "
+    "(subquadratic on the Spark side — the audit composes two bucketed "
+    "pipelines, no all-pairs stage): for every true pair >= tau, did "
+    f"any of the {_N_HASHES // _BAND_SIZE}x{_BAND_SIZE} bands collide? "
+    "The S-curve output (recall ~1 at jaccard ~1, decaying toward the "
+    "0.6 threshold) is what sizes bands/rows against a recall SLO — "
+    "the honest-measurement companion the registered LSH faces' "
+    "silent-miss caveat refers to.",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    truth = _prefix_join(_prefix_doc_sets(docs))
+    _, cand = lsh_candidates(docs)
+    found = cand.withColumn("f", F.lit(1))
+    permille = F.floor(F.col("jaccard") * 1000 + 0.5)
+    band = F.floor(permille / F.lit(100)).cast("int")
+    return (
+        truth.join(found, ["doc_a", "doc_b"], "left")
+        .groupBy(band.alias("jacc_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum(F.coalesce("f", F.lit(0))).cast("long").alias("n_found"),
+            F.round(
+                F.sum(F.coalesce("f", F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("jacc_band")
+    )
+
+
 # --- near-dup rate by source pair --------------------------------------
 #
 # Provenance-level dedup audit: WHICH sources duplicate each other —

@@ -170,6 +170,7 @@ _GATE_REST = [
     "dedup_jaccard_prefix_persisted",
     "dedup_jaccard_prefix_incremental",
     "corpus_canary_scan_many",
+    "dedup_lsh_recall_audit",
     "vocab_oov_rate",
     "fact_star_left_joins",
     "merge_scd2_customer_history",

@@ -58,6 +58,40 @@ def test_jaccard_lsh_face_subset_of_exact(spark, sf_dir, exact_pairs):
     assert {(r.doc_a, r.doc_b) for r in rows} == mh
 
 
+def test_lsh_recall_audit_reconciles_with_truth_and_lsh(
+    spark, sf_dir, exact_pairs
+):
+    """The recall audit's bands must reconcile exactly with independent
+    recomputation: per permille-band, n_true = the exact-pair fixture's
+    band counts, n_found sums to the dedup_minhash_lsh pair count (a
+    truth pair is 'found' iff it band-collides, and every verified LSH
+    pair is a truth pair), recall = round(n_found/n_true, 6), and no
+    band reports found > true."""
+    import math
+
+    rows = (
+        REGISTRY["dedup_lsh_recall_audit"].spark(spark, sf_dir).collect()
+    )
+    assert rows
+
+    def band(j: float) -> int:
+        return int(math.floor(math.floor(j * 1000 + 0.5) / 100))
+
+    want_true: dict[int, int] = {}
+    for j in exact_pairs.values():
+        want_true[band(j)] = want_true.get(band(j), 0) + 1
+    got_true = {r.jacc_band: r.n_true for r in rows}
+    assert got_true == want_true
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_minhash_lsh"].spark(spark, sf_dir).collect()
+    }
+    assert sum(r.n_found for r in rows) == len(mh)
+    for r in rows:
+        assert 0 <= r.n_found <= r.n_true
+        assert r.recall == round(r.n_found / r.n_true, 6)
+
+
 def test_containment_lsh_face_subset_of_exact(spark, sf_dir):
     """Registered containment face = exact containment restricted to
     LSH candidates: a subset with identical ratios, and the dominant
