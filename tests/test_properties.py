@@ -611,6 +611,7 @@ def test_prefix_filter_lossless_on_random_corpora(spark, tmp_path_factory, data)
     import _imdb_etl_spark.plans  # noqa: F401  (ordered operator imports)
     from _imdb_etl_spark.operators.dedup import (
         dedup_jaccard_prefix,
+        dedup_jaccard_prefix_incremental,
         dedup_ngram_jaccard,
     )
 
@@ -635,6 +636,18 @@ def test_prefix_filter_lossless_on_random_corpora(spark, tmp_path_factory, data)
     exact = {tuple(r) for r in dedup_ngram_jaccard(spark, d).collect()}
     pref = {tuple(r) for r in dedup_jaccard_prefix(spark, d).collect()}
     assert pref == exact, (seed, len(pref), len(exact))
+
+    # the incremental face must equal exact's cross-boundary slice on
+    # the same random corpus (planted mutants land on both sides of
+    # the %5 split, and mutated trigram contexts produce shingles the
+    # index dictionary has never seen — the asymmetric-dictionary path)
+    inc = {
+        tuple(r) for r in dedup_jaccard_prefix_incremental(spark, d).collect()
+    }
+    want = {
+        (a, b, j) for (a, b, j) in exact if (a % 5 == 4) != (b % 5 == 4)
+    }
+    assert inc == want, (seed, len(inc), len(want))
 
 
 # --- round-6 continuation ops under random inputs -------------------------
