@@ -1708,9 +1708,11 @@ def dedup_jaccard_prefix_incremental(
 
     from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
 
-    base = _jprefix_dir() + "_inc"
+    # pid LAST in the dir name: reap_stale_pid_dirs only matches
+    # <prefix>_<pid>, so a trailing suffix would never be GC'd
+    base = f"/root/repo/spark-warehouse/jprefix_inc_{os.getpid()}"
     os.makedirs(os.path.dirname(base), exist_ok=True)
-    reap_stale_pid_dirs(os.path.dirname(base), "jprefix_index")
+    reap_stale_pid_dirs(os.path.dirname(base), "jprefix_inc")
 
     (docs,) = load_tables(spark, sf_dir, "documents")
     is_batch = F.expr(_INC_IS_BATCH)
