@@ -1091,6 +1091,259 @@ def _bpe_train(
     return merge_table, prev
 
 
+# --- batched-merge BPE trainer: K merges per driver round -----------------
+#
+# tokenizer_bpe_train_n is the canonical distributed-BPE shape, but its
+# driver loop pays one full pair-count shuffle + readback barrier PER
+# MERGE. At production vocab sizes (tens of thousands of merges) the
+# per-round barrier, not the per-round compute, is the wall-clock
+# bottleneck — the round-6 verdict named batching non-overlapping
+# merges per round as this trainer's one remaining lever. This face
+# implements it: each round ranks the pair counts once, greedily
+# selects up to K merges that are pairwise SYMBOL-DISJOINT (a pair is
+# skipped if either symbol appears in an already-selected pair of this
+# round — stale-count drift is then bounded to second-order effects),
+# and applies all K re-segmentations in one narrow-map projection. The
+# learned table differs from strict greedy BPE (counts are not
+# refreshed between the K merges of a round) — the standard accuracy/
+# barrier trade every batched distributed trainer makes — but the
+# algorithm itself is exactly deterministic: selection reads only
+# round-start counts, and both engines apply the K replaces in
+# selection order, so simultaneity never needs to be defined.
+#
+# Engine-identity of the selection is forced by a BOUNDED candidate
+# window: both twins rank (count DESC, pair ASC), keep the top
+# _BPE_BATCH_CAND candidates, and run the same greedy scan inside that
+# window. The driver readback is 1 + _BPE_BATCH_CAND rows per round
+# (the fused symbol-total row plus the window), bounded by
+# construction, never corpus-scaled.
+
+_BPE_BATCH_ROUNDS = 2
+_BPE_BATCH_K = 4  # merges per round: 2x4 = the 8 merges train_n learns
+_BPE_BATCH_CAND = 64  # shared candidate window (engine-identical greedy)
+
+
+def _bpe_batched_sql(n_rounds: int, k: int, cand: int) -> str:
+    """DuckDB replay of the batched trainer: per round, one ranked
+    candidate window c{r}, k greedy symbol-disjoint selections
+    s{r}_{j}, k sequential re-segmentations w{r}x{j}, and the
+    post-round symbol total a{r}."""
+    sep = "chr(31)"
+    ss = f"{sep} || {sep}"
+    parts = [
+        f"""WITH w0 AS MATERIALIZED (
+  SELECT {sep} || {sep} || regexp_replace(w, '(?s)(.)', '\\1' || {sep} || {sep}, 'g') AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)"""
+    ]
+    selects = []
+    for r in range(1, n_rounds + 1):
+        prev = "w0" if r == 1 else f"w{r - 1}x{k}"
+        parts.append(
+            f""",
+p{r} AS (
+  SELECT unnest(list_transform(range(2, greatest(len(syms) - 1, 2)),
+                i -> syms[i] || {sep} || syms[i + 1])) AS sym_pair
+  FROM (SELECT string_split(s, {ss}) AS syms FROM {prev})
+),
+c{r} AS MATERIALIZED (
+  SELECT string_split(sym_pair, {sep})[1] AS a,
+         string_split(sym_pair, {sep})[2] AS b,
+         sym_pair, pair_cnt
+  FROM (SELECT sym_pair, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+        FROM p{r} GROUP BY sym_pair
+        ORDER BY pair_cnt DESC, sym_pair LIMIT {cand})
+)"""
+        )
+        used_terms: list[str] = []
+        for j in range(1, k + 1):
+            if used_terms:
+                used = " UNION ALL ".join(used_terms)
+                conflict = (
+                    f"\n  WHERE a NOT IN ({used})"
+                    f"\n    AND b NOT IN ({used})"
+                )
+            else:
+                conflict = ""
+            parts.append(
+                f""",
+s{r}_{j} AS MATERIALIZED (
+  SELECT a, b, sym_pair, pair_cnt FROM c{r}{conflict}
+  ORDER BY pair_cnt DESC, sym_pair LIMIT 1
+),
+w{r}x{j} AS MATERIALIZED (
+  -- LEFT JOIN ON TRUE: an exhausted selection passes the stream
+  -- through unchanged (same guard as the strict-greedy oracle)
+  SELECT CASE WHEN p.sym_pair IS NULL THEN s
+              ELSE replace(s,
+                           {sep} || replace(p.sym_pair, {sep}, {ss}) || {sep},
+                           {sep} || replace(p.sym_pair, {sep}, '') || {sep})
+         END AS s
+  FROM {prev if j == 1 else f'w{r}x{j - 1}'} LEFT JOIN s{r}_{j} p ON TRUE
+)"""
+            )
+            used_terms.append(f"SELECT a FROM s{r}_{j}")
+            used_terms.append(f"SELECT b FROM s{r}_{j}")
+            selects.append(
+                f"SELECT {(r - 1) * k + j} AS merge_rank, a AS sym_a,"
+                f" b AS sym_b, pair_cnt, symbols_after"
+                f" FROM s{r}_{j} CROSS JOIN a{r}"
+            )
+        parts.append(
+            f""",
+a{r} AS (
+  SELECT CAST(SUM(len(string_split(s, {ss})) - 2) AS BIGINT)
+           AS symbols_after
+  FROM w{r}x{k}
+)"""
+        )
+    return (
+        "".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY merge_rank"
+    )
+
+
+def bpe_train_batched_rounds(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_rounds: int,
+    k: int = _BPE_BATCH_K,
+    cand: int = _BPE_BATCH_CAND,
+) -> DataFrame:
+    """Batched BPE training loop: ``n_rounds`` rounds of up to ``k``
+    symbol-disjoint merges greedily selected from the top-``cand``
+    candidate window. Split out from the registered face so pytest can
+    pin it against an independent pure-Python replay and against the
+    strict-greedy trainer at k=1 (where the two algorithms provably
+    coincide)."""
+    sep = _BPE_SEP
+    ss = sep + sep
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    stream = wc.select(
+        F.concat(
+            F.lit(ss), F.regexp_replace("w", "(?s)(.)", "$1" + ss)
+        ).alias("s"),
+        "freq",
+    )
+    pair_expr = (
+        "CASE WHEN size(syms) >= 4 THEN "
+        "transform(sequence(2, size(syms) - 2), "
+        f"i -> concat(element_at(syms, i), '{sep}', "
+        "element_at(syms, i + 1))) "
+        "ELSE array() END"
+    )
+    out_rows: list[tuple] = []
+    prev = stream.persist()
+    old = None
+    pending: list[tuple] = []  # round's merges awaiting symbols_after
+    for r in range(1, n_rounds + 1):
+        per = prev.select(F.split("s", ss).alias("syms"), "freq")
+        pairs = per.select(
+            F.lit(False).alias("is_total"),
+            F.explode(F.expr(pair_expr)).alias("k"),
+            F.col("freq").alias("wt"),
+        )
+        tot = per.select(
+            F.lit(True).alias("is_total"),
+            F.lit("").alias("k"),
+            ((F.size("syms") - 2).cast("long") * F.col("freq")).alias("wt"),
+        )
+        # ONE distributed job per round: fused (total + candidate
+        # window) readback, 1 + cand rows, bounded by construction
+        rows = (
+            pairs.unionByName(tot)
+            .groupBy("is_total", "k")
+            .agg(F.sum("wt").alias("c"))
+            .orderBy(F.desc("is_total"), F.desc("c"), F.asc("k"))
+            .limit(1 + cand)
+            .collect()
+        )
+        if old is not None:
+            old.unpersist()
+            old = None
+        if pending:
+            out_rows.extend((*m, rows[0]["c"]) for m in pending)
+            pending = []
+        # greedy symbol-disjoint selection inside the shared window —
+        # the exact scan the oracle's s{r}_{j} CTE chain performs
+        used: set[str] = set()
+        sel: list[tuple[int, str, str, int]] = []
+        for row in rows[1:]:
+            if len(sel) >= k:
+                break
+            sym_a, sym_b = row["k"].split(sep)
+            if sym_a in used or sym_b in used:
+                continue
+            sel.append((len(sel) + 1, sym_a, sym_b, row["c"]))
+            used.update((sym_a, sym_b))
+        if not sel:
+            break
+        col = F.col("s")
+        for _, sym_a, sym_b, _cnt in sel:  # selection order, both twins
+            col = F.replace(
+                col,
+                F.lit(sep + sym_a + ss + sym_b + sep),
+                F.lit(sep + sym_a + sym_b + sep),
+            )
+        nxt = prev.select(col.alias("s"), "freq").persist()
+        old, prev = prev, nxt
+        pending = [
+            ((r - 1) * k + j, sym_a, sym_b, cnt)
+            for j, sym_a, sym_b, cnt in sel
+        ]
+    if pending:  # the last round's total never piggybacked
+        after = prev.agg(
+            F.sum(
+                (F.size(F.split("s", ss)) - 2).cast("long") * F.col("freq")
+            ).alias("a")
+        ).collect()[0][0]
+        out_rows.extend((*m, after) for m in pending)
+    if old is not None:
+        old.unpersist()
+    prev.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "merge_rank int, sym_a string, sym_b string, "
+        "pair_cnt long, symbols_after long",
+    ).orderBy("merge_rank")
+
+
+@register(
+    "tokenizer_bpe_train_batched",
+    _bpe_batched_sql(_BPE_BATCH_ROUNDS, _BPE_BATCH_K, _BPE_BATCH_CAND),
+    doc=f"Batched-merge BPE trainer — tokenizer_bpe_train_n's one "
+    f"remaining scale lever as a first-class face: {_BPE_BATCH_ROUNDS} "
+    f"driver rounds of up to {_BPE_BATCH_K} pairwise symbol-disjoint "
+    "merges each (the same 8 learned rules' worth of vocabulary in a "
+    "quarter of the shuffle+readback barriers; at production vocab "
+    "sizes the barrier count, not per-round compute, dominates). "
+    "Selection is greedy by (round-start count DESC, pair ASC) inside "
+    f"a shared top-{_BPE_BATCH_CAND} candidate window, skipping pairs "
+    "that share a symbol with an already-selected merge; both engines "
+    "apply the round's merges sequentially in selection order, so the "
+    "result is exactly deterministic even though counts go stale "
+    "within a round (the accuracy/barrier trade every batched "
+    "distributed trainer makes vs strict greedy; at k=1 the two "
+    "coincide, pinned in pytest). Readback is 1+"
+    f"{_BPE_BATCH_CAND} rows per round, bounded by construction. "
+    "symbols_after is the post-ROUND corpus symbol total, attached to "
+    "each of the round's merges.",
+)
+def tokenizer_bpe_train_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    return bpe_train_batched_rounds(spark, docs, _BPE_BATCH_ROUNDS)
+
+
 _BPE_VOCAB_TOP = 20
 
 _BPE_ENCODE_SQL = f"""{_bpe_cte_chain(_BPE_TRAIN_ROUNDS)}

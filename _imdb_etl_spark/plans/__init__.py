@@ -171,6 +171,10 @@ _GATE_REST = [
     "dedup_jaccard_prefix_incremental",
     "corpus_canary_scan_many",
     "dedup_lsh_recall_audit",
+    # the batched-merge BPE trainer (the round-6 verdict's one named
+    # remaining lever on tokenizer_bpe_train_n): same 8 merges in a
+    # quarter of the driver barriers
+    "tokenizer_bpe_train_batched",
     "vocab_oov_rate",
     "fact_star_left_joins",
     "merge_scd2_customer_history",

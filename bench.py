@@ -46,6 +46,9 @@ HEADLINE = [
     "sim_knn_lsh",
     "dedup_embedding_cosine_ivf",
     "tokenizer_bpe_train_n",
+    # same 8 merges, 2 driver barriers instead of 8 — the recorded
+    # head-to-head for the batched-merge lever
+    "tokenizer_bpe_train_batched",
     "imdb_reference_parity",
     "text_stats",
     "text_lang_id",

@@ -1610,6 +1610,50 @@ def test_bpe_encode_token_total_matches_trainer(spark, sf_dir):
     assert total == expected
 
 
+def test_bpe_batched_conflict_skip_and_exhaustion(spark):
+    """Two deterministic pins on the batched trainer. (1) Conflict
+    skip: on a corpus whose top pairs share symbols, a round must skip
+    the conflicting runner-up and select the best DISJOINT pair —
+    'xy' * counts make (x,y) rank 1 and (y,z) rank 2; (y,z) shares y,
+    so slot 2 goes to (p,q). (2) Exhaustion: a corpus that runs out of
+    pairs mid-schedule emits only the merges that happened, on both
+    the Spark face and the DuckDB oracle (the LEFT-JOIN pass-through
+    guard)."""
+    import duckdb
+
+    from _imdb_etl_spark.operators.corpus import (
+        _bpe_batched_sql,
+        bpe_train_batched_rounds,
+    )
+
+    # (1) conflict skip: x y appears 5x, y z 4x, p q 3x
+    texts = ["xy " * 5 + "yz " * 4 + "pq " * 3]
+    docs = spark.createDataFrame(
+        [(0, texts[0].strip())], "doc_id long, text string"
+    )
+    rows = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_cnt)
+        for r in bpe_train_batched_rounds(spark, docs, 1, k=2).collect()
+    ]
+    assert rows == [(1, "x", "y", 5), (2, "p", "q", 3)]
+
+    # (2) exhaustion, both twins: 'ab ab' has one merge in it
+    docs2 = spark.createDataFrame(
+        [(0, "ab ab")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_cnt, r.symbols_after)
+        for r in bpe_train_batched_rounds(spark, docs2, 2, k=2).collect()
+    ]
+    assert got == [(1, "a", "b", 2, 2)]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT 0 AS doc_id, 'ab ab' AS text")
+    assert con.sql(_bpe_batched_sql(2, 2, 64)).fetchall() == [
+        (1, "a", "b", 2, 2)
+    ]
+    con.close()
+
+
 def test_interval_coalesce_matches_pure_python(spark, sf_dir):
     """Third-implementation check (the BPE lesson): the registered
     interval-union query vs an independent pure-Python sweep-line merge

@@ -370,6 +370,100 @@ def test_bpe_train_rounds_match_pure_python(spark, data):
     assert got == expected
 
 
+def _py_bpe_batched_reference(
+    texts: list[str], n_rounds: int, k: int, cand: int = 64
+):
+    """Independent pure-Python replay of the BATCHED trainer: per round,
+    rank round-start pair counts (count DESC, pair ASC), greedily take
+    up to k pairwise symbol-disjoint merges from the top-`cand` window,
+    apply them SEQUENTIALLY in selection order (each merge sees the
+    stream left by the previous one — the engines chain replaces the
+    same way), then record the post-round symbol total."""
+    from collections import Counter
+
+    streams = [list(w) for t in texts for w in t.split(" ") if w]
+    table = []
+    for r in range(1, n_rounds + 1):
+        counts: Counter = Counter()
+        for s in streams:
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += 1
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :cand
+        ]
+        used: set = set()
+        sel = []
+        for (a, b), cnt in ranked:
+            if len(sel) >= k:
+                break
+            if a in used or b in used:
+                continue
+            sel.append((a, b, cnt))
+            used.update((a, b))
+        if not sel:
+            break
+        for a, b, _cnt in sel:  # selection order, like the chained
+            merged = a + b  # F.replace / w{r}x{j} CTE applications
+            nxt = []
+            for s in streams:
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                nxt.append(out)
+            streams = nxt
+        after = sum(len(s) for s in streams)
+        table.extend(
+            ((r - 1) * k + j, a, b, cnt, after)
+            for j, (a, b, cnt) in enumerate(sel, 1)
+        )
+    return table
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_bpe_train_batched_matches_pure_python(spark, data):
+    """The batched-merge trainer must equal the symbol-list reference
+    for any corpus and any k: same greedy symbol-disjoint selection
+    from the shared candidate window, same sequential application
+    order, same round-start counts and post-round totals. At k=1 the
+    batched algorithm coincides with strict greedy BPE — asserted
+    against the strict reference, pinning the claim in the
+    registration docstring."""
+    from _imdb_etl_spark.operators.corpus import bpe_train_batched_rounds
+
+    texts = data.draw(
+        st.lists(
+            st.text(alphabet="aab c", min_size=0, max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    n_rounds = data.draw(st.integers(min_value=1, max_value=2))
+    k = data.draw(st.integers(min_value=1, max_value=3))
+    expected = _py_bpe_batched_reference(texts, n_rounds, k)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_cnt, r.symbols_after)
+        for r in bpe_train_batched_rounds(
+            spark, docs, n_rounds, k=k
+        ).collect()
+    ]
+    assert got == expected
+    if k == 1:
+        assert expected == _py_bpe_reference(texts, n_rounds)
+
+
 def test_bpe_encode_oracle_passes_stream_through_when_pairs_exhausted():
     """Regression pin: on a corpus whose pairs run out before the
     configured rounds, the Spark loop breaks and keeps the stream; the
