@@ -175,6 +175,10 @@ _GATE_REST = [
     # remaining lever on tokenizer_bpe_train_n): same 8 merges in a
     # quarter of the driver barriers
     "tokenizer_bpe_train_batched",
+    # the bounded group face fuzzy_part_name_match's docstring names:
+    # name-pair + group-size output instead of the quadratic part-pair
+    # expansion (~300M rows at 10x)
+    "fuzzy_part_name_groups",
     "vocab_oov_rate",
     "fact_star_left_joins",
     "merge_scd2_customer_history",

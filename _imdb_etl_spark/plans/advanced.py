@@ -234,6 +234,48 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _fuzzy_name_pairs(part: DataFrame) -> DataFrame:
+    """FastSS deletion-neighborhood matching over the DISTINCT-name
+    table: a name plus its single-char deletions form its signature
+    set; strings within edit distance 1 always share a signature, so
+    the signature self-join generates candidates linear in distinct
+    names, verified by the same-first-token block and Levenshtein <= 1.
+    Emits unordered name pairs (nm_a <= nm_b; the diagonal is kept for
+    ED=0 duplicate groups). Shared by the expansion face
+    (fuzzy_part_name_match) and the bounded group face
+    (fuzzy_part_name_groups) so the two can never drift."""
+    block = F.split(F.col("p_name"), " ").getItem(0)
+    names = part.select("p_name").distinct().select(
+        F.col("p_name").alias("nm"), block.alias("blk")
+    )
+    sig_expr = (
+        "array_distinct(concat(array(nm), "
+        "transform(sequence(1, length(nm)), "
+        "i -> concat(substring(nm, 1, i - 1), "
+        "substring(nm, i + 1, length(nm))))))"
+    )
+    sigs = names.select(
+        "nm", "blk", F.explode(F.expr(sig_expr)).alias("sig")
+    )
+    na = sigs.select(
+        F.col("nm").alias("nm_a"), F.col("blk").alias("blk_a"), "sig"
+    )
+    nb = sigs.select(
+        F.col("nm").alias("nm_b"), F.col("blk").alias("blk_b"), "sig"
+    )
+    return (
+        na.join(nb, ["sig"])
+        .where(F.col("nm_a") <= F.col("nm_b"))  # keep the diagonal: ED=0
+        .select("nm_a", "nm_b", "blk_a", "blk_b")
+        .distinct()
+        .where(
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.levenshtein("nm_a", "nm_b") <= 1)
+        )
+        .select("nm_a", "nm_b")
+    )
+
+
 _FUZZY_SQL = """
 SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
        a.p_name AS name_a, b.p_name AS name_b,
@@ -268,35 +310,7 @@ ORDER BY part_a, part_b
 )
 def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = load_tables(spark, sf_dir, "part")
-    block = F.split(F.col("p_name"), " ").getItem(0)
-    names = part.select("p_name").distinct().select(
-        F.col("p_name").alias("nm"), block.alias("blk")
-    )
-    sig_expr = (
-        "array_distinct(concat(array(nm), "
-        "transform(sequence(1, length(nm)), "
-        "i -> concat(substring(nm, 1, i - 1), "
-        "substring(nm, i + 1, length(nm))))))"
-    )
-    sigs = names.select(
-        "nm", "blk", F.explode(F.expr(sig_expr)).alias("sig")
-    )
-    na = sigs.select(
-        F.col("nm").alias("nm_a"), F.col("blk").alias("blk_a"), "sig"
-    )
-    nb = sigs.select(
-        F.col("nm").alias("nm_b"), F.col("blk").alias("blk_b"), "sig"
-    )
-    name_pairs = (
-        na.join(nb, ["sig"])
-        .where(F.col("nm_a") <= F.col("nm_b"))  # keep the diagonal: ED=0
-        .select("nm_a", "nm_b", "blk_a", "blk_b")
-        .distinct()
-        .where(
-            (F.col("blk_a") == F.col("blk_b"))
-            & (F.levenshtein("nm_a", "nm_b") <= 1)
-        )
-    )
+    name_pairs = _fuzzy_name_pairs(part)
     pa = part.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("pn_a"))
     pb = part.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("pn_b"))
     # diagonal (identical names): ordered pairs within the duplicate
@@ -332,6 +346,79 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         diag.unionByName(off)
         .withColumn("edit_distance", F.levenshtein("name_a", "name_b"))
         .orderBy("part_a", "part_b")
+    )
+
+
+_FUZZY_GROUPS_SQL = """
+WITH counts AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       a.n AS n_parts_a, b.n AS n_parts_b,
+       -- n*(n-1) is even and na*nb < 2^53, so /2 is exact in double
+       CAST(CASE WHEN a.p_name = b.p_name THEN a.n * (a.n - 1) / 2
+                 ELSE a.n * b.n END AS BIGINT) AS n_pairs,
+       levenshtein(a.p_name, b.p_name) AS edit_distance
+FROM counts a
+JOIN counts b
+  ON a.p_name <= b.p_name
+ AND string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+  AND (a.p_name <> b.p_name OR a.n > 1)
+ORDER BY name_a, name_b
+"""
+
+
+@register(
+    "fuzzy_part_name_groups",
+    _FUZZY_GROUPS_SQL,
+    doc="The production-scale face fuzzy_part_name_match's docstring "
+    "names: stop BEFORE the part-pair output expansion. The answer to "
+    "'which names fuzzily collide, and how big is the blast radius' "
+    "is (name_a, name_b, group sizes, pair count) — bounded by "
+    "distinct-name pairs, while the expanded pair list is quadratic "
+    "in duplicate-group size by definition (at 10x bench scale the "
+    "expansion emits ~300M rows from ~64 distinct names; this face "
+    "emits the same information in under a hundred). Candidate "
+    "generation + verify is the shared FastSS deletion-neighborhood "
+    "stage (_fuzzy_name_pairs); n_pairs is n*(n-1)/2 on the diagonal "
+    "(unordered within-group pairs) and na*nb off it, exactly the row "
+    "counts the expansion face would produce. Downstream consumers "
+    "expand only the groups they act on.",
+)
+def fuzzy_part_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = load_tables(spark, sf_dir, "part")
+    counts = part.groupBy(F.col("p_name").alias("nm")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ca = counts.select(
+        F.col("nm").alias("nm_a"), F.col("n").alias("n_parts_a")
+    )
+    cb = counts.select(
+        F.col("nm").alias("nm_b"), F.col("n").alias("n_parts_b")
+    )
+    diag_pairs = (  # n*(n-1) even, product < 2^53: /2 exact in double
+        F.col("n_parts_a") * (F.col("n_parts_a") - 1) / F.lit(2)
+    )
+    n_pairs = (
+        F.when(F.col("nm_a") == F.col("nm_b"), diag_pairs)
+        .otherwise(F.col("n_parts_a") * F.col("n_parts_b"))
+        .cast("long")
+    )
+    return (
+        _fuzzy_name_pairs(part)
+        .join(ca, "nm_a")
+        .join(cb, "nm_b")
+        .where((F.col("nm_a") != F.col("nm_b")) | (F.col("n_parts_a") > 1))
+        .select(
+            F.col("nm_a").alias("name_a"),
+            F.col("nm_b").alias("name_b"),
+            "n_parts_a",
+            "n_parts_b",
+            n_pairs.alias("n_pairs"),
+            F.levenshtein("nm_a", "nm_b").alias("edit_distance"),
+        )
+        .orderBy("name_a", "name_b")
     )
 
 

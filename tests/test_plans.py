@@ -505,3 +505,35 @@ def test_identifier_binding_pushes_resolution_not_strings(spark, sf_dir):
         args={"tbl": "ident_inj_probe"},
     ).collect()[0].n
     assert n == orders.count()
+
+
+def test_fuzzy_groups_n_pairs_equals_expansion_counts(spark, sf_dir):
+    """The bounded group face's n_pairs column must be exactly the row
+    count the expansion face emits for that name pair — the contract
+    that lets a consumer trust the group-level blast radius without
+    ever materializing the quadratic part-pair list. Keys normalize to
+    (least, greatest) name because the expansion face orders names by
+    part key, not lexicographically."""
+    from pyspark.sql import functions as F
+
+    from _imdb_etl_spark.plans.advanced import (
+        fuzzy_part_match,
+        fuzzy_part_name_groups,
+    )
+
+    groups = {
+        (r.name_a, r.name_b): r.n_pairs
+        for r in fuzzy_part_name_groups(spark, sf_dir).collect()
+    }
+    expanded = fuzzy_part_match(spark, sf_dir).select(
+        F.least("name_a", "name_b").alias("na"),
+        F.greatest("name_a", "name_b").alias("nb"),
+    )
+    counts = {
+        (r.na, r.nb): r.c
+        for r in expanded.groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert groups == counts
+    assert all(v > 0 for v in groups.values())
