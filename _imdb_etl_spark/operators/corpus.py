@@ -982,6 +982,34 @@ def bpe_train_rounds(
     ).orderBy("merge_rank")
 
 
+_BPE_CKPT_EVERY = 16  # generations between lineage truncations
+
+
+def _bpe_ckpt_stream(spark: SparkSession, df: DataFrame, gen: int) -> DataFrame:
+    """Parquet lineage checkpoint for the BPE symbol stream — the
+    'parquet checkpoint at 100 TB' the trainer docstring names, made
+    real: every _BPE_CKPT_EVERY generations the |vocab|-row stream is
+    written out and read back, so the logical plan is a fresh scan
+    instead of `gen` chained replace projections. Measured necessity,
+    not hygiene: without truncation a 64-round strict training run
+    OOMs the DRIVER JVM (java heap) at sf0.1 — the data is tiny, the
+    Catalyst plan tree is what grows, and persist() caches partitions
+    without shrinking the plan. Never triggers on the registered
+    8-round faces (16 > 8); at production vocab sizes it bounds plan
+    depth at _BPE_CKPT_EVERY generations for ~1 s of parquet I/O per
+    window. pid-staged dir, reaped by the shared GC."""
+    import os
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    base = f"/root/repo/spark-warehouse/bpe_ckpt_{os.getpid()}"
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    reap_stale_pid_dirs(os.path.dirname(base), "bpe_ckpt")
+    path = f"{base}/gen_{gen}"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _bpe_train(
     spark: SparkSession, docs: DataFrame, n_rounds: int
 ) -> tuple[list, DataFrame]:
@@ -1076,7 +1104,10 @@ def _bpe_train(
                 F.lit(sep + sym_a + sym_b + sep),
             ).alias("s"),
             "freq",
-        ).persist()
+        )
+        if k % _BPE_CKPT_EVERY == 0:  # bound Catalyst plan depth
+            nxt = _bpe_ckpt_stream(spark, nxt, k)
+        nxt = nxt.persist()
         old, prev = prev, nxt
         pending = (k, sym_a, sym_b, pair_cnt)
     if pending is not None:  # the last round's total never piggybacked
@@ -1293,7 +1324,10 @@ def bpe_train_batched_rounds(
                 F.lit(sep + sym_a + ss + sym_b + sep),
                 F.lit(sep + sym_a + sym_b + sep),
             )
-        nxt = prev.select(col.alias("s"), "freq").persist()
+        nxt = prev.select(col.alias("s"), "freq")
+        if r % _BPE_CKPT_EVERY == 0:  # bound Catalyst plan depth
+            nxt = _bpe_ckpt_stream(spark, nxt, r)
+        nxt = nxt.persist()
         old, prev = prev, nxt
         pending = [
             ((r - 1) * k + j, sym_a, sym_b, cnt)

@@ -464,6 +464,36 @@ def test_bpe_train_batched_matches_pure_python(spark, data):
         assert expected == _py_bpe_reference(texts, n_rounds)
 
 
+def test_bpe_lineage_checkpoint_is_lossless(spark, monkeypatch):
+    """The periodic parquet lineage checkpoint (which bounds Catalyst
+    plan depth — without it a 64-round training run OOMs the driver
+    JVM on plan-tree growth) must be invisible to the result: with the
+    interval forced to 2, both trainers' outputs through several
+    checkpoint crossings equal the pure-Python references."""
+    from _imdb_etl_spark.operators import corpus as corpus_mod
+
+    monkeypatch.setattr(corpus_mod, "_BPE_CKPT_EVERY", 2)
+    texts = ["abracadabra alakazam " * 3 + "banana bandana cabana"] * 2
+    docs = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_cnt, r.symbols_after)
+        for r in corpus_mod.bpe_train_rounds(spark, docs, 6).collect()
+    ]
+    assert got == _py_bpe_reference([t.strip() for t in texts], 6)
+    got_b = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_cnt, r.symbols_after)
+        for r in corpus_mod.bpe_train_batched_rounds(
+            spark, docs, 4, k=2
+        ).collect()
+    ]
+    assert got_b == _py_bpe_batched_reference(
+        [t.strip() for t in texts], 4, 2
+    )
+
+
 def test_bpe_encode_oracle_passes_stream_through_when_pairs_exhausted():
     """Regression pin: on a corpus whose pairs run out before the
     configured rounds, the Spark loop breaks and keeps the stream; the
