@@ -179,6 +179,12 @@ _GATE_REST = [
     # name-pair + group-size output instead of the quadratic part-pair
     # expansion (~300M rows at 10x)
     "fuzzy_part_name_groups",
+    # re-gate: the round-7 lineage-checkpoint fix touched the strict
+    # trainer's loop (outputs bit-identical — the 16-generation
+    # checkpoint never fires at 8 rounds — but rotation policy gives a
+    # changed implementation a fresh driver row; its encode sibling is
+    # already in the round-7 window)
+    "tokenizer_bpe_train_n",
     "vocab_oov_rate",
     "fact_star_left_joins",
     "merge_scd2_customer_history",
@@ -241,7 +247,6 @@ _GATE_REST = [
     # (the newest driver evidence in the ledger) — lowest re-gate
     # priority unless an implementation changes again
     "imdb_reference_parity",
-    "tokenizer_bpe_train_n",
     "dedup_jaccard_lsh",
     "dedup_containment_lsh",
     "dedup_embedding_cosine_ivf",
