@@ -1157,7 +1157,10 @@ ORDER BY p.doc_a, p.doc_b
 "cluster-heavy corpus the pair OUTPUT is itself quadratic in "
 "cluster size (29.1M true pairs at the 100x probe): the "
 "production variant stops at (cluster, size) via the connected-"
-"components pass before any pair expansion.",
+"components pass before any pair expansion — exactly the "
+"composition dedup_clusters / dedup_cluster_size_histogram "
+"register over the MinHash edge source (operators/dedup.py); feed "
+"them these winnow edges to get the fingerprint-based equivalent.",
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")

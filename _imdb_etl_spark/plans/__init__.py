@@ -45,6 +45,14 @@ from _imdb_etl_spark import streaming  # noqa: E402,F401
 # silently lost the last two).
 #
 GATE_WINDOW_SIZE = 50
+# ROTATION RECIPE (round 8, first change of the round): replace
+# GATE_WINDOW with the first 50 names of _GATE_REST verbatim (45
+# never-gated + the 4 policy re-gates + 1 refresh — tools/ledger.py
+# prints the authoritative no-driver-row list), append the retired
+# round-7 window to the BACK of _GATE_REST, replay the new window at
+# sf0.01 (tools/check.py) before touching anything else. That closes
+# the never-gated ledger entirely.
+#
 # Round 7 window (rotation per the round-6 verdict task 1, applied at
 # round start before any other change): EXACTLY the first 50 of the
 # round-6 _GATE_REST — the queue head announced in the round-6
