@@ -370,6 +370,59 @@ def test_bpe_train_rounds_match_pure_python(spark, data):
     assert got == expected
 
 
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_fuzzy_name_pairs_complete_vs_bruteforce(spark, data):
+    """FastSS candidate COMPLETENESS: the deletion-neighborhood
+    signature join must find EVERY name pair with a shared first token
+    and Levenshtein distance <= 1 — verified against a brute-force
+    O(n^2) scalar Levenshtein over arbitrary name tables. Tiny
+    alphabets force dense ED<=1 collisions (substitution, insertion,
+    deletion, and the ED=0 diagonal); the gate's fixed corpus cannot
+    distinguish completeness from luck, this can."""
+    import itertools
+
+    from _imdb_etl_spark.plans.advanced import _fuzzy_name_pairs
+
+    names = data.draw(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="ab", min_size=1, max_size=3),
+                st.text(alphabet="xy", min_size=0, max_size=3),
+            ).map(lambda t: (t[0] + " " + t[1]).strip()),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    got = sorted((r.nm_a, r.nm_b) for r in _fuzzy_name_pairs(df).collect())
+    uniq = sorted(set(names))
+    exp = sorted(
+        (a, b)
+        for a, b in itertools.combinations_with_replacement(uniq, 2)
+        if a.split(" ")[0] == b.split(" ")[0] and _py_levenshtein(a, b) <= 1
+    )
+    assert got == exp
+
+
 def _py_bpe_batched_reference(
     texts: list[str], n_rounds: int, k: int, cand: int = 64
 ):
