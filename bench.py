@@ -389,6 +389,14 @@ def hot_shingle_crossover(spark, sf1_dir: str) -> dict:
         for name, fn in (
             ("dedup_ngram_jaccard", dedup_ngram_jaccard),
             ("dedup_jaccard_lsh", REGISTRY["dedup_jaccard_lsh"].spark),
+            # the LOSSLESS route under the same skew: rarity ordering
+            # keeps the hot shingle out of prefixes, so the PPJoin
+            # index face survives on the clock too (~2-3x the
+            # probabilistic LSH cost, no false negatives)
+            (
+                "dedup_jaccard_prefix_persisted",
+                REGISTRY["dedup_jaccard_prefix_persisted"].spark,
+            ),
         ):
             t0 = time.time()
             try:
