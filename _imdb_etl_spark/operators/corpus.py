@@ -982,10 +982,20 @@ def bpe_train_rounds(
     ).orderBy("merge_rank")
 
 
-_BPE_CKPT_EVERY = 16  # generations between lineage truncations
+_BPE_CKPT_EVERY = 16  # merges applied between lineage truncations
+
+# per-invocation checkpoint namespace: the strict and batched trainers
+# (and repeated invocations of either in one process) must not share
+# gen_<N> paths — a later run's overwrite would corrupt an earlier
+# run's still-referenced lazy lineage (round-7 advisory)
+import itertools as _itertools  # noqa: E402
+
+_BPE_RUN_SEQ = _itertools.count()
 
 
-def _bpe_ckpt_stream(spark: SparkSession, df: DataFrame, gen: int) -> DataFrame:
+def _bpe_ckpt_stream(
+    spark: SparkSession, df: DataFrame, gen: int, run_id: int
+) -> DataFrame:
     """Parquet lineage checkpoint for the BPE symbol stream — the
     'parquet checkpoint at 100 TB' the trainer docstring names, made
     real: every _BPE_CKPT_EVERY generations the |vocab|-row stream is
@@ -997,7 +1007,10 @@ def _bpe_ckpt_stream(spark: SparkSession, df: DataFrame, gen: int) -> DataFrame:
     without shrinking the plan. Never triggers on the registered
     8-round faces (16 > 8); at production vocab sizes it bounds plan
     depth at _BPE_CKPT_EVERY generations for ~1 s of parquet I/O per
-    window. pid-staged dir, reaped by the shared GC."""
+    window. pid-staged dir, reaped by the shared GC; ``run_id``
+    (one _BPE_RUN_SEQ draw per trainer invocation) keeps concurrent
+    or successive trainer runs in one process from overwriting each
+    other's still-referenced checkpoints."""
     import os
 
     from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
@@ -1005,7 +1018,7 @@ def _bpe_ckpt_stream(spark: SparkSession, df: DataFrame, gen: int) -> DataFrame:
     base = f"/root/repo/spark-warehouse/bpe_ckpt_{os.getpid()}"
     os.makedirs(os.path.dirname(base), exist_ok=True)
     reap_stale_pid_dirs(os.path.dirname(base), "bpe_ckpt")
-    path = f"{base}/gen_{gen}"
+    path = f"{base}/run{run_id}_gen_{gen}"
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
@@ -1061,6 +1074,7 @@ def _bpe_train(
     # partitions instead of re-deriving rounds 1..k; a final scalar
     # agg closes out the last round's total.
     merge_table = []
+    run_id = next(_BPE_RUN_SEQ)  # private checkpoint namespace
     prev = stream.persist()
     old = None  # previous generation, kept cached until its child runs
     pending = None  # (k, sym_a, sym_b, pair_cnt) awaiting symbols_after
@@ -1106,7 +1120,7 @@ def _bpe_train(
             "freq",
         )
         if k % _BPE_CKPT_EVERY == 0:  # bound Catalyst plan depth
-            nxt = _bpe_ckpt_stream(spark, nxt, k)
+            nxt = _bpe_ckpt_stream(spark, nxt, k, run_id)
         nxt = nxt.persist()
         old, prev = prev, nxt
         pending = (k, sym_a, sym_b, pair_cnt)
@@ -1272,6 +1286,10 @@ def bpe_train_batched_rounds(
         "ELSE array() END"
     )
     out_rows: list[tuple] = []
+    run_id = next(_BPE_RUN_SEQ)  # private checkpoint namespace
+    merges_applied = 0  # checkpoint keys on MERGES, not rounds: each
+    last_ckpt = 0  # round nests up to k replaces, so a round-keyed
+    # interval would carry 16*k chained replaces (round-7 advisory)
     prev = stream.persist()
     old = None
     pending: list[tuple] = []  # round's merges awaiting symbols_after
@@ -1325,8 +1343,12 @@ def bpe_train_batched_rounds(
                 F.lit(sep + sym_a + sym_b + sep),
             )
         nxt = prev.select(col.alias("s"), "freq")
-        if r % _BPE_CKPT_EVERY == 0:  # bound Catalyst plan depth
-            nxt = _bpe_ckpt_stream(spark, nxt, r)
+        merges_applied += len(sel)
+        if merges_applied - last_ckpt >= _BPE_CKPT_EVERY:
+            # bound Catalyst plan depth at _BPE_CKPT_EVERY chained
+            # replaces regardless of k
+            nxt = _bpe_ckpt_stream(spark, nxt, merges_applied, run_id)
+            last_ckpt = merges_applied
         nxt = nxt.persist()
         old, prev = prev, nxt
         pending = [

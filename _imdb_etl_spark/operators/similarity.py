@@ -784,10 +784,17 @@ ORDER BY vec_a, vec_b
 """
 
 
-@register(
-    "dedup_embedding_ivf",
-    _EMB_IVF_DEDUP_SQL,
-    doc="The scale path for semantic dedup: IVF coarse quantization as "
+# NOT registered (round 8, the round-6 precedent for exact forms whose
+# scale face is pinned output-equal): the expression-dot IVF face
+# measured 434 s at sf1 — 22x its GEMM sibling dedup_embedding_cosine_ivf,
+# which produces IDENTICAL output (shared candidates, threshold, and
+# rounding; pinned by test_embedding_cosine_ivf_matches_expression_route
+# and the shared oracle SQL). The per-pair codegen dot is the
+# bitwise-parity REFERENCE, not the volume path — demoted to the pytest
+# verifier behind the registered GEMM face, exactly as
+# dedup_embedding_cosine was demoted behind the IVF routes in round 6.
+_EMB_IVF_DEDUP_DOC = (
+    "The scale path for semantic dedup: IVF coarse quantization as "
     "the candidate pre-filter in front of the exact cosine verify. "
     f"Every vector joins its {_DEDUP_PROBE} nearest of {_N_CENTROIDS} "
     "centroids' inverted lists (multi-probe assignment, the knob that "
@@ -805,9 +812,14 @@ ORDER BY vec_a, vec_b
     "expression-dot PARITY face — at 10x data the per-pair codegen "
     "dot measured ~26x slower than the per-list BLAS GEMM, so "
     "volume work (clusters, sweeps) routes through "
-    "dedup_embedding_cosine_ivf, which is pinned output-equal.",
+    "dedup_embedding_cosine_ivf, which is pinned output-equal."
 )
+
+
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expression-dot IVF parity face (see _EMB_IVF_DEDUP_DOC and
+    the demotion note above): library/pytest verifier behind the
+    registered GEMM face dedup_embedding_cosine_ivf."""
     (emb,) = load_tables(spark, sf_dir, "embeddings")
     lists = ivf_inverted_lists(emb)
     left = lists.select(

@@ -1163,10 +1163,36 @@ ORDER BY p.doc_a, p.doc_b
 "them these winnow edges to get the fingerprint-based equivalent.",
 )
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fp, pairs = _winnow_match_edges(spark, sf_dir)
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("(1000 * n_shared) div least(na, nb)")
+            .cast("long")
+            .alias("overlap_permille"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _winnow_match_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(fp, pairs): the ONE definition of the winnow match relation,
+    shared by the pair face and the cluster face. ``fp`` is the
+    materialized (doc_id, fingerprint-value) posting table (it feeds
+    the rarity filter, both pair-join sides, and the pair face's size
+    table — lazy, each consumer would re-run the O(chars x w) lambda
+    extraction); ``pairs`` is (doc_a, doc_b, n_shared) for pairs
+    sharing >= _WIN_MIN_SHARED rare fingerprint values."""
     (docs,) = load_tables(spark, sf_dir, "documents")
-    # materialize the fingerprint table once: it feeds the rarity
-    # filter, both pair-join sides, and the size table — lazy, each
-    # consumer would re-run the O(chars x w) lambda extraction
     fp = (
         winnow_arrays(docs)
         .select(
@@ -1186,7 +1212,6 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= cap)
         .select("v")
     )
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     a = fp.join(rare, "v").select(F.col("doc_id").alias("doc_a"), "v")
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
     pairs = (
@@ -1195,18 +1220,69 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("nf").alias("nb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("n_shared").cast("long").alias("n_shared"),
-            F.expr("(1000 * n_shared) div least(na, nb)")
-            .cast("long")
-            .alias("overlap_permille"),
+    return fp, pairs
+
+
+_WINNOW_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({_WINNOW_PAIRS_SQL.strip().rstrip()})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+  FROM reach GROUP BY a
+)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM labels GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@register(
+    "dedup_winnow_clusters",
+    _WINNOW_CLUSTERS_SQL,
+    doc="The cluster-level production face of winnowing dedup — the "
+    "variant dedup_winnow_pairs's docstring names: connected "
+    "components (min-label propagation + pointer jumping, the shared "
+    "O(log diameter) machinery of dedup_clusters) consume the winnow "
+    "match edges and emit ONE row per duplicate cluster "
+    "(cluster_id = min doc_id, cluster_size), never the pair "
+    "expansion. On a cluster-heavy corpus the pair face's OUTPUT is "
+    "quadratic in cluster size (measured 29.1M rows / 231 s at the "
+    "100x probe); this face's output is linear in the number of "
+    "clusters (singleton docs — no match edge — are not emitted, so "
+    "rows = duplicate clusters only). The edge derivation is the "
+    "identical shared helper (_winnow_match_edges) so the two faces "
+    "cannot drift; the oracle states the same fixpoint as a recursive "
+    "CTE over the pair face's own SQL. Cluster sizes are reconciled "
+    "against a pure-Python union-find over the pair face's output in "
+    "pytest (third implementation).",
+)
+def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.operators.dedup import connected_components
+
+    _fp, pairs = _winnow_match_edges(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
         )
-        .orderBy("doc_a", "doc_b")
+        .persist()
     )
+    labels, _ = connected_components(edges)
+    out = (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .orderBy("cluster_id")
+    )
+    edges.unpersist()
+    return out

@@ -45,87 +45,33 @@ from _imdb_etl_spark import streaming  # noqa: E402,F401
 # silently lost the last two).
 #
 GATE_WINDOW_SIZE = 50
-# ROTATION RECIPE (round 8, first change of the round): replace
-# GATE_WINDOW with the first 50 names of _GATE_REST verbatim (45
-# never-gated + the 4 policy re-gates + 1 refresh — tools/ledger.py
-# prints the authoritative no-driver-row list), append the retired
-# round-7 window to the BACK of _GATE_REST, replay the new window at
-# sf0.01 (tools/check.py) before touching anything else. That closes
-# the never-gated ledger entirely.
+# ROTATION RECIPE (round 9+): replace GATE_WINDOW with the first 50
+# names of _GATE_REST (tools/ledger.py prints any no-driver-row names
+# — after round 8 there should be NONE, so future windows are pure
+# refresh/re-gate rotations: oldest rows first, plus any
+# implementation that changed since its last row), append the retired
+# window to the BACK of _GATE_REST, replay the new window at sf0.01
+# (tools/check.py) before committing.
 #
-# Round 7 window (rotation per the round-6 verdict task 1, applied at
-# round start before any other change): EXACTLY the first 50 of the
-# round-6 _GATE_REST — the queue head announced in the round-6
-# rotation note. Composition: the round-6 refactor that missed the
-# window (fuzzy_part_name_match), tokenizer_bpe_encode, and the first
-# 48 round-6-continuation registrations through
-# neardup_clustering_coefficient. All 50 were replayed green locally
-# (tools/check.py, sf0.01) during the round-6 verification pass; this
-# window turns those local replays into driver CORRECTNESS rows.
-# After this round the never-gated backlog drops to ~38 names (the
-# round-8 window absorbs them, leaving slack for <=12 new round-7
-# registrations per the freeze).
+# Round 8 window (rotation per the round-7 verdict task 1, applied at
+# round start): the first 50 of the round-7 _GATE_REST verbatim, with
+# ONE substitution the round-7 verdict itself prescribed (task 4):
+# dedup_embedding_ivf — demoted this round to the pytest verifier
+# behind its output-identical GEMM twin (operators/similarity.py, the
+# round-6 precedent; it was the registry's only sf1 watchdog cap-out
+# at 434 s) — yields its slot to dedup_winnow_clusters, the newly
+# implemented cluster-level production face of winnowing dedup
+# (round-7 verdict task 3). Composition: the 45 never-gated names
+# from tools/ledger.py (44 carried + dedup_winnow_clusters new), the
+# 3 policy re-gates (sim_knn_ivfpq helper refactor,
+# tokenizer_bpe_train_n checkpoint-namespace fix, dedup_winnow_pairs
+# edge-helper refactor — this round''s corpus.py/text.py changes touch
+# the last two, so their fresh rows certify the final code), and 2
+# refresh slots (vocab_oov_rate, fact_star_left_joins). All 50
+# replayed green locally at sf0.001 + sf0.01 before commit. After
+# this round EVERY registered query has a driver row: the
+# never-gated ledger is closed.
 GATE_WINDOW = [
-    "tokenizer_bpe_encode",
-    "fuzzy_part_name_match",
-    "dedup_incremental_minhash",
-    "cube_orders_status_year",
-    "median_exact_price_per_brand",
-    "audit_referential_integrity",
-    "profile_table_orders",
-    "dedup_jaccard_prefix",
-    "text_cooccurrence_pmi",
-    "events_gapfill_interpolate",
-    "corpus_weighted_reservoir",
-    "bucketed_join_orders_lineitem",
-    "events_mannwhitney_u",
-    "audit_benford_totalprice",
-    "customers_rfm_segments",
-    "customers_gini_spend",
-    "orders_spearman_price_items",
-    "corpus_js_divergence",
-    "events_seasonal_anomaly",
-    "parts_abc_classification",
-    "embedding_matryoshka_recall",
-    "orders_cohort_ltv",
-    "events_ab_srm_check",
-    "orders_mom_yoy_growth",
-    "events_dau_wau_mau",
-    "events_attribution_first_touch",
-    "scalar_bitwise_suite",
-    "events_bot_regularity",
-    "neardup_rate_by_source",
-    "embedding_outlier_mahalanobis",
-    "privacy_dp_noisy_counts",
-    "events_ks_two_sample",
-    "events_attribution_time_decay",
-    "lineitem_weighted_median_price",
-    "supplier_hhi_by_nation",
-    "vocab_zipf_slope",
-    "events_decompose_additive",
-    "events_acf_lag1",
-    "corpus_dsir_importance",
-    "dedup_soft_weights",
-    "shipping_lag_percentiles",
-    "events_survival_km",
-    "events_ab_conversion_ztest",
-    "customers_tier_migration",
-    "events_interval_coalesce",
-    "events_sequence_pattern",
-    "quality_calibration_bins",
-    "multimodal_audio_segments",
-    "text_remove_duplicate_spans",
-    "neardup_clustering_coefficient",
-]
-# everything below keeps per-round local coverage (tools/check.py +
-# pytest); ordering = round-8 rotation priority. Leading: the round-6
-# closing-continuation registrations still without a driver row (the
-# round-8 window takes these first), then any round-7 registrations,
-# then the round-6 window (r6 greens, newest driver evidence), then
-# the older spillover.
-_GATE_REST = [
-    # registered in the round-6 closing continuation (window full):
-    # local gate green at sf0.001 + sf0.01 + third-implementation pins
     "multimodal_audio_pitch",
     "events_ewma_burst",
     "corpus_ccnet_buckets",
@@ -165,36 +111,25 @@ _GATE_REST = [
     "sink_dynamic_partition_backfill",
     "events_attribution_linear",
     "sim_knn_ivfpq_refined",
-    # sim_knn_ivfpq's scoring stage was factored into the shared
-    # _ivfpq_scored helper the refined face composes — pure code
-    # motion, but rotation policy says a changed implementation gets a
-    # fresh driver row
     "sim_knn_ivfpq",
-    "dedup_embedding_ivf",
-    # registered in round 7 (window already rotated and frozen): the
-    # persisted PPJoin index face closing the round-6 verdict's one
-    # named 100x-scale casualty, and its incremental (batch-vs-stored-
-    # index) sibling — queued for the round-8 window
+    "dedup_winnow_clusters",
     "dedup_jaccard_prefix_persisted",
     "dedup_jaccard_prefix_incremental",
     "corpus_canary_scan_many",
     "dedup_lsh_recall_audit",
-    # the batched-merge BPE trainer (the round-6 verdict's one named
-    # remaining lever on tokenizer_bpe_train_n): same 8 merges in a
-    # quarter of the driver barriers
     "tokenizer_bpe_train_batched",
-    # the bounded group face fuzzy_part_name_match's docstring names:
-    # name-pair + group-size output instead of the quadratic part-pair
-    # expansion (~300M rows at 10x)
     "fuzzy_part_name_groups",
-    # re-gate: the round-7 lineage-checkpoint fix touched the strict
-    # trainer's loop (outputs bit-identical — the 16-generation
-    # checkpoint never fires at 8 rounds — but rotation policy gives a
-    # changed implementation a fresh driver row; its encode sibling is
-    # already in the round-7 window)
     "tokenizer_bpe_train_n",
     "vocab_oov_rate",
     "fact_star_left_joins",
+]
+# everything below keeps per-round local coverage (tools/check.py +
+# pytest); ordering = round-9 rotation priority. With the never-gated
+# ledger closed, the queue is pure refresh order: oldest driver rows
+# first (the r1-r5 era spillover), then the retired round-6 window
+# (r6 rows), then the retired round-7 window (r7 rows, newest
+# evidence) at the back.
+_GATE_REST = [
     "merge_scd2_customer_history",
     "approx_quantiles_price",
     "approx_distinct_users",
@@ -251,9 +186,6 @@ _GATE_REST = [
     "tpch_q3_shipping_priority",
     "w1_top3_parts_per_brand",
     "graf4_top3_customers_top3_nations",
-    # the retired round-6 window: all 50 green in CORRECTNESS_r06.json
-    # (the newest driver evidence in the ledger) — lowest re-gate
-    # priority unless an implementation changes again
     "imdb_reference_parity",
     "dedup_jaccard_lsh",
     "dedup_containment_lsh",
@@ -303,6 +235,56 @@ _GATE_REST = [
     "grouped_arrow_user_stats",
     "setop_except_all_views",
     "setop_intersect_all_views",
+    "tokenizer_bpe_encode",
+    "fuzzy_part_name_match",
+    "dedup_incremental_minhash",
+    "cube_orders_status_year",
+    "median_exact_price_per_brand",
+    "audit_referential_integrity",
+    "profile_table_orders",
+    "dedup_jaccard_prefix",
+    "text_cooccurrence_pmi",
+    "events_gapfill_interpolate",
+    "corpus_weighted_reservoir",
+    "bucketed_join_orders_lineitem",
+    "events_mannwhitney_u",
+    "audit_benford_totalprice",
+    "customers_rfm_segments",
+    "customers_gini_spend",
+    "orders_spearman_price_items",
+    "corpus_js_divergence",
+    "events_seasonal_anomaly",
+    "parts_abc_classification",
+    "embedding_matryoshka_recall",
+    "orders_cohort_ltv",
+    "events_ab_srm_check",
+    "orders_mom_yoy_growth",
+    "events_dau_wau_mau",
+    "events_attribution_first_touch",
+    "scalar_bitwise_suite",
+    "events_bot_regularity",
+    "neardup_rate_by_source",
+    "embedding_outlier_mahalanobis",
+    "privacy_dp_noisy_counts",
+    "events_ks_two_sample",
+    "events_attribution_time_decay",
+    "lineitem_weighted_median_price",
+    "supplier_hhi_by_nation",
+    "vocab_zipf_slope",
+    "events_decompose_additive",
+    "events_acf_lag1",
+    "corpus_dsir_importance",
+    "dedup_soft_weights",
+    "shipping_lag_percentiles",
+    "events_survival_km",
+    "events_ab_conversion_ztest",
+    "customers_tier_migration",
+    "events_interval_coalesce",
+    "events_sequence_pattern",
+    "quality_calibration_bins",
+    "multimodal_audio_segments",
+    "text_remove_duplicate_spans",
+    "neardup_clustering_coefficient",
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 

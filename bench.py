@@ -150,19 +150,47 @@ def main() -> None:
     spot = sf1_spot(spark)
     if spot is not None:
         out["sf1_spot"] = spot
-    line = json.dumps(out)
-    # belt and braces for the driver's tail capture: also persist the
-    # full JSON to a file it can read whole (round-6 verdict task 3)
+    # the FULL artifact (bands, sf1/hot-shingle sections) goes to the
+    # file the driver can read whole (round-6 verdict task 3) ...
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_LAST.json"),
             "w",
         ) as f:
-            f.write(line + "\n")
+            f.write(json.dumps(out) + "\n")
     except OSError as e:
         print(f"BENCH_LAST.json write failed: {e}", file=sys.stderr)
+    # ... while stdout gets a line SIZED TO THE DRIVER'S TAIL CAPTURE
+    # (2000 chars: BENCH_r06/r07 recorded "parsed": null because the
+    # full line outgrew it — round-7 verdict task 5). Drop the
+    # diagnostic sections, keep the contract keys, use compact
+    # separators, and shed optional keys if the query set ever grows
+    # the line past the window.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": out["queries"],
+        "failed": out["failed"],
+        "regressions": out["regressions"],
+        "sf": out["sf"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("regressions", "failed"):
+        if len(line) > _TAIL_SAFE and not compact[drop]:
+            compact.pop(drop)
+            line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > _TAIL_SAFE:  # last resort: 2dp query times
+        compact["queries"] = {
+            n: (round(t, 2) if t is not None else None)
+            for n, t in compact["queries"].items()
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
+
+
+_TAIL_SAFE = 1900  # driver tail window is 2000 chars; leave margin
 
 
 _R1_BASELINE = "BENCH_r01.json"

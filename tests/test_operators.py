@@ -115,10 +115,15 @@ def test_containment_lsh_face_subset_of_exact(spark, sf_dir):
 
 def test_embedding_cosine_ivf_matches_expression_route(spark, sf_dir):
     """The GEMM-verified IVF face and the expression-dot IVF face share
-    candidates and threshold, so their outputs must be identical."""
+    candidates and threshold, so their outputs must be identical.
+    (Round 8: the expression face is demoted to this library verifier
+    — 434 s vs 19.7 s at sf1 for identical output — so this pin IS its
+    correctness evidence now.)"""
+    from _imdb_etl_spark.operators.similarity import dedup_embedding_ivf
+
     expr_rows = {
         (r.vec_a, r.vec_b): r.cosine_sim
-        for r in REGISTRY["dedup_embedding_ivf"].spark(spark, sf_dir).collect()
+        for r in dedup_embedding_ivf(spark, sf_dir).collect()
     }
     gemm_rows = {
         (r.vec_a, r.vec_b): r.cosine_sim
@@ -677,7 +682,10 @@ def test_jsonl_roundtrip_preserves_rowcount(spark, sf_dir):
 
 
 def test_embedding_ivf_dedup_recall(spark, sf_dir):
-    from _imdb_etl_spark.operators.similarity import dedup_embedding_cosine
+    from _imdb_etl_spark.operators.similarity import (
+        dedup_embedding_cosine,
+        dedup_embedding_ivf,
+    )
 
     exact = {
         (r.vec_a, r.vec_b)
@@ -685,7 +693,7 @@ def test_embedding_ivf_dedup_recall(spark, sf_dir):
     }
     got = {
         (r.vec_a, r.vec_b)
-        for r in REGISTRY["dedup_embedding_ivf"].spark(spark, sf_dir).collect()
+        for r in dedup_embedding_ivf(spark, sf_dir).collect()
     }
     assert exact, "fixture should contain near-dup pairs"
     # candidate pre-filter never invents pairs; exact verify bounds them
@@ -915,9 +923,11 @@ def test_pagerank_mass_conserved(spark, sf_dir):
 
 
 def test_semantic_clusters_consistent_with_pairs(spark, sf_dir):
+    from _imdb_etl_spark.operators.similarity import dedup_embedding_ivf
+
     pairs = [
         (r.vec_a, r.vec_b)
-        for r in REGISTRY["dedup_embedding_ivf"].spark(spark, sf_dir).collect()
+        for r in dedup_embedding_ivf(spark, sf_dir).collect()
     ]
     labels = {
         r.vec_id: r.cluster_id
@@ -3458,6 +3468,45 @@ def test_winnow_pairs_replay_and_recall(spark, sf_dir):
     assert strong
     hit = sum(1 for p in strong if p in got)
     assert hit / len(strong) >= 0.8, f"winnow recall {hit}/{len(strong)}"
+
+
+def test_winnow_clusters_reconcile_with_pair_face(spark, sf_dir):
+    """dedup_winnow_clusters (the linear-output production face) must
+    state exactly the connected components of dedup_winnow_pairs's
+    edge set: a pure-Python union-find over the pair face's output —
+    a third implementation beside the Spark pointer-jumping CC and
+    the DuckDB recursive CTE — reproduces every (cluster_id,
+    cluster_size) row, with cluster_id = the component's min doc_id
+    and no singleton rows."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["dedup_winnow_pairs"].spark(spark, sf_dir).collect()
+    ]
+    assert pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for node in parent:
+        comps.setdefault(find(node), set()).add(node)
+    want = sorted((mn, len(members)) for mn, members in comps.items())
+    got = [
+        (r.cluster_id, r.cluster_size)
+        for r in REGISTRY["dedup_winnow_clusters"]
+        .spark(spark, sf_dir)
+        .collect()
+    ]
+    assert got == want
+    assert all(sz >= 2 for _cid, sz in got)  # no singleton rows
 
 
 def test_canary_scan_finds_sources_and_plants(spark, sf_dir):

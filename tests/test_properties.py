@@ -318,7 +318,13 @@ def _py_bpe_reference(texts: list[str], n_rounds: int):
                 counts[(s[i], s[i + 1])] += 1
         if not counts:
             break
-        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        # tie key = the chr(31)-joined pair string — EXACTLY the key
+        # both engines rank (corpus.py's `k` column); plain (a, b)
+        # tuple order agrees only while every symbol char > chr(31)
+        (a, b), cnt = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + chr(31) + kv[0][1]),
+        )
         merged = a + b
         nxt = []
         for s in streams:
@@ -441,9 +447,12 @@ def _py_bpe_batched_reference(
         for s in streams:
             for i in range(len(s) - 1):
                 counts[(s[i], s[i + 1])] += 1
-        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
-            :cand
-        ]
+        # same chr(31)-joined tie key as the engines (see the strict
+        # reference above)
+        ranked = sorted(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0] + chr(31) + kv[0][1]),
+        )[:cand]
         used: set = set()
         sel = []
         for (a, b), cnt in ranked:
