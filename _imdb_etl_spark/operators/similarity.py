@@ -1741,7 +1741,10 @@ pv AS (
 ),
 sil AS (
   SELECT centroid_id,
-         ROUND((sim_own - sim_next) / (1 - sim_next), 6) AS s
+         CASE WHEN sim_next >= 1
+              THEN CAST(0 AS DOUBLE)
+              ELSE ROUND((sim_own - sim_next) / (1 - sim_next), 6)
+         END AS s
   FROM pv
 )
 SELECT centroid_id,
@@ -1802,8 +1805,15 @@ def embedding_silhouette_simplified(
             F.max(F.when(F.col("arnk") == 2, F.col("sim"))).alias("sim_next"),
         )
     )
-    s = F.round(
-        (F.col("sim_own") - F.col("sim_next")) / (1 - F.col("sim_next")), 6
+    # a duplicated vector can sit at rounded cosine 1 to TWO centroids
+    # (found by the 100x probe: replication creates exact duplicate
+    # embeddings, 1 - sim_next = 0 threw DIVIDE_BY_ZERO); the standard
+    # silhouette convention for such ambiguous points is s = 0
+    s = F.when(F.col("sim_next") >= 1.0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("sim_own") - F.col("sim_next")) / (1 - F.col("sim_next")),
+            6,
+        )
     )
     return (
         pv.select("centroid_id", s.alias("s"))

@@ -1182,18 +1182,31 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_match_edges(
+def _winnow_rare_postings(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(fp, pairs): the ONE definition of the winnow match relation,
-    shared by the pair face and the cluster face. ``fp`` is the
-    materialized (doc_id, fingerprint-value) posting table (it feeds
-    the rarity filter, both pair-join sides, and the pair face's size
-    table — lazy, each consumer would re-run the O(chars x w) lambda
-    extraction); ``pairs`` is (doc_a, doc_b, n_shared) for pairs
-    sharing >= _WIN_MIN_SHARED rare fingerprint values."""
+    """(fp, rp): the materialized (doc_id, fingerprint-value) posting
+    table (it feeds the rarity filter, both pair-join sides, and the
+    pair face's size table — lazy, each consumer would re-run the
+    O(chars x w) lambda extraction) and its rare-filtered subset
+    (values at or under the corpus-relative boilerplate cap).
+
+    The posting table materializes to PARQUET, not a heap cache: it is
+    corpus-sized (tens of millions of (doc_id, md5-hex) rows at the
+    100x probe — a localCheckpoint of it plus the downstream joins
+    overran an 8g heap with GCLocker thrash), columnar-compresses
+    ~5x on the hex strings, and is exactly the 'persisted fingerprint
+    index' the registration docstrings describe at 100 TB. pid-staged
+    dir, reaped by the shared GC."""
+    import os
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
     (docs,) = load_tables(spark, sf_dir, "documents")
-    fp = (
+    base = f"/root/repo/spark-warehouse/winnow_fp_{os.getpid()}"
+    reap_stale_pid_dirs(os.path.dirname(base), "winnow_fp")
+    path = f"{base}/{os.path.basename(os.path.normpath(sf_dir))}"
+    fp_lazy = (
         winnow_arrays(docs)
         .select(
             "doc_id",
@@ -1202,8 +1215,9 @@ def _winnow_match_edges(
             ).alias("v"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    fp_lazy.write.mode("overwrite").parquet(path)
+    fp = spark.read.parquet(path)
     n_docs = docs.count()
     cap = max(_WIN_DF_FLOOR, -(-_WIN_DF_PERMILLE * n_docs // 1000))
     rare = (
@@ -1212,7 +1226,17 @@ def _winnow_match_edges(
         .where(F.col("df") <= cap)
         .select("v")
     )
-    a = fp.join(rare, "v").select(F.col("doc_id").alias("doc_a"), "v")
+    return fp, fp.join(rare, "v")
+
+
+def _winnow_match_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(fp, pairs): the ONE definition of the winnow match relation —
+    ``pairs`` is (doc_a, doc_b, n_shared) for pairs sharing >=
+    _WIN_MIN_SHARED rare fingerprint values."""
+    fp, rp = _winnow_rare_postings(spark, sf_dir)
+    a = rp.select(F.col("doc_id").alias("doc_a"), "v")
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("v").alias("vb"))
     pairs = (
         a.join(b, (F.col("v") == F.col("vb")) & (F.col("doc_a") < F.col("doc_b")))
@@ -1261,27 +1285,143 @@ ORDER BY cluster_id
     "100x probe); this face's output is linear in the number of "
     "clusters (singleton docs — no match edge — are not emitted, so "
     "rows = duplicate clusters only). The edge derivation is the "
-    "identical shared helper (_winnow_match_edges) so the two faces "
-    "cannot drift; the oracle states the same fixpoint as a recursive "
-    "CTE over the pair face's own SQL. Cluster sizes are reconciled "
-    "against a pure-Python union-find over the pair face's output in "
-    "pytest (third implementation).",
+    "identical shared posting helper (_winnow_rare_postings) so the "
+    "two faces cannot drift; the oracle states the same fixpoint as a "
+    "recursive CTE over the pair face's own SQL. Cluster sizes are "
+    "reconciled against a pure-Python union-find over the pair face's "
+    "output in pytest (third implementation). Scale lever (found when "
+    "the naive pair-graph CC thrashed the JVM at the 100x probe): "
+    "n_shared depends ONLY on the two docs' rare-fingerprint-set "
+    "intersection, so docs with IDENTICAL rare sets are "
+    "interchangeable — they contract to one super-node before any "
+    "pair expansion (exact duplicates, the bulk of any duplicate "
+    "cluster, collapse first), the quadratic pair join and the CC "
+    "iterations run on the contracted group graph, and member counts "
+    "expand back at the end. Docs whose rare set has < MIN_SHARED "
+    "values can never reach the threshold with anyone and are pruned "
+    "before the join.",
 )
 def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from _imdb_etl_spark.operators.dedup import connected_components
 
-    _fp, pairs = _winnow_match_edges(spark, sf_dir)
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
-        )
-        .persist()
+    _fp, rp = _winnow_rare_postings(spark, sf_dir)
+    # dictionary-encode fingerprint values (EXACT, the PPJoin index's
+    # integer-gid pattern): every downstream shuffle — the contraction
+    # sets, the quadratic candidate join, the CC edge rounds — carries
+    # 8-byte ints instead of 32-char md5 hex. The id values are
+    # partition-dependent (monotonically_increasing_id) but never
+    # reach the output: connectivity is invariant under any injective
+    # relabeling.
+    vdict = (
+        rp.select("v")
+        .distinct()
+        .select("v", F.monotonically_increasing_id().alias("vid"))
     )
+    rpi = rp.join(vdict, "v").select("doc_id", "vid")
+    # contract identical rare sets: one representative (min doc_id)
+    # per distinct set; docs whose rare set is too small to ever reach
+    # the threshold are pruned up front
+    docsets = (
+        rpi.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("vid")).alias("vs"))
+        .where(F.size("vs") >= _WIN_MIN_SHARED)
+    )
+    gmap = (
+        docsets.groupBy("vs")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.count(F.lit(1)).alias("members"),
+        )
+        .localCheckpoint()
+    )
+    # Per-VALUE spanning forests instead of the full qualifying-pair
+    # relation. The global qualifying graph is the union over value
+    # buckets of each bucket's local qualifying subgraph (every
+    # qualifying pair co-occurs in >= MIN_SHARED buckets), and a
+    # spanning forest per bucket preserves each bucket subgraph's
+    # connectivity — so the union of per-bucket forests has EXACTLY
+    # the connected components of the full pair graph while carrying
+    # <= df-1 edges per bucket instead of up to C(df, 2). Measured
+    # necessity at the 100x probe: the full qualifying relation there
+    # is 172M pairs (1.5e9 co-occurrence rows through a shuffle-join
+    # route; 200 s even map-side) — the forest route feeds CC <10M
+    # edges. Each bucket is one Arrow batch row: pairwise shared
+    # counts via a single BLAS GEMM on the bucket's binary
+    # member x value matrix (the dedup_embedding_cosine_ivf trick),
+    # then a vectorized min-label/pointer-jump loop (O(log df)
+    # iterations on a <= cap x cap boolean matrix) emits one edge per
+    # non-root member. Bucket width is bounded by the boilerplate cap,
+    # so batch memory is C(cap) x |local universe| ints.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gposts = gmap.select("gid", "vs", F.explode("vs").alias("vid"))
+    buckets = (
+        gposts.groupBy("vid")
+        .agg(F.collect_list(F.struct("gid", "vs")).alias("ms"))
+        .where(F.size("ms") >= 2)
+        .select("ms")
+    )
+    edge_schema = StructType(
+        [StructField("a", LongType()), StructField("b", LongType())]
+    )
+    min_shared = _WIN_MIN_SHARED
+
+    def bucket_forests(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            for ms in pdf["ms"]:
+                n = len(ms)
+                gids = np.fromiter((m["gid"] for m in ms), dtype=np.int64)
+                sets = [np.asarray(m["vs"], dtype=np.int64) for m in ms]
+                lens = np.fromiter((len(s) for s in sets), dtype=np.int64)
+                _uniq, inv = np.unique(np.concatenate(sets), return_inverse=True)
+                rows = np.repeat(np.arange(n), lens)
+                m = np.zeros((n, len(_uniq)), dtype=np.float32)
+                m[rows, inv] = 1.0
+                shared = m @ m.T
+                adj = shared >= min_shared
+                np.fill_diagonal(adj, False)
+                if not adj.any():
+                    continue
+                labels = np.arange(n)
+                while True:
+                    nbr = np.where(adj, labels[None, :], n).min(axis=1)
+                    nxt = np.minimum(labels, nbr)
+                    nxt = np.minimum(nxt, nxt[nxt])  # pointer jump
+                    if np.array_equal(nxt, labels):
+                        break
+                    labels = nxt
+                mask = labels != np.arange(n)
+                fa, fb = gids[mask], gids[labels[mask]]
+                out_a.extend((fa, fb))  # both directions: CC wants a
+                out_b.extend((fb, fa))  # symmetric edge list
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                    }
+                )
+
+    edges = buckets.mapInPandas(bucket_forests, edge_schema).persist()
     labels, _ = connected_components(edges)
+    # isolated groups keep their own gid as the label; clusters of one
+    # doc (an isolated single-member group) have no pair edge in the
+    # uncontracted graph and are not emitted
+    glabel = gmap.join(
+        labels, gmap["gid"] == labels["doc_id"], "left"
+    ).select(
+        F.coalesce(labels["cluster_id"], gmap["gid"]).alias("cluster_id"),
+        "members",
+    )
     out = (
-        labels.groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        glabel.groupBy("cluster_id")
+        .agg(F.sum("members").cast("long").alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
         .orderBy("cluster_id")
     )
     edges.unpersist()
