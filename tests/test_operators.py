@@ -1259,6 +1259,29 @@ def test_cusum_peak_localizes_planted_shift(spark):
     assert out[0].changepoint_hour == "2024-01-01 23:00:00"
 
 
+def test_bpe_checkpoint_namespace_isolated_across_invocations(
+    spark, monkeypatch
+):
+    """Round-7 advisory: successive trainer invocations in one process
+    must not overwrite each other's still-referenced checkpoint
+    parquet. Run trainer 1, let trainer 2 checkpoint afterwards, then
+    force trainer 1's post-checkpoint stream to RE-EXECUTE its plan
+    (unpersist first — the cache would mask a clobbered file): the
+    re-read must reproduce the original stream."""
+    from _imdb_etl_spark.operators import corpus
+
+    monkeypatch.setattr(corpus, "_BPE_CKPT_EVERY", 2)
+    docs1 = spark.createDataFrame([("aa ab aa ab",)], "text string")
+    docs2 = spark.createDataFrame([("zz zy zz zy zz",)], "text string")
+    _t1, s1 = corpus._bpe_train(spark, docs1, 3)  # ckpt fires at k=2
+    before = sorted(tuple(r) for r in s1.collect())
+    _t2, s2 = corpus._bpe_train(spark, docs2, 3)  # would clobber gen_2
+    s1.unpersist()
+    after = sorted(tuple(r) for r in s1.collect())
+    s2.unpersist()
+    assert after == before
+
+
 def test_bpe_merges_count_positions_exactly(spark, sf_dir):
     """Total pair mass equals sum(len(w)-1) over all tokens, and the
     top merge beats every other returned pair."""
