@@ -897,25 +897,56 @@ ORDER BY flag
     "in tests/test_operators.py.",
 )
 def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The EXACT side of the band check comes from the spillable
+    # distribution route — groupBy-(value)-count, then the cumulative
+    # distribution over the per-flag value-ordered window, then the
+    # ANSI percentile_disc rule (first value whose CUME_DIST >= q) —
+    # NOT from six percentile_disc aggregates: percentile_disc's
+    # aggregation buffer is a non-spillable per-group value->count
+    # map, and at the 100x probe (240M rows, 32 concurrent partial
+    # buffers in one 8g JVM) that OOMed the executor. Everything in
+    # this route — hash aggregate, window sort — spills to disk; the
+    # per-flag window holds DISTINCT values only, externally sorted.
+    # Pinned against percentile_disc expressions on random data in
+    # tests/test_operators.py (the buffer-bound form stays correct as
+    # the oracle of the scalable form).
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
+    dist = lineitem.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cume = dist.select(
+        "flag",
+        "price",
+        "cnt",
+        (
+            F.sum("cnt").over(wcum)
+            / F.sum("cnt").over(Window.partitionBy("flag"))
+        ).alias("cd"),
+    )
 
     def disc(q: float):
-        return F.expr(
-            f"percentile_disc({q}) WITHIN GROUP (ORDER BY l_extendedprice)"
-        )
+        return F.min(F.when(F.col("cd") >= q, F.col("price")))
 
+    exact = cume.groupBy("flag").agg(
+        disc(0.5).alias("e50"),
+        disc(0.9).alias("e90"),
+        disc(0.5 - _RANK_BAND).alias("lo50"),
+        disc(0.5 + _RANK_BAND).alias("hi50"),
+        disc(0.9 - _RANK_BAND).alias("lo90"),
+        disc(0.9 + _RANK_BAND).alias("hi90"),
+    )
+    approx = lineitem.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile_approx("l_extendedprice", 0.5, _GK_ACCURACY).alias("a50"),
+        F.percentile_approx("l_extendedprice", 0.9, _GK_ACCURACY).alias("a90"),
+    )
     return (
-        lineitem.groupBy(F.col("l_returnflag").alias("flag"))
-        .agg(
-            disc(0.5).alias("e50"),
-            disc(0.9).alias("e90"),
-            disc(0.5 - _RANK_BAND).alias("lo50"),
-            disc(0.5 + _RANK_BAND).alias("hi50"),
-            disc(0.9 - _RANK_BAND).alias("lo90"),
-            disc(0.9 + _RANK_BAND).alias("hi90"),
-            F.percentile_approx("l_extendedprice", 0.5, _GK_ACCURACY).alias("a50"),
-            F.percentile_approx("l_extendedprice", 0.9, _GK_ACCURACY).alias("a90"),
-        )
+        exact.join(approx, "flag")
         .select(
             "flag",
             F.round("e50", 2).alias("p50_price"),

@@ -594,6 +594,67 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
             assert abs(a - e) / e < 0.05, (r.flag, e, a)
 
 
+def test_cume_dist_quantile_route_matches_percentile_disc(spark):
+    """The spillable distribution route inside approx_quantiles_price
+    (value-count aggregate + CUME_DIST window + 'first value whose
+    cumulative distribution >= q') must select the IDENTICAL value
+    percentile_disc selects, for every q the face uses, on adversarial
+    data: heavy ties, singleton groups, and group sizes that put q*n
+    exactly on a value boundary (the 100x probe OOMed the
+    percentile_disc buffer form; this pins the replacement to it at
+    test scale)."""
+    import random
+
+    from pyspark.sql import Window
+
+    rnd = random.Random(8)
+    rows = []
+    for flag, n in (("A", 200), ("B", 1), ("C", 50), ("D", 100)):
+        for _ in range(n):
+            rows.append((flag, float(rnd.choice(range(1, 12))) / 4))
+    df = spark.createDataFrame(rows, "flag string, price double")
+    qs = [0.48, 0.5, 0.52, 0.88, 0.9, 0.92]
+    want = {
+        r.flag: tuple(r[1:])
+        for r in df.groupBy("flag")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({q}) WITHIN GROUP (ORDER BY price)"
+                ).alias(f"q{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+        .collect()
+    }
+    dist = df.groupBy("flag", "price").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cume = dist.select(
+        "flag",
+        "price",
+        (
+            F.sum("cnt").over(wcum)
+            / F.sum("cnt").over(Window.partitionBy("flag"))
+        ).alias("cd"),
+    )
+    got = {
+        r.flag: tuple(r[1:])
+        for r in cume.groupBy("flag")
+        .agg(
+            *[
+                F.min(F.when(F.col("cd") >= q, F.col("price"))).alias(f"q{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_pii_redact_counts_and_cleanliness(spark, sf_dir):
     rows = REGISTRY["text_pii_redact"].spark(spark, sf_dir).collect()
     assert rows
