@@ -17,6 +17,8 @@ per engine).
 
 from __future__ import annotations
 
+import itertools as _itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1182,6 +1184,19 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_RUN_SEQ = _itertools.count()
+
+
+def _winnow_stage_base() -> str:
+    """Per-process root for winnow staging parquet (postings index,
+    contracted group table). pid-suffixed so concurrent harness runs
+    never race on one path; leaves under it are run-counter-namespaced
+    per invocation (see _WIN_RUN_SEQ uses)."""
+    import os
+
+    return f"/root/repo/spark-warehouse/winnow_fp_{os.getpid()}"
+
+
 def _winnow_rare_postings(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -1197,15 +1212,22 @@ def _winnow_rare_postings(
     overran an 8g heap with GCLocker thrash), columnar-compresses
     ~5x on the hex strings, and is exactly the 'persisted fingerprint
     index' the registration docstrings describe at 100 TB. pid-staged
-    dir, reaped by the shared GC."""
+    dir, reaped by the shared GC; the leaf is additionally namespaced
+    with a per-invocation run counter (the BPE _BPE_RUN_SEQ pattern)
+    so a still-referenced lazy DataFrame from a PRIOR invocation never
+    re-reads files a later invocation rewrote mid-plan, and two sf_dirs
+    sharing a basename cannot collide."""
     import os
 
     from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
 
     (docs,) = load_tables(spark, sf_dir, "documents")
-    base = f"/root/repo/spark-warehouse/winnow_fp_{os.getpid()}"
+    base = _winnow_stage_base()
     reap_stale_pid_dirs(os.path.dirname(base), "winnow_fp")
-    path = f"{base}/{os.path.basename(os.path.normpath(sf_dir))}"
+    path = (
+        f"{base}/run{next(_WIN_RUN_SEQ)}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
     fp_lazy = (
         winnow_arrays(docs)
         .select(
@@ -1305,19 +1327,22 @@ def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from _imdb_etl_spark.operators.dedup import connected_components
 
     _fp, rp = _winnow_rare_postings(spark, sf_dir)
-    # dictionary-encode fingerprint values (EXACT, the PPJoin index's
+    # dictionary-encode fingerprint values (the PPJoin index's
     # integer-gid pattern): every downstream shuffle — the contraction
     # sets, the quadratic candidate join, the CC edge rounds — carries
-    # 8-byte ints instead of 32-char md5 hex. The id values are
-    # partition-dependent (monotonically_increasing_id) but never
-    # reach the output: connectivity is invariant under any injective
-    # relabeling.
-    vdict = (
-        rp.select("v")
-        .distinct()
-        .select("v", F.monotonically_increasing_id().alias("vid"))
-    )
-    rpi = rp.join(vdict, "v").select("doc_id", "vid")
+    # 8-byte ints instead of 32-char md5 hex. The vid MUST be a pure
+    # function of the value (xxhash64 here), not
+    # monotonically_increasing_id after a distinct: under task retry /
+    # speculative execution a shuffled distinct's row order is not
+    # stable, so positional ids can assign the same value different
+    # vids across recomputed partitions — identical rare sets would
+    # then fail to contract and GEMM intersection counts undercount.
+    # A deterministic hash also deletes the vdict distinct+join
+    # (one shuffle and one join fewer). A 64-bit collision (p ~ n^2 /
+    # 2^65 over md5-hex inputs) would merge two fingerprint values;
+    # negligible, and detectable by comparing count(distinct v) to
+    # count(distinct vid) on the postings index.
+    rpi = rp.select("doc_id", F.xxhash64("v").alias("vid"))
     # contract identical rare sets: one representative (min doc_id)
     # per distinct set; docs whose rare set is too small to ever reach
     # the threshold are pruned up front
@@ -1326,14 +1351,23 @@ def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("vid")).alias("vs"))
         .where(F.size("vs") >= _WIN_MIN_SHARED)
     )
-    gmap = (
+    # The contracted group table feeds three consumers (bucket
+    # explosion, the CC label join, the member-count expansion); stage
+    # it to parquet like the postings index — executor-heap
+    # localCheckpoint is the same mechanism whose GCLocker thrash the
+    # postings table hit at the 100x probe, and the parquet route is
+    # the consistent persisted-index answer at 100 TB.
+    gpath = f"{_winnow_stage_base()}/run{next(_WIN_RUN_SEQ)}_groups"
+    (
         docsets.groupBy("vs")
         .agg(
             F.min("doc_id").alias("gid"),
             F.count(F.lit(1)).alias("members"),
         )
-        .localCheckpoint()
+        .write.mode("overwrite")
+        .parquet(gpath)
     )
+    gmap = spark.read.parquet(gpath)
     # Per-VALUE spanning forests instead of the full qualifying-pair
     # relation. The global qualifying graph is the union over value
     # buckets of each bucket's local qualifying subgraph (every

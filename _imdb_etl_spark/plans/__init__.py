@@ -53,238 +53,336 @@ GATE_WINDOW_SIZE = 50
 # window to the BACK of _GATE_REST, replay the new window at sf0.01
 # (tools/check.py) before committing.
 #
-# Round 8 window (rotation per the round-7 verdict task 1, applied at
-# round start): the first 50 of the round-7 _GATE_REST verbatim, with
-# ONE substitution the round-7 verdict itself prescribed (task 4):
-# dedup_embedding_ivf — demoted this round to the pytest verifier
-# behind its output-identical GEMM twin (operators/similarity.py, the
-# round-6 precedent; it was the registry's only sf1 watchdog cap-out
-# at 434 s) — yields its slot to dedup_winnow_clusters, the newly
-# implemented cluster-level production face of winnowing dedup
-# (round-7 verdict task 3). Composition: the 45 never-gated names
-# from tools/ledger.py (44 carried + dedup_winnow_clusters new), the
-# 3 policy re-gates (sim_knn_ivfpq helper refactor,
-# tokenizer_bpe_train_n checkpoint-namespace fix, dedup_winnow_pairs
-# edge-helper refactor — this round''s corpus.py/text.py changes touch
-# the last two, so their fresh rows certify the final code), and 2
-# refresh slots (vocab_oov_rate, fact_star_left_joins). All 50
-# replayed green locally at sf0.001 + sf0.01 before commit. After
-# this round EVERY registered query has a driver row: the
-# never-gated ledger is closed.
+# Round 9 window (rotation per the round-8 verdict task 1, applied at
+# round start). The round-8 verdict prescribed "the first 50 of
+# _GATE_REST verbatim" believing that queue was oldest-evidence-first;
+# auditing the raw CORRECTNESS_r1..r8 artifacts showed it was NOT —
+# the 35 r1-era and 33 r3-era rows were never in _GATE_ORDER at all
+# (they sat appended after it in registration order), while
+# _GATE_REST[:50] carried mostly r4/r5 evidence. The verdict's own
+# done-criterion ("ledger oldest-row list starts at r2+") is only
+# reachable by rotating to the true oldest rows, so this round the
+# entire _GATE_ORDER was rebuilt strictly oldest-driver-row-first:
+# sorted by (latest CORRECTNESS round, name) over all 306 registered
+# names. Window = the 50 oldest (all 35 r1 rows + the 15 oldest r3
+# rows); _GATE_REST = the remaining 256 in the same order, so future
+# rotations are a pure take-the-prefix. Replayed green at sf0.001 +
+# sf0.01 (tools/check.py, full registry) before commit.
 GATE_WINDOW = [
-    "multimodal_audio_pitch",
-    "events_ewma_burst",
-    "corpus_ccnet_buckets",
-    "retrieval_hard_negatives",
-    "neardup_kcore",
-    "source_schema_evolution",
-    "runtime_bloom_filter_join",
-    "sim_knn_binary_rerank",
-    "aqe_skew_join_events",
-    "dq_observe_metrics",
-    "corpus_span_corruption",
-    "events_new_vs_returning",
-    "corpus_batch_padding_plan",
-    "text_hashing_vectorizer",
-    "tokenizer_vocab_coverage_ladder",
-    "dedup_minhash_index_persisted",
-    "privacy_pseudonymize_users",
-    "sql_identifier_binding",
-    "features_user_daily",
-    "reco_negative_sampling",
-    "features_target_encoding",
-    "sql_session_variable",
-    "features_psi_drift",
-    "embedding_silhouette_simplified",
-    "events_forecast_backtest",
-    "text_winnowing_fingerprints",
-    "scalar_try_suite",
-    "dedup_winnow_pairs",
-    "corpus_canary_scan",
-    "corpus_datasheet",
-    "sketch_distinct_kmv_setops",
-    "events_attribution_last_touch",
-    "privacy_k_anonymity_audit",
-    "scalar_map_suite",
-    "distinct_users_bitmap_exact",
-    "streaming_foreachbatch_upsert",
-    "sink_dynamic_partition_backfill",
-    "events_attribution_linear",
-    "sim_knn_ivfpq_refined",
-    "sim_knn_ivfpq",
-    "dedup_winnow_clusters",
-    "dedup_jaccard_prefix_persisted",
-    "dedup_jaccard_prefix_incremental",
-    "corpus_canary_scan_many",
-    "dedup_lsh_recall_audit",
-    "tokenizer_bpe_train_batched",
-    "fuzzy_part_name_groups",
-    "tokenizer_bpe_train_n",
-    "vocab_oov_rate",
-    "fact_star_left_joins",
+    "anti_join_small_spenders",
+    "case_date_buckets",
+    "cross_join_dense_grid",
+    "dim_people_fanout_distinct",
+    "embedding_array_stats",
+    "graf1_orders_by_priority",
+    "graf2_avg_quantity_by_type",
+    "graf3_top10_customers",
+    "graf5_top10_suppliers_by_items",
+    "graf6_customers_by_nation",
+    "having_frequent_customers",
+    "merge_scd1_vip_segment",
+    "p1_projection_rename",
+    "p2_distinct_projection",
+    "p3_degenerate_dim",
+    "quantiles_price_by_flag",
+    "rollup_orders_status_priority",
+    "salted_agg_by_priority",
+    "sample_deterministic_orders",
+    "sample_stratified_customers",
+    "semi_join_big_spenders",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "window_suite_customer_orders",
+    "crossmodal_textdup_cosine",
+    "decontaminate_vs_eval",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dq_constraint_checks",
+    "dq_null_profile",
+    "grouping_sets_mixed",
+    "multimodal_features",
+    "range_join_price_bands",
+    "scalar_array_suite",
+    "scalar_date_suite",
+    "scalar_null_suite",
+    "scalar_string_suite",
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
 ]
 # everything below keeps per-round local coverage (tools/check.py +
-# pytest); ordering = round-9 rotation priority. With the never-gated
-# ledger closed, the queue is pure refresh order: oldest driver rows
-# first (the r1-r5 era spillover), then the retired round-6 window
-# (r6 rows), then the retired round-7 window (r7 rows, newest
-# evidence) at the back.
+# pytest); ordering = rotation priority, strictly oldest driver row
+# first (ties broken by name), rebuilt this round from the raw
+# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
+# window, append the retired window to the BACK (its rows are then the
+# newest), re-sorting is only needed if a demotion/registration
+# changes the set.
 _GATE_REST = [
-    "merge_scd2_customer_history",
-    "approx_quantiles_price",
-    "approx_distinct_users",
-    "sim_knn_ivf_trained",
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "corpus_balanced_sample",
-    "streaming_join_view_purchase",
-    "grouped_agg_pandas_udaf",
-    "sql_udf_revenue",
-    "recursive_cte_amortization",
-    "lateral_top_orders_per_customer",
-    "pysink_roundtrip_docs",
-    "embedding_quantize_int8",
-    "xml_roundtrip_source",
-    "sql_tvf_brand_stats",
-    "scd2_point_in_time_join",
-    "window_range_trailing_30d",
-    "stringagg_top_customers_per_nation",
-    "corpus_temperature_sample",
-    "neardup_graph_stats",
-    "decontaminate_embedding",
-    "embedding_centroid_cohesion",
-    "sim_knn_pq",
-    "multimodal_phash_dedup",
-    "events_funnel_analysis",
-    "text_duplicate_spans",
-    "pipeline_pretrain_mix",
-    "zorder_events_locality",
-    "split_leakage_audit",
-    "events_retention_cohorts",
-    "events_value_drift_daily",
-    "corpus_token_budget_plan",
-    "multimodal_audio_stats",
-    "multimodal_shot_boundaries",
-    "embedding_pca_top_component",
-    "events_markov_transitions",
-    "neardup_pagerank",
-    "events_session_window_native",
-    "decontaminate_bloom",
-    "text_lang_id_confusion",
-    "corpus_source_quality_profile",
-    "dedup_cluster_size_histogram",
-    "dedup_clusters",
-    "corpus_domain_cap",
-    "jsonl_roundtrip_source",
+    "sql_api_cte_nations",
+    "text_chunk_documents",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_normalize_tokens",
+    "text_quality",
+    "text_stats",
+    "text_token_count_bpe",
+    "tpch_q11_important_part_value",
+    "tpch_q16_supplier_part_variety",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_prospective_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "vocab_top_words",
+    "window_suite2_distribution",
+    "asof_join_purchase_view",
+    "boilerplate_ngram_filter",
+    "cdc_snapshot_diff",
+    "collation_ci_group",
+    "corpus_length_histogram",
+    "corpus_pack_shards",
+    "dedup_corpus_lines",
+    "dedup_incremental_batch",
     "dedup_simhash",
-    "sim_knn_lsh",
-    "sim_knn_bruteforce",
+    "embedding_norms_arrow",
+    "events_daily_pivot",
+    "events_gapfill_hourly",
+    "events_granularity_ladder",
     "events_hourly_rollup",
-    "streaming_hourly_rollup",
+    "events_props_json",
+    "events_props_udtf",
+    "events_props_variant",
+    "events_sessionize",
+    "events_unpivot_daily",
+    "graf4_top3_customers_top3_nations",
+    "grouped_map_user_gaps",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "null_safe_join_priorities",
     "pipeline_docs_prep",
+    "pysource_synthetic_docs",
+    "sim_knn_lsh",
+    "skew_join_salted_events",
+    "split_train_val_test",
+    "streaming_dedup_events",
+    "streaming_enrich_events",
+    "streaming_hourly_rollup",
+    "streaming_pysource_bucket_counts",
+    "streaming_sessionize",
+    "streaming_stateful_user_totals",
+    "text_pii_redact",
+    "text_repetition_scores",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q15_top_supplier",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "unigram_logprob_quality",
     "w1_top3_parts_per_brand",
-    "graf4_top3_customers_top3_nations",
-    "imdb_reference_parity",
-    "dedup_jaccard_lsh",
+    "approx_distinct_users",
+    "approx_quantiles_price",
+    "corpus_balanced_sample",
+    "corpus_domain_cap",
+    "corpus_source_quality_profile",
+    "corpus_temperature_sample",
+    "corpus_token_budget_plan",
+    "decontaminate_bloom",
+    "decontaminate_embedding",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters",
+    "embedding_centroid_cohesion",
+    "embedding_pca_top_component",
+    "embedding_quantize_int8",
+    "events_funnel_analysis",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_session_window_native",
+    "events_value_drift_daily",
+    "grouped_agg_pandas_udaf",
+    "jsonl_roundtrip_source",
+    "lateral_top_orders_per_customer",
+    "merge_scd2_customer_history",
+    "multimodal_audio_stats",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_phash_dedup",
+    "multimodal_shot_boundaries",
+    "neardup_graph_stats",
+    "neardup_pagerank",
+    "pipeline_pretrain_mix",
+    "pysink_roundtrip_docs",
+    "recursive_cte_amortization",
+    "scd2_point_in_time_join",
+    "sim_knn_ivf_trained",
+    "sim_knn_pq",
+    "split_leakage_audit",
+    "sql_tvf_brand_stats",
+    "sql_udf_revenue",
+    "streaming_join_view_purchase",
+    "stringagg_top_customers_per_nation",
+    "text_duplicate_spans",
+    "text_lang_id_confusion",
+    "window_range_trailing_30d",
+    "xml_roundtrip_source",
+    "zorder_events_locality",
+    "basket_part_affinity",
+    "corpus_chars_tokens_regression",
+    "corpus_entropy_profile",
+    "corpus_epoch_shuffle",
+    "corpus_ngram_novelty",
+    "corpus_upsample_epochs",
+    "dedup_cdc_chunks",
     "dedup_containment_lsh",
     "dedup_embedding_cosine_ivf",
+    "dedup_jaccard_lsh",
+    "dedup_keep_best",
     "dedup_minhash_lsh",
-    "streaming_corpus_ingest",
     "dedup_semantic_clusters",
     "dedup_threshold_sweep",
-    "text_bm25_search",
-    "text_bigram_lm_score",
-    "dedup_keep_best",
     "events_anomaly_mad",
-    "sql_pipe_revenue",
-    "sketch_heavy_users_cms",
-    "orc_roundtrip_source",
-    "dedup_cdc_chunks",
-    "text_tfidf_keywords",
-    "corpus_chars_tokens_regression",
+    "events_conversion_latency",
+    "events_cusum_changepoint",
+    "events_funnel_time_bound",
     "events_rollup_incremental",
-    "sim_knn_ivf_persisted",
     "events_sliding_distinct_hll",
     "events_welch_ttest",
-    "corpus_ngram_novelty",
-    "corpus_entropy_profile",
-    "events_cusum_changepoint",
-    "tokenizer_bpe_first_merges",
-    "text_embed_batch_inference",
-    "events_conversion_latency",
-    "quality_logreg_scorecard",
-    "quality_score_auc",
-    "quality_pr_curve",
-    "retrieval_hybrid_rrf",
-    "shuffle_skew_profile",
-    "corpus_upsample_epochs",
-    "corpus_epoch_shuffle",
-    "split_temporal_embargo",
-    "tokenizer_bpe_apply_merge",
-    "basket_part_affinity",
-    "events_funnel_time_bound",
-    "sim_recall_curve",
-    "scalar_timestamp_suite",
-    "text_lm_heldout_perplexity",
-    "sql_parameterized_revenue",
-    "sql_group_by_all_revenue",
-    "udtf_polymorphic_first_tokens",
-    "pysource_pushdown_range",
     "grouped_arrow_user_stats",
+    "imdb_reference_parity",
+    "orc_roundtrip_source",
+    "pysource_pushdown_range",
+    "quality_logreg_scorecard",
+    "quality_pr_curve",
+    "quality_score_auc",
+    "retrieval_hybrid_rrf",
+    "scalar_timestamp_suite",
     "setop_except_all_views",
     "setop_intersect_all_views",
-    "tokenizer_bpe_encode",
-    "fuzzy_part_name_match",
-    "dedup_incremental_minhash",
-    "cube_orders_status_year",
-    "median_exact_price_per_brand",
-    "audit_referential_integrity",
-    "profile_table_orders",
-    "dedup_jaccard_prefix",
-    "text_cooccurrence_pmi",
-    "events_gapfill_interpolate",
-    "corpus_weighted_reservoir",
-    "bucketed_join_orders_lineitem",
-    "events_mannwhitney_u",
+    "shuffle_skew_profile",
+    "sim_knn_ivf_persisted",
+    "sim_recall_curve",
+    "sketch_heavy_users_cms",
+    "split_temporal_embargo",
+    "sql_group_by_all_revenue",
+    "sql_parameterized_revenue",
+    "sql_pipe_revenue",
+    "streaming_corpus_ingest",
+    "text_bigram_lm_score",
+    "text_bm25_search",
+    "text_embed_batch_inference",
+    "text_lm_heldout_perplexity",
+    "text_tfidf_keywords",
+    "tokenizer_bpe_apply_merge",
+    "tokenizer_bpe_first_merges",
+    "udtf_polymorphic_first_tokens",
     "audit_benford_totalprice",
-    "customers_rfm_segments",
-    "customers_gini_spend",
-    "orders_spearman_price_items",
-    "corpus_js_divergence",
-    "events_seasonal_anomaly",
-    "parts_abc_classification",
-    "embedding_matryoshka_recall",
-    "orders_cohort_ltv",
-    "events_ab_srm_check",
-    "orders_mom_yoy_growth",
-    "events_dau_wau_mau",
-    "events_attribution_first_touch",
-    "scalar_bitwise_suite",
-    "events_bot_regularity",
-    "neardup_rate_by_source",
-    "embedding_outlier_mahalanobis",
-    "privacy_dp_noisy_counts",
-    "events_ks_two_sample",
-    "events_attribution_time_decay",
-    "lineitem_weighted_median_price",
-    "supplier_hhi_by_nation",
-    "vocab_zipf_slope",
-    "events_decompose_additive",
-    "events_acf_lag1",
+    "audit_referential_integrity",
+    "bucketed_join_orders_lineitem",
     "corpus_dsir_importance",
-    "dedup_soft_weights",
-    "shipping_lag_percentiles",
-    "events_survival_km",
-    "events_ab_conversion_ztest",
+    "corpus_js_divergence",
+    "corpus_weighted_reservoir",
+    "cube_orders_status_year",
+    "customers_gini_spend",
+    "customers_rfm_segments",
     "customers_tier_migration",
+    "dedup_incremental_minhash",
+    "dedup_jaccard_prefix",
+    "dedup_soft_weights",
+    "embedding_matryoshka_recall",
+    "embedding_outlier_mahalanobis",
+    "events_ab_conversion_ztest",
+    "events_ab_srm_check",
+    "events_acf_lag1",
+    "events_attribution_first_touch",
+    "events_attribution_time_decay",
+    "events_bot_regularity",
+    "events_dau_wau_mau",
+    "events_decompose_additive",
+    "events_gapfill_interpolate",
     "events_interval_coalesce",
+    "events_ks_two_sample",
+    "events_mannwhitney_u",
+    "events_seasonal_anomaly",
     "events_sequence_pattern",
-    "quality_calibration_bins",
+    "events_survival_km",
+    "lineitem_weighted_median_price",
+    "median_exact_price_per_brand",
     "multimodal_audio_segments",
-    "text_remove_duplicate_spans",
     "neardup_clustering_coefficient",
+    "neardup_rate_by_source",
+    "orders_cohort_ltv",
+    "orders_mom_yoy_growth",
+    "orders_spearman_price_items",
+    "parts_abc_classification",
+    "privacy_dp_noisy_counts",
+    "profile_table_orders",
+    "quality_calibration_bins",
+    "scalar_bitwise_suite",
+    "shipping_lag_percentiles",
+    "supplier_hhi_by_nation",
+    "text_cooccurrence_pmi",
+    "text_remove_duplicate_spans",
+    "tokenizer_bpe_encode",
+    "vocab_zipf_slope",
+    "aqe_skew_join_events",
+    "corpus_batch_padding_plan",
+    "corpus_canary_scan",
+    "corpus_canary_scan_many",
+    "corpus_ccnet_buckets",
+    "corpus_datasheet",
+    "corpus_span_corruption",
+    "dedup_jaccard_prefix_incremental",
+    "dedup_jaccard_prefix_persisted",
+    "dedup_lsh_recall_audit",
+    "dedup_minhash_index_persisted",
+    "dedup_winnow_clusters",
+    "dedup_winnow_pairs",
+    "distinct_users_bitmap_exact",
+    "dq_observe_metrics",
+    "embedding_silhouette_simplified",
+    "events_attribution_last_touch",
+    "events_attribution_linear",
+    "events_ewma_burst",
+    "events_forecast_backtest",
+    "events_new_vs_returning",
+    "fact_star_left_joins",
+    "features_psi_drift",
+    "features_target_encoding",
+    "features_user_daily",
+    "fuzzy_part_name_groups",
+    "multimodal_audio_pitch",
+    "neardup_kcore",
+    "privacy_k_anonymity_audit",
+    "privacy_pseudonymize_users",
+    "reco_negative_sampling",
+    "retrieval_hard_negatives",
+    "runtime_bloom_filter_join",
+    "scalar_map_suite",
+    "scalar_try_suite",
+    "sim_knn_binary_rerank",
+    "sim_knn_ivfpq",
+    "sim_knn_ivfpq_refined",
+    "sink_dynamic_partition_backfill",
+    "sketch_distinct_kmv_setops",
+    "source_schema_evolution",
+    "sql_identifier_binding",
+    "sql_session_variable",
+    "streaming_foreachbatch_upsert",
+    "text_hashing_vectorizer",
+    "text_winnowing_fingerprints",
+    "tokenizer_bpe_train_batched",
+    "tokenizer_bpe_train_n",
+    "tokenizer_vocab_coverage_ladder",
+    "vocab_oov_rate",
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 

@@ -289,10 +289,24 @@ ORDER BY part_a, part_b
 """
 
 
-@register(
-    "fuzzy_part_name_match",
-    _FUZZY_SQL,
-    doc="Fuzzy matching restructured around the data's true shape "
+# NOT registered (round 9, the r6/r8 demotion precedent for exact
+# faces whose scale sibling is pinned output-equal): the part-pair
+# EXPANSION face was the registry's last sf1 watchdog cap-out and OOMs
+# the JVM at sf10 generating its ~billions-row output — quadratic in
+# duplicate-group size BY DEFINITION (compute is FastSS-linear; the
+# output is the cost). A driver row should not certify a face whose
+# own docstring routes all volume work elsewhere. Demoted to the
+# pytest verifier behind the registered bounded face
+# fuzzy_part_name_groups: both share the _fuzzy_name_pairs candidate
+# stage so they cannot drift, pytest reconciles the group face's
+# n_pairs against this face's actual expansion counts
+# (test_fuzzy_groups_n_pairs_equals_expansion_counts) and replays
+# _FUZZY_SQL via DuckDB against this face bitwise
+# (test_fuzzy_expansion_matches_duckdb_oracle) at test scale, exactly
+# as dedup_embedding_cosine (r6) and dedup_embedding_ivf (r8) were
+# demoted behind their registered GEMM/IVF siblings.
+_FUZZY_MATCH_DOC = (
+    "Fuzzy matching restructured around the data's true shape "
     "(round 6, after the 10x audit): the corpus has ~64 DISTINCT "
     "names over 20k+ parts, so pair work belongs at the distinct-name "
     "level — deletion-neighborhood signatures (FastSS: a name plus "
@@ -306,9 +320,14 @@ ORDER BY part_a, part_b
     "at (name_a, name_b, group sizes) before the expansion. The "
     "first-token-blocked self-join this replaces measured past a "
     "150 s cap at 10x (block key cardinality ~92 does not grow with "
-    "the corpus).",
+    "the corpus)."
 )
+
+
 def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The part-pair expansion parity face (see _FUZZY_MATCH_DOC and
+    the demotion note above): library/pytest verifier behind the
+    registered bounded face fuzzy_part_name_groups."""
     (part,) = load_tables(spark, sf_dir, "part")
     name_pairs = _fuzzy_name_pairs(part)
     pa = part.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("pn_a"))

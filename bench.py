@@ -181,12 +181,26 @@ def main() -> None:
         if len(line) > _TAIL_SAFE and not compact[drop]:
             compact.pop(drop)
             line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > _TAIL_SAFE:  # last resort: 2dp query times
+    if len(line) > _TAIL_SAFE:  # 2dp query times
         compact["queries"] = {
             n: (round(t, 2) if t is not None else None)
             for n, t in compact["queries"].items()
         }
         line = json.dumps(compact, separators=(",", ":"))
+    # Guaranteed-fit fallback: a run with several regressions PLUS
+    # ~100 query timings can still outgrow the window even at 2dp —
+    # exactly the runs the driver most needs to parse. Collapse the
+    # diagnostic sections to counts and finally drop 'queries'
+    # entirely (the full artifact is already in BENCH_LAST.json);
+    # the contract keys (metric/value/unit/sf) always fit.
+    if len(line) > _TAIL_SAFE:
+        compact["regression_count"] = len(compact.pop("regressions", []))
+        compact["failed_count"] = len(compact.pop("failed", []))
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > _TAIL_SAFE:
+        compact["query_count"] = len(compact.pop("queries", {}))
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= _TAIL_SAFE, len(line)
     print(line)
 
 
@@ -424,6 +438,17 @@ def hot_shingle_crossover(spark, sf1_dir: str) -> dict:
             (
                 "dedup_jaccard_prefix_persisted",
                 REGISTRY["dedup_jaccard_prefix_persisted"].spark,
+            ),
+            # the winnow cluster face under the same skew (round-8
+            # verdict task 4): the boilerplate sentence inflates
+            # fingerprint document frequencies, exactly the shape the
+            # corpus-relative rarity cap + identical-rare-set
+            # contraction + per-bucket spanning forests exist for —
+            # this records the cluster route's clock next to the
+            # pair/LSH ladder
+            (
+                "dedup_winnow_clusters",
+                REGISTRY["dedup_winnow_clusters"].spark,
             ),
         ):
             t0 = time.time()

@@ -3593,6 +3593,34 @@ def test_winnow_clusters_reconcile_with_pair_face(spark, sf_dir):
     assert all(sz >= 2 for _cid, sz in got)  # no singleton rows
 
 
+def test_winnow_clusters_vid_is_retry_deterministic(spark, sf_dir):
+    """The fingerprint-value dictionary encoding inside
+    dedup_winnow_clusters must be a pure function of the value
+    (xxhash64), never a positional id: monotonically_increasing_id
+    after a shuffled distinct can assign the same value different ids
+    across task retries / speculative re-execution, silently breaking
+    the identical-rare-set contraction. Pin the analyzed plan free of
+    positional-id expressions, and pin injectivity of the hash over
+    this corpus's fingerprint universe (a collision would merge two
+    values)."""
+    plan = (
+        REGISTRY["dedup_winnow_clusters"]
+        .spark(spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "monotonically_increasing_id" not in plan
+    from _imdb_etl_spark.operators.text import _winnow_rare_postings
+
+    _fp, rp = _winnow_rare_postings(spark, sf_dir)
+    counts = rp.agg(
+        F.countDistinct("v").alias("nv"),
+        F.countDistinct(F.xxhash64("v")).alias("nh"),
+    ).collect()[0]
+    assert counts.nv == counts.nh
+
+
 def test_canary_scan_finds_sources_and_plants(spark, sf_dir):
     """Canary-scan contract: every canary finds at least its own
     source document, counts match a pure-Python substring scan, and a

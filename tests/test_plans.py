@@ -537,3 +537,29 @@ def test_fuzzy_groups_n_pairs_equals_expansion_counts(spark, sf_dir):
     }
     assert groups == counts
     assert all(v > 0 for v in groups.values())
+
+
+def test_fuzzy_expansion_matches_duckdb_oracle(spark, sf_dir):
+    """Demotion verifier (round 9): fuzzy_part_name_match left the
+    registry — its output is quadratic in duplicate-group size by
+    definition (the registry's last sf1 watchdog cap-out, OOM at sf10)
+    — so the driver's oracle pairing moves here: replay _FUZZY_SQL via
+    DuckDB on the same parquet and compare the full row set exactly,
+    at the bounded test scale where the expansion is small."""
+    import duckdb
+
+    from _imdb_etl_spark.plans.advanced import _FUZZY_SQL, fuzzy_part_match
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW part AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/part.parquet')"
+    )
+    want = con.sql(_FUZZY_SQL).fetchall()
+    con.close()
+    got = [
+        (r.part_a, r.part_b, r.name_a, r.name_b, r.edit_distance)
+        for r in fuzzy_part_match(spark, sf_dir).collect()
+    ]
+    assert got == [tuple(w) for w in want]
+    assert len(got) > 0

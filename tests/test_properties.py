@@ -556,6 +556,52 @@ def test_bpe_lineage_checkpoint_is_lossless(spark, monkeypatch):
     )
 
 
+def test_bpe_batched_plan_depth_bounded_at_production_k(spark, monkeypatch):
+    """The merges-applied checkpoint keying exists precisely so that a
+    LARGE per-round batch cannot stack 16*k chained replaces before the
+    lineage truncates (the round-7 advisory) — pin it at production
+    k=16, not just the k<=4 the other tests exercise. A 20-word corpus
+    of disjoint 3-char words yields 16+16+8 merges over 3 rounds, so
+    the checkpoint fires twice; at every checkpoint entry (the
+    maximum-depth moment: the chain resets to a parquet read right
+    after) the analyzed plan's replace-chain must stay <=
+    _BPE_CKPT_EVERY + k - 1 (the interval can overshoot by at most one
+    round's k-1 before the >= test trips). Output still equals the
+    pure-Python batched reference."""
+    from _imdb_etl_spark.operators import corpus as corpus_mod
+
+    k = 16
+    real_ckpt = corpus_mod._bpe_ckpt_stream
+    depths: list[int] = []
+
+    def spy_ckpt(spark_, df, gen, run_id):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        depths.append(plan.count("replace("))
+        return real_ckpt(spark_, df, gen, run_id)
+
+    monkeypatch.setattr(corpus_mod, "_bpe_ckpt_stream", spy_ckpt)
+    import string
+
+    alphabet = string.ascii_lowercase + string.ascii_uppercase + string.digits
+    words = ["".join(alphabet[3 * i : 3 * i + 3]) for i in range(20)]
+    # staggered suffixes give the early words distinct frequencies;
+    # remaining ties break by (count DESC, pair ASC) in both twins
+    texts = [" ".join(words[i:]) for i in range(8)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.pair_cnt, r.symbols_after)
+        for r in corpus_mod.bpe_train_batched_rounds(
+            spark, docs, 3, k=k
+        ).collect()
+    ]
+    assert got == _py_bpe_batched_reference(texts, 3, k)
+    assert len(depths) >= 2, depths  # the bound was actually exercised
+    bound = corpus_mod._BPE_CKPT_EVERY + k - 1
+    assert all(d <= bound for d in depths), (depths, bound)
+
+
 def test_bpe_encode_oracle_passes_stream_through_when_pairs_exhausted():
     """Regression pin: on a corpus whose pairs run out before the
     configured rounds, the Spark loop breaks and keeps the stream; the

@@ -71,9 +71,17 @@ def main() -> int:
         group = f"probe-{name}"
         sc.setJobGroup(group, name, interruptOnCancel=True)
         done = threading.Event()
+        # CAP is classified by this flag, not by elapsed time: a
+        # genuine late failure (OOM, analysis error surfacing after
+        # watchdog-1 seconds) must print as FAIL with its message,
+        # never silently masquerade as a perf cap-out in the probe
+        # evidence. The flag is set BEFORE cancelJobGroup so the
+        # cancellation exception always sees it.
+        cancelled = threading.Event()
 
         def cancel() -> None:
             if not done.wait(watchdog):
+                cancelled.set()
                 sc.cancelJobGroup(group)
 
         watcher = threading.Thread(target=cancel, daemon=True)
@@ -85,7 +93,7 @@ def main() -> int:
             print(f"{name}\t{time.time() - t0:.1f}s", flush=True)
         except Exception as e:  # noqa: BLE001
             dt = time.time() - t0
-            if dt >= watchdog - 1:
+            if cancelled.is_set():
                 capped += 1
                 print(f"{name}\tCAP>{watchdog:.0f}s", flush=True)
             else:
