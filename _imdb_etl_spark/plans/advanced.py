@@ -1202,7 +1202,13 @@ LIMIT {_BASKET_TOP}
     "bit-identical IEEE-double lift permille against the broadcast "
     f"part-popularity table; top-{_BASKET_TOP} "
     "by (support, pair) total order. The association-rules primitive "
-    "of a product-analytics engine.",
+    "of a product-analytics engine. Scale posture: the top-N cut is "
+    "taken on the pair table BEFORE the popularity joins — the "
+    "(support DESC, part_a, part_b) selection order is computable "
+    "from pair support alone, so the part_n joins touch "
+    f"{_BASKET_TOP} rows (broadcast) instead of the full pair table "
+    "(~145M distinct pairs at 100x, where the pre-cut plan spent "
+    "most of its 143 s pushing them through two join shuffles).",
 )
 def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
@@ -1218,6 +1224,18 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
+    )
+    # top-N FIRST: (support DESC, part_a, part_b) is a total order
+    # computable from the pair table alone, so the cut is a
+    # TakeOrdered over the pair agg and the popularity joins below
+    # see _BASKET_TOP rows, not the full pair table (replication
+    # makes baskets near-unique: ~145M distinct pairs at 100x, and
+    # joining them all against part_n twice dominated the pre-cut
+    # plan). Broadcast the cut side — part_n is the big relation now.
+    pairs = F.broadcast(
+        pairs.orderBy(F.desc("support"), "part_a", "part_b").limit(
+            _BASKET_TOP
+        )
     )
     scored = (
         pairs.join(

@@ -141,7 +141,6 @@ WITH kv AS (
 SELECT event_id, prop_key,
        json_extract_string(props, '$.' || prop_key) AS prop_value
 FROM kv
-ORDER BY event_id, prop_key
 """
 
 
@@ -151,7 +150,12 @@ ORDER BY event_id, prop_key
     doc="Python UDTF (table function, new in Spark 4): one event row in, "
     "one row out per JSON property — the lateral-join escape hatch for "
     "row-expanding logic that isn't a simple explode. Arrow-batched; "
-    "oracle via DuckDB's json_each.",
+    "oracle via DuckDB's json_keys. This is the registry's documented "
+    "Python-boundary face for row expansion (~12 us/row through the "
+    "UDTF at 100x vs ~2 s for the codegen siblings events_props_json/"
+    "_variant); unordered output — the global sort of the exploded "
+    "relation (~30M rows, 78 of 200 s at 100x) carried no information "
+    "without a LIMIT, so neither engine sorts.",
 )
 def events_props_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import lit, udtf
@@ -183,8 +187,7 @@ def events_props_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("explode_props", ExplodeProps)
     return spark.sql(
         "SELECT t.event_id, t.prop_key, t.prop_value "
-        "FROM udtf_events_src, LATERAL explode_props(event_id, props) t "
-        "ORDER BY t.event_id, t.prop_key"
+        "FROM udtf_events_src, LATERAL explode_props(event_id, props) t"
     )
 
 

@@ -545,7 +545,9 @@ SELECT pk,
        CAST(CASE WHEN denom = 0 THEN NULL
                  ELSE CAST(price AS DOUBLE) / denom END AS DOUBLE)
          AS div_val,
-       CASE WHEN pk = 0 THEN 9223372036854775807 ELSE NULL END AS add_val,
+       CASE WHEN pk % 1024 = 0 AND pk > 0 THEN NULL
+            WHEN pk % 1024 = 0 THEN 9223372036854775807
+            ELSE pk END AS add_val,
        CASE WHEN 1 + pk % 4 = 1 THEN 'a' WHEN 1 + pk % 4 = 2 THEN 'b'
             ELSE NULL END AS elem_val
 FROM base
@@ -580,13 +582,23 @@ def scalar_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("decimal(12,2)").alias("price"),
     )
     max_long = F.lit(9223372036854775807).cast("long")
+    # the overflowing addend hits 1 row in 1024, NOT every row: Spark's
+    # try_* error path is exception-driven in the JVM (~8 us/row
+    # measured — an all-overflow column cost 16.4 s of this suite's
+    # 31.7 s at 100x, 30x its siblings), so the suite exercises the
+    # documented rare-malformed-row contract rather than inverting it.
+    # A real ingest pass should do the same: try_* for rare errors, a
+    # cheap guard first when a column is majority-malformed.
+    overflow_base = F.when(F.col("pk") % 1024 == 0, max_long).otherwise(
+        F.lit(0).cast("long")
+    )
     return base.select(
         "pk",
         F.round(F.expr("try_cast(dirty AS DOUBLE)"), 2).alias("cast_val"),
         F.try_divide(F.col("price").cast("double"), F.col("denom"))
         .cast("double")
         .alias("div_val"),
-        F.try_add(max_long, F.col("pk")).alias("add_val"),
+        F.try_add(overflow_base, F.col("pk")).alias("add_val"),
         # index cycles 1..4: 1-2 resolve, 3-4 are out of range -> NULL
         # (index 0 is invalid USAGE, which try_element_at still raises)
         F.try_element_at(
