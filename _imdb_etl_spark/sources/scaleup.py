@@ -144,10 +144,25 @@ def ensure_scaled(
     shutil.rmtree(tmp, ignore_errors=True)
     os.makedirs(tmp)
     for name in DRIVER_TABLES:
-        df = _replicate(table(spark, src_dir, name), name, factor)
+        src = table(spark, src_dir, name)
         n_files = _OUT_FILES.get(name)
-        if n_files:
-            df = df.repartition(n_files)
+        if n_files and factor >= 100 and _KEYS.get(name) is not None:
+            # spread the SOURCE before the fan-out, not the fan-out's
+            # output: each sf0.1 table is one parquet file, so the
+            # factor-x explode (the expensive part — hundreds of
+            # millions of rows at 1000x) would otherwise run as ONE
+            # task while 31 cores idle (measured: the 1000x orders
+            # generation sat single-threaded for half an hour). A
+            # round-robin of the small source is cheap, the explode
+            # then runs map-side at machine width, and the output
+            # needs NO post-explode repartition — which at 1000x was
+            # itself a full shuffle of the replicated table.
+            src = src.repartition(max(n_files, os.cpu_count() or 8))
+            df = _replicate(src, name, factor)
+        else:
+            df = _replicate(src, name, factor)
+            if n_files:
+                df = df.repartition(n_files)
         df.write.mode("overwrite").parquet(os.path.join(tmp, f"{name}.parquet"))
     with open(os.path.join(tmp, "_DONE"), "w") as f:
         f.write(want)

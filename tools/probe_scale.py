@@ -9,7 +9,14 @@ fixed constants, which is why the probe takes arbitrary query lists
 instead of a hand-picked heaviest-N.
 
 Usage:
-  python tools/probe_scale.py <factor> [--watchdog S] [query ...]
+  python tools/probe_scale.py <factor> [--watchdog S] [--partitions N] [query ...]
+
+--partitions sets spark.sql.shuffle.partitions for the probe session;
+when omitted it follows the session default (cores) below factor 1000
+and 8x cores at factor >= 1000, where cores-count partitioning would
+put ~GB per shuffle partition (AQE coalesces the small stages back
+down). Heap for big factors comes from SPARK_DRIVER_MEMORY, e.g.
+SPARK_DRIVER_MEMORY=48g for the 1000x sweep.
 
 <factor> is the replication factor over /root/testdata/sf0.1 (10 ->
 .benchdata/sf1, 100 -> .benchdata/sf10); data is materialized once via
@@ -39,6 +46,18 @@ def main() -> int:
         i = args.index("--watchdog")
         watchdog = float(args[i + 1])
         del args[i : i + 2]
+    # shuffle partitioning is scale-dependent: at 1000x a cores-count
+    # partitioning puts ~GB per shuffle partition, so default to
+    # 8x cores once factor >= 1000 and let AQE coalesce the small
+    # stages back down (the brief's "size shuffle partitions so they
+    # fit executor memory at the target SF", made concrete).
+    partitions = None
+    if "--partitions" in args:
+        i = args.index("--partitions")
+        partitions = int(args[i + 1])
+        del args[i : i + 2]
+    elif factor >= 1000:
+        partitions = 8 * (os.cpu_count() or 8)
     names = args
 
     from _imdb_etl_spark.plans import REGISTRY
@@ -47,6 +66,7 @@ def main() -> int:
 
     spark = get_spark(
         app_name=f"probe_scale_{factor}",
+        shuffle_partitions=partitions,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
