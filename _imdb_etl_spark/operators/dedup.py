@@ -791,6 +791,40 @@ ORDER BY doc_id
 """
 
 
+_CC_RUN_SEQ = __import__("itertools").count()
+
+
+def _cc_stage(df: DataFrame, path: str) -> DataFrame:
+    """Materialize a CC frontier to parquet and read it back — the
+    repo's persisted-staging pattern (cf. _winnow_rare_postings) in
+    place of localCheckpoint. localCheckpoint pins every round's
+    label table in executor-heap block storage with no public release
+    API, and those pinned blocks outlive the query: measured at 1000x,
+    dedup_jaccard_lsh ran 365 s when probed AFTER dedup_clusters'
+    CC loop vs 171 s in a fresh session — the leaked rounds halved
+    the heap available to everyone downstream. Parquet staging costs
+    one tiny columnar write per round (2 long columns) and leaves the
+    heap clean; the per-run directory is never overwritten mid-plan
+    (run-counter namespaced) and is reaped by the shared pid GC."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _iter_stage_dir(tag: str) -> str:
+    """Per-invocation staging directory for an iterative loop's
+    frontiers: pid-suffixed base (concurrent harness runs never share
+    a path; reaped by the shared pid GC) + run-counter leaf (a still-
+    referenced DataFrame from a prior invocation never re-reads files
+    a later invocation rewrote — the winnow/BPE namespacing rule)."""
+    import os
+
+    from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
+
+    base = f"/root/repo/spark-warehouse/cc_frontier_{os.getpid()}"
+    reap_stale_pid_dirs(os.path.dirname(base), "cc_frontier")
+    return f"{base}/{tag}_run{next(_CC_RUN_SEQ)}"
+
+
 def connected_components(
     edges: DataFrame, max_rounds: int = 32, probe_every: int = 2
 ) -> tuple[DataFrame, int]:
@@ -810,20 +844,23 @@ def connected_components(
       (plain propagation under a fixed round cap would return WRONG
       components on chains longer than the cap).
 
-    Each round is two shuffles keyed on node id and ends in an eager
-    localCheckpoint: persist() alone would cache the data but the
-    logical plan would still deepen every round (analysis cost grows
-    with iteration count — the classic iterative-algorithm trap).
-    The scalar convergence probe runs every ``probe_every`` rounds to
-    halve driver-side actions; the checkpoint boundary keeps skipped
-    rounds pipelined.
+    Each round is two shuffles keyed on node id and ends in a parquet
+    frontier stage (_cc_stage): persist() alone would cache the data
+    but the logical plan would still deepen every round (analysis cost
+    grows with iteration count — the classic iterative-algorithm
+    trap), and localCheckpoint (the previous mechanism) pinned every
+    round's labels in executor heap with no release, degrading every
+    query that ran after a CC face in the same session. The scalar
+    convergence probe runs every ``probe_every`` rounds to halve
+    driver-side actions.
     """
+    run_dir = _iter_stage_dir("cc")
     # init: every node labels itself with the smallest neighbor (or self)
-    labels = (
+    labels = _cc_stage(
         edges.groupBy("a")
         .agg(F.least(F.col("a"), F.min("b")).alias("lbl"))
-        .select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id"))
-        .localCheckpoint()
+        .select(F.col("a").alias("doc_id"), F.col("lbl").alias("cluster_id")),
+        f"{run_dir}/r0",
     )
     rounds = 0
     for r in range(1, max_rounds + 1):
@@ -842,15 +879,15 @@ def connected_components(
         parent = prop.select(
             F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_lbl")
         )
-        new_labels = (
+        new_labels = _cc_stage(
             prop.join(parent, prop["cluster_id"] == parent["p_id"], "left")
             .select(
                 "doc_id",
                 F.least(
                     "cluster_id", F.coalesce("p_lbl", F.col("cluster_id"))
                 ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+            ),
+            f"{run_dir}/r{r}",
         )
         converged = False
         if r % probe_every == 0 or r == max_rounds:
@@ -1043,23 +1080,27 @@ ORDER BY rank_order
     "prefers as representatives. Each round is one node-keyed "
     "shuffle (edges join ranks, sum by destination) with per-round "
     "1e-9 re-quantization making the float iteration engine-exact; "
-    "lineage is localCheckpoint-truncated every 5 rounds (the "
-    "connected-components discipline). The oracle replays the exact "
+    "lineage is parquet-stage-truncated every 5 rounds (the "
+    "connected-components discipline — staged frontiers leave no "
+    "pinned executor-heap blocks behind). The oracle replays the exact "
     "iteration in one recursive CTE with aggregation in the "
     "recursive step.",
 )
 def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    run_dir = _iter_stage_dir("pr")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    edges = edges.localCheckpoint()  # pair stage runs once, not per round
+    # pair stage runs once, not per round; parquet-staged (_cc_stage)
+    # so nothing stays pinned in executor heap after the query
+    edges = _cc_stage(edges, f"{run_dir}/edges")
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # fold degree into the edge table once — otherwise every round's
     # lazy plan re-aggregates edges and does a second join
-    wedges = edges.join(deg, "src").localCheckpoint()
+    wedges = _cc_stage(edges.join(deg, "src"), f"{run_dir}/wedges")
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     if n == 0:
@@ -1081,7 +1122,7 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rank")
         )
         if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = _cc_stage(ranks, f"{run_dir}/ranks_r{i}")
     w = Window.orderBy(F.desc("rank"), F.asc("node"))
     # global window over the top-k only would still need the sort; the
     # orderBy+limit collapses to TakeOrderedAndProject and the final
@@ -2259,8 +2300,8 @@ def neardup_clustering_coefficient(
 # carries the alive set as a per-round LIST in a recursive CTE (one
 # self-reference, as standard SQL requires); Spark peels with two
 # semi-joins per round (edges whose BOTH endpoints survive) and
-# re-counts degrees, localCheckpointing every round to cut the
-# 12-round lineage.
+# re-counts degrees, parquet-staging the frontier every round to cut
+# the 12-round lineage.
 
 _KCORE_K = 2
 _KCORE_ROUNDS = 12
@@ -2312,25 +2353,25 @@ ORDER BY doc_id
     "with every pendant one-off duplicate stripped, reported with "
     "each survivor's core-internal degree. Spark peels with two "
     "broadcast-friendly semi-joins per round over the bounded pair "
-    "table (edges keep only both-endpoints-alive) and "
-    "localCheckpoints each round to keep the lineage flat; because "
+    "table (edges keep only both-endpoints-alive) and parquet-stages "
+    "the frontier each round to keep the lineage flat; because "
     "peeling is monotone (nodes only leave), Spark may stop as soon "
     "as a round removes nothing — provably output-equal to the "
     "oracle's full fixed budget — and fixpoint well inside the "
     "budget is pinned in pytest.",
 )
 def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    run_dir = _iter_stage_dir("kcore")
+    pairs = _cc_stage(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        f"{run_dir}/pairs",
     )
     edges = pairs.select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     ).unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
     alive = edges.select(F.col("a").alias("node")).distinct()
     prev = None
-    for _ in range(_KCORE_ROUNDS):
+    for _r in range(_KCORE_ROUNDS):
         live_edges = edges.join(
             alive, edges["a"] == alive["node"], "left_semi"
         ).join(
@@ -2338,12 +2379,12 @@ def neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges["b"] == F.col("nb"),
             "left_semi",
         )
-        alive = (
+        alive = _cc_stage(  # bounded (<= node count); cuts lineage
             live_edges.groupBy("a")
             .agg(F.count(F.lit(1)).alias("d"))
             .where(F.col("d") >= _KCORE_K)
-            .select(F.col("a").alias("node"))
-            .localCheckpoint()  # bounded (<= node count); cuts lineage
+            .select(F.col("a").alias("node")),
+            f"{run_dir}/alive_r{_r}",
         )
         # peeling only removes nodes, so an unchanged COUNT means an
         # unchanged SET — every remaining round is the identity and
