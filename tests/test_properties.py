@@ -1189,3 +1189,72 @@ def test_audio_pitch_detects_every_period(period, amp, phase):
     # is also a perfect period of the signal (e.g. 2 -> 4): accept
     # multiples, reject everything else
     assert got % period == 0, (period, got)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_dau_wau_mau_sweep_matches_bruteforce(spark, tmp_path_factory, data):
+    """The interval-sweep DAU/WAU/MAU (per-user coverage islands ->
+    +1/-1 day-delta prefix sum) must equal the brute-force trailing
+    distinct count for arbitrary sparse activity patterns — gaps
+    longer than the window (island splits), repeat user-days, windows
+    extending past the data, and single-user days. The registered
+    oracle cross-checks the fan-out formulation at sf0.001/sf0.01;
+    this pins the sweep against a THIRD implementation on adversarial
+    shapes the fixture corpus never produces."""
+    import datetime
+
+    from _imdb_etl_spark.plans import REGISTRY
+
+    base = datetime.datetime(2024, 3, 1)
+    n_users = data.draw(st.integers(min_value=1, max_value=4))
+    activity = set()
+    for uid in range(n_users):
+        days = data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=90),
+                min_size=1,
+                max_size=15,
+            )
+        )
+        for d in days:
+            activity.add((uid, d))
+    rows = {
+        "event_id": [],
+        "ts": [],
+        "user_id": [],
+        "event_type": [],
+        "value": [],
+        "props": [],
+    }
+    for eid, (uid, d) in enumerate(sorted(activity)):
+        rows["event_id"].append(eid)
+        # two events on some user-days: the sweep must dedupe activity
+        rows["ts"].append(base + datetime.timedelta(days=d, hours=eid % 24))
+        rows["user_id"].append(uid)
+        rows["event_type"].append("view")
+        rows["value"].append(1.0)
+        rows["props"].append("{}")
+    d_dir = _mk_dir(tmp_path_factory, spark, "events", rows)
+    got = {
+        r.day: (r.dau, r.wau, r.mau, r.stickiness)
+        for r in REGISTRY["events_dau_wau_mau"].spark(spark, d_dir).collect()
+    }
+
+    days_present = sorted({d for _, d in activity})
+    want_days = {
+        (base + datetime.timedelta(days=d)).strftime("%Y-%m-%d"): d
+        for d in days_present
+    }
+    assert set(got) == set(want_days)
+    for day, d in want_days.items():
+        dau = sum(1 for u, ad in activity if ad == d)
+        wau = len({u for u, ad in activity if d - 6 <= ad <= d})
+        mau = len({u for u, ad in activity if d - 29 <= ad <= d})
+        g = got[day]
+        assert (g[0], g[1], g[2]) == (dau, wau, mau), (day, g, dau, wau, mau)
+        assert abs(g[3] - dau / mau) <= 1e-6
