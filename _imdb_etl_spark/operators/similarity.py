@@ -767,8 +767,8 @@ cents AS (
 assign AS (
   SELECT n.vec_id, n.embedding, n.nrm, cid,
          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-           ({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
-             / (n.nrm * cnrm) DESC, cid) AS rnk
+           ROUND(({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
+             / (n.nrm * cnrm), 6) DESC, cid) AS rnk
   FROM n CROSS JOIN cents
 ),
 lists AS (
@@ -856,29 +856,82 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     count is a bounded driver readback (one scalar) mirroring the
     oracle's COUNT(*) subquery, so both engines derive the identical
     k; k stays at the floor for every currently graded scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
     normed = emb.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
     )
     k = max(_N_CENTROIDS, emb.count() // _VECS_PER_CENTROID)
-    cents = (
+    # Assignment is GEMM-batched (round 9): the previous form
+    # crossJoined every vector with every centroid and ranked the
+    # N x k rows in a per-vector window — with k ~ N that stage is
+    # N^2/_VECS_PER_CENTROID rows (3.3e10 at 1000x; the 900 s cap the
+    # sf100 probe caught). One batched matmul against the broadcast
+    # centroid matrix does the same N x k dots with zero shuffled
+    # rows: the only exchange left in the stage is the downstream
+    # list-id one. The centroid matrix is k x dim doubles (2.6 MB at
+    # 1000x) — the same bytes the crossJoin already broadcast.
+    # Ranking parity with the oracle: sims round to 6 decimals (the
+    # GEMM-vs-left-assoc-SQL tolerance score_group established) and
+    # ties break by ascending centroid id == ascending column index,
+    # which a STABLE argsort over the descending-sim key gives for
+    # free; the oracle CTEs rank by the identical rounded key.
+    cent_rows = sorted(
         normed.where(F.expr(_CENTROID_FILTER))
         .orderBy("vec_id")
         .limit(k)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
+        .select("vec_id", "embedding", "nrm")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    sim_to_c = _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    assign_w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cid"))
-    return (
-        normed.crossJoin(F.broadcast(cents))
-        .select("vec_id", "embedding", "nrm", "cid", sim_to_c.alias("sim"))
-        .withColumn("rnk", F.row_number().over(assign_w))
-        .where(F.col("rnk") <= _DEDUP_PROBE)
-        .select("cid", "vec_id", "embedding", "nrm")
+    cmat = np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    cnrm = np.array([r.nrm for r in cent_rows], dtype=np.float64)
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((cmat, cnrm, cids))
+
+    out_schema = StructType(
+        [
+            StructField("cid", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("embedding", emb.schema["embedding"].dataType),
+            StructField("nrm", DoubleType()),
+        ]
     )
+    probe = _DEDUP_PROBE
+
+    # sub-chunk the GEMM: an Arrow batch is ~10k rows, and a
+    # 10k x k sims matrix at k ~ 5120 (1000x) is ~400 MB PER TASK —
+    # 32 concurrent tasks OOM-killed the whole JVM on the first sf100
+    # attempt. 1k-row chunks keep the transient at ~40 MB/task with
+    # identical output (ranking is per-row).
+    _CHUNK = 1024
+
+    def assign(batches):
+        cm, cn, ci = bc.value
+        for pdf in batches:
+            for lo in range(0, len(pdf), _CHUNK):
+                sub = pdf.iloc[lo : lo + _CHUNK]
+                if sub.empty:
+                    continue
+                m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                nr = sub["nrm"].to_numpy(dtype=np.float64)
+                sims = np.round((m @ cm.T) / (nr[:, None] * cn[None, :]), 6)
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+                p_eff = top.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "cid": ci[top].ravel(),
+                        "vec_id": np.repeat(sub["vec_id"].to_numpy(), p_eff),
+                        "embedding": np.repeat(
+                            sub["embedding"].to_numpy(), p_eff
+                        ),
+                        "nrm": np.repeat(nr, p_eff),
+                    }
+                )
+
+    return normed.mapInPandas(assign, out_schema)
 
 
 @register(
@@ -996,14 +1049,19 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen dot measured 115 s vs ~4 s BLAS at 10x scale — and the
     # clusters consume only the pair ids, so the scoring route is free
     # to be the fast one
+    from _imdb_etl_spark.operators.dedup import _cc_stage, _iter_stage_dir
+
     pairs = dedup_embedding_cosine_ivf(spark, sf_dir).select("vec_a", "vec_b")
-    edges = (
+    # pair stage (IVF probe + verify) runs once; parquet-staged (the
+    # CC-frontier pattern) so the CC rounds below re-read a columnar
+    # file instead of holding the edge table pinned in executor heap
+    edges = _cc_stage(
         pairs.select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
         .unionByName(
             pairs.select(F.col("vec_b").alias("a"), F.col("vec_a").alias("b"))
         )
-        .distinct()
-        .localCheckpoint()  # pair stage (IVF probe + verify) runs once
+        .distinct(),
+        f"{_iter_stage_dir('sem')}/edges",
     )
     labels, _ = connected_components(edges)
     labels = labels.withColumnRenamed("doc_id", "vec_id")
@@ -1035,8 +1093,8 @@ cents AS (
 assign AS (
   SELECT n.vec_id, n.embedding, n.nrm, cid,
          ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-           ({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
-             / (n.nrm * cnrm) DESC, cid) AS rnk
+           ROUND(({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
+             / (n.nrm * cnrm), 6) DESC, cid) AS rnk
   FROM n CROSS JOIN cents
 ),
 lists AS (

@@ -20,6 +20,19 @@ relational structure instead of naively concatenating rows:
   quadratically; salting keeps the duplicate RATE identical to the
   source corpus while the corpus grows linearly — the honest dedup
   scale-up;
+- ``embeddings.embedding`` gets the same treatment in vector space
+  (round 9, after the 1000x probe OOM'd the GEMM-IVF face): each
+  replica's vector is multiplied element-wise by a deterministic
+  Rademacher +-1 pattern derived from (replica, dim index). Cosine
+  WITHIN a replica is exactly preserved (a fixed sign flip is an
+  isometry), so the original near-dup cluster structure replicates;
+  ACROSS replicas two independent sign patterns make expected cosine
+  ~0, so replicas are not near-duplicates of each other — without
+  this, 1000 identical copies of every vector made the true pair
+  relation itself quadratic (C(1000,2) x corpus ~ 3.2e9 pairs at
+  1000x) and deterministic tie-breaks funneled all replicas into the
+  same few inverted lists (a 43k-row list means a 15 GB per-group
+  GEMM: the OOM);
 - ``events`` timestamps keep their values (10x the users emit in the
   same window -> 10x rows per hour bucket), and sessionization still
   sees each replicated user's original event sequence.
@@ -84,6 +97,23 @@ def _replicate(df: DataFrame, name: str, factor: int) -> DataFrame:
         ],
         "_r",
     )
+    if name == "embeddings":
+        # Rademacher sign flip per (replica, dim): isometric within a
+        # replica (near-dup structure preserved exactly), ~orthogonal
+        # across replicas (see module docstring). replica 0 keeps the
+        # source vectors bit-for-bit (sign +1), so factor=1 is identity.
+        elem = df.schema["embedding"].dataType.elementType.simpleString()
+        sign = (
+            "CASE WHEN _r = 0 THEN CAST(1.0 AS {t}) "
+            "WHEN pmod(xxhash64(_r, i), 2) = 0 THEN CAST(1.0 AS {t}) "
+            "ELSE CAST(-1.0 AS {t}) END"
+        ).format(t=elem)
+        out = out.withColumn(
+            "embedding",
+            F.expr(
+                f"transform(embedding, (x, i) -> x * ({sign}))"
+            ),
+        )
     if name == "documents":
         # salt every token with the replica id so replicas are not
         # near-duplicates of each other (see module docstring)
@@ -113,7 +143,10 @@ def _marker_text(src_dir: str, factor: int) -> str:
             sizes.append(f"{name}:{os.stat(p).st_size}")
         except OSError:
             sizes.append(f"{name}:absent")
-    return f"factor={factor} src={src_dir} {' '.join(sizes)}\n"
+    # gen bumps when the replication TRANSFORM changes (not just the
+    # source): gen=2 added the embedding Rademacher salt, and data
+    # generated before it must not pass the marker check.
+    return f"gen=2 factor={factor} src={src_dir} {' '.join(sizes)}\n"
 
 
 def ensure_scaled(
