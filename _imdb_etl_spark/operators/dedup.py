@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, spread
+from _imdb_etl_spark.sources import load_tables, spread, stage_to_parquet
 
 _EXACT_SQL = """
 SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
@@ -810,19 +810,37 @@ def _cc_stage(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+_ITER_RUN_DIRS: dict = {}
+
+
 def _iter_stage_dir(tag: str) -> str:
     """Per-invocation staging directory for an iterative loop's
     frontiers: pid-suffixed base (concurrent harness runs never share
     a path; reaped by the shared pid GC) + run-counter leaf (a still-
     referenced DataFrame from a prior invocation never re-reads files
-    a later invocation rewrote — the winnow/BPE namespacing rule)."""
+    a later invocation rewrote — the winnow/BPE namespacing rule).
+
+    In-session retention (round 10): the pid GC only reaps DEAD
+    processes, so a long bench session re-invoking CC/pagerank/kcore
+    faces would otherwise accumulate one full label-table parquet per
+    invocation for its own lifetime. Per tag we retain the current
+    run and its immediate predecessor (whose DataFrames a caller may
+    still hold) and delete anything older — two invocations back, no
+    live plan can reference those files."""
     import os
+    import shutil
 
     from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
 
     base = f"/root/repo/spark-warehouse/cc_frontier_{os.getpid()}"
     reap_stale_pid_dirs(os.path.dirname(base), "cc_frontier")
-    return f"{base}/{tag}_run{next(_CC_RUN_SEQ)}"
+    run_dir = f"{base}/{tag}_run{next(_CC_RUN_SEQ)}"
+    prior = _ITER_RUN_DIRS.setdefault(tag, [])
+    prior.append(run_dir)
+    for old in prior[:-2]:
+        shutil.rmtree(old, ignore_errors=True)
+    del prior[:-2]
+    return run_dir
 
 
 def connected_components(
@@ -984,17 +1002,17 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
     "boilerplate super-connectors before cluster collapse.",
 )
 def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # eager localCheckpoint instead of persist: the pair table feeds
+    # eager parquet staging instead of persist: the pair table feeds
     # four consumers (degrees, both triangle sides, edge count), so it
     # must be computed once — but a lazy persist from inside a builder
     # would outlive the query in long sessions (the gate runs 140+
-    # queries in one process). The checkpoint materializes now and its
-    # blocks release with the DataFrame, and at production scale the
-    # pair table is a materialized upstream output anyway.
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    # queries in one process), and localCheckpoint (the previous
+    # mechanism) pins heap blocks with no release API (the round-9
+    # GCLocker lesson). At production scale the pair table is a
+    # materialized upstream output anyway.
+    pairs = stage_to_parquet(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        "graphstats_pairs",
     )
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
@@ -2226,11 +2244,10 @@ def neardup_clustering_coefficient(
 ) -> DataFrame:
     # one materialization of the (bounded) near-dup pair table feeds
     # degrees, both wedge sides, and the closing-edge probe — same
-    # eager-checkpoint rationale as neardup_graph_stats
-    pairs = (
-        dedup_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    # eager parquet-staging rationale as neardup_graph_stats
+    pairs = stage_to_parquet(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        "clustcoef_pairs",
     )
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")

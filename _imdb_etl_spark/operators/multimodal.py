@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, stage_to_parquet
 
 try:  # codec libs are absent in this container; decode is stubbed
     from PIL import Image  # noqa: F401
@@ -665,8 +665,11 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the scorecard fans out into six aggregate branches below; without
     # truncation each branch would re-run the PNG encode + DCT pHash of
-    # every asset, so materialize the hash table exactly once
-    hashed = assets.mapInPandas(encode_and_hash, _PHASH_SCHEMA).localCheckpoint()
+    # every asset, so materialize the hash table exactly once (parquet
+    # staging, not localCheckpoint — the round-9 heap-pinning lesson)
+    hashed = stage_to_parquet(
+        assets.mapInPandas(encode_and_hash, _PHASH_SCHEMA), "phash_table"
+    )
     o = hashed.where(F.col("kind") == "orig").select(
         F.col("src_id").alias("o_src"), F.col("phash").alias("o_hash")
     )

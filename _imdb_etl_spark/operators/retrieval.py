@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, stage_to_parquet
 
 # BM25 constants (the Lucene defaults) and a fixed query: literals so
 # both engines see identical plans. idf uses the non-negative Lucene
@@ -772,24 +772,26 @@ def text_lm_heldout_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = load_tables(spark, sf_dir, "documents")
     bucket = hex_prefix_int(F.md5(F.col("doc_id").cast("string"))) % 1000
-    # eager localCheckpoints: the token stream feeds c1/v AND the pair
+    # eager parquet staging: the token stream feeds c1/v AND the pair
     # stream, and the pair stream feeds c2 AND the scored side — four
     # consumers that would otherwise re-run the corpus tokenization
     # and the per-doc window per lineage (the sim_recall_curve /
     # neardup_graph_stats reuse pattern; at petabyte scale these
     # intermediates are materialized tables in any real pipeline).
-    toks = docs.select(
-        "doc_id",
-        (bucket < _HELDOUT_TEST_PERMILLE).alias("is_test"),
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
-    ).localCheckpoint()
+    toks = stage_to_parquet(
+        docs.select(
+            "doc_id",
+            (bucket < _HELDOUT_TEST_PERMILLE).alias("is_test"),
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w"),
+        ),
+        "lm_toks",
+    )
     nxt = F.lead("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    pairs = (
+    pairs = stage_to_parquet(
         toks.select(
             "doc_id", "is_test", F.col("w").alias("w1"), nxt.alias("w2")
-        )
-        .where(F.col("w2").isNotNull())
-        .localCheckpoint()
+        ).where(F.col("w2").isNotNull()),
+        "lm_pairs",
     )
     train_toks = toks.where(~F.col("is_test"))
     c2 = (

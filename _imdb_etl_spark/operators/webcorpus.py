@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import doc_permille_bucket
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, spread
+from _imdb_etl_spark.sources import load_tables, spread, stage_to_parquet
 
 _DOMAIN_CAP = 10
 
@@ -1542,13 +1542,13 @@ def dedup_minhash_index_persisted(
     ).parquet(f"{base}/sets")
 
     # serve phase: stored index + the day's increment only. The
-    # increment's signatures materialize ONCE (eager localCheckpoint,
+    # increment's signatures materialize ONCE (eager parquet staging,
     # bounded by the day's batch, not the corpus): they feed the band
     # probe, the verify, and — in production — the append that folds
     # the increment into the index; lazy, each consumer would re-sign
     # the batch from the raw table.
     batch = docs.where(F.expr(_IS_BATCH))
-    batch_sets = minhash_doc_sets(batch).localCheckpoint()
+    batch_sets = stage_to_parquet(minhash_doc_sets(batch), "incr_batch_sets")
     stored_bands = spark.read.parquet(f"{base}/bands")
     stored_sets = spark.read.parquet(f"{base}/sets")
     probe = band_table(batch_sets).select(

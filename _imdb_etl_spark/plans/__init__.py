@@ -53,81 +53,16 @@ GATE_WINDOW_SIZE = 50
 # window to the BACK of _GATE_REST, replay the new window at sf0.01
 # (tools/check.py) before committing.
 #
-# Round 9 window (rotation per the round-8 verdict task 1, applied at
-# round start). The round-8 verdict prescribed "the first 50 of
-# _GATE_REST verbatim" believing that queue was oldest-evidence-first;
-# auditing the raw CORRECTNESS_r1..r8 artifacts showed it was NOT —
-# the 35 r1-era and 33 r3-era rows were never in _GATE_ORDER at all
-# (they sat appended after it in registration order), while
-# _GATE_REST[:50] carried mostly r4/r5 evidence. The verdict's own
-# done-criterion ("ledger oldest-row list starts at r2+") is only
-# reachable by rotating to the true oldest rows, so this round the
-# entire _GATE_ORDER was rebuilt strictly oldest-driver-row-first:
-# sorted by (latest CORRECTNESS round, name) over all 306 registered
-# names. Window = the 50 oldest (all 35 r1 rows + the 15 oldest r3
-# rows); _GATE_REST = the remaining 256 in the same order, so future
-# rotations are a pure take-the-prefix. Replayed green at sf0.001 +
-# sf0.01 (tools/check.py, full registry) before commit.
+# Round 10 window (rotation per the round-9 verdict task 1): a pure
+# prefix take of the round-9 queue — the queue was rebuilt strictly
+# oldest-driver-row-first in round 9 (sorted by latest CORRECTNESS
+# round, ties by name, over the raw r1..r8 artifacts), so
+# _GATE_REST[:50] is exactly the 50 rows with the oldest surviving
+# driver evidence (the remaining r3-era rows plus the oldest r4-era
+# rows). The retired round-9 window (r9-green rows) moved to the BACK
+# of _GATE_REST. Replayed green at sf0.01 (tools/check.py) before
+# commit.
 GATE_WINDOW = [
-    "anti_join_small_spenders",
-    "case_date_buckets",
-    "cross_join_dense_grid",
-    "dim_people_fanout_distinct",
-    "embedding_array_stats",
-    "graf1_orders_by_priority",
-    "graf2_avg_quantity_by_type",
-    "graf3_top10_customers",
-    "graf5_top10_suppliers_by_items",
-    "graf6_customers_by_nation",
-    "having_frequent_customers",
-    "merge_scd1_vip_segment",
-    "p1_projection_rename",
-    "p2_distinct_projection",
-    "p3_degenerate_dim",
-    "quantiles_price_by_flag",
-    "rollup_orders_status_priority",
-    "salted_agg_by_priority",
-    "sample_deterministic_orders",
-    "sample_stratified_customers",
-    "semi_join_big_spenders",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "window_suite_customer_orders",
-    "crossmodal_textdup_cosine",
-    "decontaminate_vs_eval",
-    "dedup_exact",
-    "dedup_exact_normalized",
-    "dq_constraint_checks",
-    "dq_null_profile",
-    "grouping_sets_mixed",
-    "multimodal_features",
-    "range_join_price_bands",
-    "scalar_array_suite",
-    "scalar_date_suite",
-    "scalar_null_suite",
-    "scalar_string_suite",
-    "sim_knn_bruteforce",
-    "sim_knn_ivf",
-]
-# everything below keeps per-round local coverage (tools/check.py +
-# pytest); ordering = rotation priority, strictly oldest driver row
-# first (ties broken by name), rebuilt this round from the raw
-# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
-# window, append the retired window to the BACK (its rows are then the
-# newest), re-sorting is only needed if a demotion/registration
-# changes the set.
-_GATE_REST = [
     "sql_api_cte_nations",
     "text_chunk_documents",
     "text_fingerprint",
@@ -178,6 +113,15 @@ _GATE_REST = [
     "streaming_dedup_events",
     "streaming_enrich_events",
     "streaming_hourly_rollup",
+]
+# everything below keeps per-round local coverage (tools/check.py +
+# pytest); ordering = rotation priority, strictly oldest driver row
+# first (ties broken by name), rebuilt this round from the raw
+# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
+# window, append the retired window to the BACK (its rows are then the
+# newest), re-sorting is only needed if a demotion/registration
+# changes the set.
+_GATE_REST = [
     "streaming_pysource_bucket_counts",
     "streaming_sessionize",
     "streaming_stateful_user_totals",
@@ -345,7 +289,6 @@ _GATE_REST = [
     "dedup_lsh_recall_audit",
     "dedup_minhash_index_persisted",
     "dedup_winnow_clusters",
-    "dedup_winnow_pairs",
     "distinct_users_bitmap_exact",
     "dq_observe_metrics",
     "embedding_silhouette_simplified",
@@ -383,6 +326,56 @@ _GATE_REST = [
     "tokenizer_bpe_train_n",
     "tokenizer_vocab_coverage_ladder",
     "vocab_oov_rate",
+    "anti_join_small_spenders",
+    "case_date_buckets",
+    "cross_join_dense_grid",
+    "dim_people_fanout_distinct",
+    "embedding_array_stats",
+    "graf1_orders_by_priority",
+    "graf2_avg_quantity_by_type",
+    "graf3_top10_customers",
+    "graf5_top10_suppliers_by_items",
+    "graf6_customers_by_nation",
+    "having_frequent_customers",
+    "merge_scd1_vip_segment",
+    "p1_projection_rename",
+    "p2_distinct_projection",
+    "p3_degenerate_dim",
+    "quantiles_price_by_flag",
+    "rollup_orders_status_priority",
+    "salted_agg_by_priority",
+    "sample_deterministic_orders",
+    "sample_stratified_customers",
+    "semi_join_big_spenders",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "window_suite_customer_orders",
+    "crossmodal_textdup_cosine",
+    "decontaminate_vs_eval",
+    "dedup_exact",
+    "dedup_exact_normalized",
+    "dq_constraint_checks",
+    "dq_null_profile",
+    "grouping_sets_mixed",
+    "multimodal_features",
+    "range_join_price_bands",
+    "scalar_array_suite",
+    "scalar_date_suite",
+    "scalar_null_suite",
+    "scalar_string_suite",
+    "sim_knn_bruteforce",
+    "sim_knn_ivf",
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 

@@ -529,6 +529,14 @@ def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stays 1-based). Dirty
 # inputs are manufactured deterministically from the key so every
 # error path has rows.
+#
+# add_val domain pin (round 10, ADVICE): pk = p_partkey >= 1 always,
+# and both engines' formulations are written to that domain — the
+# oracle CASE arms carry explicit pk > 0 / pk >= 0 guards so the
+# equivalence with Spark's try_add(max_long-or-0, pk) is visible: for
+# a hypothetical NEGATIVE multiple of 1024 (outside the domain) Spark
+# would yield max_long + pk while the guarded oracle falls through to
+# pk; neither arm claims to cover it.
 
 _TRY_SQL = """
 WITH base AS (
@@ -546,7 +554,7 @@ SELECT pk,
                  ELSE CAST(price AS DOUBLE) / denom END AS DOUBLE)
          AS div_val,
        CASE WHEN pk % 1024 = 0 AND pk > 0 THEN NULL
-            WHEN pk % 1024 = 0 THEN 9223372036854775807
+            WHEN pk % 1024 = 0 AND pk >= 0 THEN 9223372036854775807
             ELSE pk END AS add_val,
        CASE WHEN 1 + pk % 4 = 1 THEN 'a' WHEN 1 + pk % 4 = 2 THEN 'b'
             ELSE NULL END AS elem_val

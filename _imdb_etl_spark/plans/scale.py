@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import dec, dsum, md5_prefix_int_sql
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, stage_to_parquet
 
 _SALT_BUCKETS = 16
 
@@ -680,7 +680,7 @@ def sql_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the bloom for a broadcast join — so the registered builder pins the
 # 100 TB plan shape by disabling broadcast and zeroing the
 # application-side scan threshold AT PLANNING TIME, materializing
-# eagerly via localCheckpoint (bounded: one row per return flag), and
+# eagerly via parquet staging (bounded: one row per return flag), and
 # restoring both confs before returning. The might_contain +
 # bloom_filter_agg plan nodes are pinned in tests/test_plans.py.
 
@@ -727,7 +727,7 @@ def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— non-matching rows die before the shuffle, cutting exchanged "
     "bytes by the filter's selectivity. The 100 TB plan shape is "
     "pinned at planning time (broadcast disabled + zero scan "
-    "threshold, both restored after an eager bounded localCheckpoint), "
+    "threshold, both restored after an eager bounded parquet stage), "
     "because at bench scale Spark would correctly prefer a broadcast "
     "join and skip the bloom. Plan nodes pinned in tests/test_plans.py.",
 )
@@ -738,8 +738,8 @@ def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(_BCAST_KEY, "-1")
     try:
         # eager: planned (bloom injected) and executed under the confs;
-        # the checkpointed frame is bounded at one row per return flag
-        out = _bloom_join_frame(spark, sf_dir).localCheckpoint()
+        # the staged frame is bounded at one row per return flag
+        out = stage_to_parquet(_bloom_join_frame(spark, sf_dir), "bloom_out")
     finally:
         spark.conf.set(_BLOOM_SCAN_KEY, old_scan)
         spark.conf.set(_BCAST_KEY, old_bcast)
@@ -832,7 +832,8 @@ def aqe_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in _AQE_SKEW_CONFS.items():
         spark.conf.set(k, v)
     try:
-        out = _aqe_skew_frame(spark, sf_dir).localCheckpoint()
+        # eager under the AQE-skew confs; bounded at one row/segment
+        out = stage_to_parquet(_aqe_skew_frame(spark, sf_dir), "aqeskew_out")
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)

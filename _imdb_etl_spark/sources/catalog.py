@@ -101,6 +101,42 @@ def reap_stale_pid_dirs(base: str, prefix: str) -> None:
             pass  # pid alive under another uid — leave it
 
 
+_STAGE_RUN_SEQ = __import__("itertools").count()
+_STAGE_RUN_DIRS: dict = {}
+
+
+def stage_to_parquet(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize a multi-consumer intermediate to parquet and read
+    it back — the repo's lineage-truncation pattern, replacing
+    localCheckpoint everywhere (round 10; the round-9 1000x probe
+    measured localCheckpoint pinning its blocks in executor heap with
+    no public release API, halving the heap for everything downstream
+    in a long session). The write is EAGER (runs now, under whatever
+    session confs are set) and the read-back is a plain columnar scan
+    that re-plans from disk — exactly what a production pipeline's
+    materialized intermediate table is at 100 TB.
+
+    Namespacing and GC mirror the CC-frontier stager
+    (operators/dedup.py:_iter_stage_dir): pid-suffixed root so
+    concurrent harness runs never race (dead-pid roots reaped),
+    run-counter leaf so a still-referenced DataFrame from a prior
+    invocation never re-reads files a later one rewrote, and per-tag
+    in-session retention of the current + previous run only.
+    """
+    import shutil
+
+    base = f"/root/repo/spark-warehouse/stage_{os.getpid()}"
+    reap_stale_pid_dirs(os.path.dirname(base), "stage")
+    path = f"{base}/{tag}_run{next(_STAGE_RUN_SEQ)}"
+    prior = _STAGE_RUN_DIRS.setdefault(tag, [])
+    prior.append(path)
+    for old in prior[:-2]:
+        shutil.rmtree(old, ignore_errors=True)
+    del prior[:-2]
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Widen pathologically under-partitioned input without taxing
     already-parallel input.

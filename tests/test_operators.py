@@ -113,6 +113,52 @@ def test_containment_lsh_face_subset_of_exact(spark, sf_dir):
     assert any((b, a) in got for a, b in got)
 
 
+def test_ivf_adaptive_k_matches_sql_and_is_bounded():
+    """Round-10 pin for the IVF centroid-count formula (verdict task
+    4): (a) the Python arm _adaptive_k and the oracle's
+    _ADAPTIVE_K_SQL arm produce the IDENTICAL k for corpus sizes
+    spanning the floor, the linear regime, the documented crossover
+    at N = (_VECS_PER_CENTROID * _K_SQRT_SCALE)^2 = 2.5e7, and the
+    sqrt-capped regime; (b) the ceiling holds — k never exceeds
+    _K_SQRT_SCALE * sqrt(N), so the driver-collected broadcast
+    centroid matrix stays ~200 MB even at 1e10 vectors instead of
+    growing linearly without bound; (c) every currently probed scale
+    (<= 5e6 vectors at sf1000) sits below the crossover, so gated
+    outputs are unchanged by the cap."""
+    import math
+
+    import duckdb
+
+    from _imdb_etl_spark.operators.similarity import (
+        _ADAPTIVE_K_SQL,
+        _K_SQRT_SCALE,
+        _N_CENTROIDS,
+        _VECS_PER_CENTROID,
+        _adaptive_k,
+    )
+
+    crossover = (_VECS_PER_CENTROID * _K_SQRT_SCALE) ** 2
+    assert crossover == 25_000_000
+    con = duckdb.connect()
+    for n in [
+        1, 100, 20_000, 1_250_000, 5_000_000,
+        crossover - 1, crossover, crossover + 1,
+        10**8, 10**10, 10**12,
+    ]:
+        expr = _ADAPTIVE_K_SQL.replace("(SELECT COUNT(*) FROM n)", str(n))
+        (sql_k,) = con.sql(f"SELECT {expr}").fetchone()
+        py_k = _adaptive_k(n)
+        assert py_k == sql_k, (n, py_k, sql_k)
+        assert py_k >= _N_CENTROIDS
+        assert py_k <= max(_N_CENTROIDS, _K_SQRT_SCALE * math.sqrt(n))
+    con.close()
+    # below the crossover the cap is inactive (probed scales unchanged)
+    for n in [20_000, 2_000_000, 5_000_000]:
+        assert _adaptive_k(n) == max(_N_CENTROIDS, n // _VECS_PER_CENTROID)
+    # the ceiling in bytes: dim-64 float64 centroid matrix at 1e10
+    assert _adaptive_k(10**10) * 64 * 8 < 256 * 1024 * 1024
+
+
 def test_embedding_cosine_ivf_matches_expression_route(spark, sf_dir):
     """The GEMM-verified IVF face and the expression-dot IVF face share
     candidates and threshold, so their outputs must be identical.
@@ -3124,10 +3170,17 @@ def test_minhash_index_persisted_serves_from_index(spark, sf_dir):
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in want]
     plan = got._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]  # AQE echoes scans twice
+    # presence: search the WHOLE string — AQE's final-plan section
+    # prints completed query stages by reference, so a scan that ran
+    # early (e.g. behind the staged batch signatures) may appear only
+    # in the Initial Plan echo of the same tree
+    all_scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert any(f"mh_index_{os.getpid()}/bands" in ln for ln in all_scans), plan
+    assert any(f"mh_index_{os.getpid()}/sets" in ln for ln in all_scans), plan
+    # count: restrict to the final section (the Initial Plan echo
+    # would double-count)
+    final = plan.split("== Initial Plan ==")[0]
     scans = [ln for ln in final.splitlines() if "FileScan" in ln]
-    assert any(f"mh_index_{os.getpid()}/bands" in ln for ln in scans), plan
-    assert any(f"mh_index_{os.getpid()}/sets" in ln for ln in scans), plan
     doc_scans = [ln for ln in scans if "documents.parquet" in ln]
     assert len(doc_scans) == 1, doc_scans
 
@@ -3497,6 +3550,7 @@ def test_winnow_pairs_replay_and_recall(spark, sf_dir):
         _WIN_K,
         _WIN_MIN_SHARED,
         _WIN_W,
+        dedup_winnow_pairs,
     )
 
     def fps(text):
@@ -3527,7 +3581,7 @@ def test_winnow_pairs_replay_and_recall(spark, sf_dir):
     rare = {v for v, c in df_cnt.items() if c <= cap}
     got = {
         (r.doc_a, r.doc_b): r
-        for r in REGISTRY["dedup_winnow_pairs"].spark(spark, sf_dir).collect()
+        for r in dedup_winnow_pairs(spark, sf_dir).collect()
     }
     # (a) exact replay of every emitted pair
     for (a, b), r in got.items():
@@ -3554,6 +3608,37 @@ def test_winnow_pairs_replay_and_recall(spark, sf_dir):
     assert hit / len(strong) >= 0.8, f"winnow recall {hit}/{len(strong)}"
 
 
+def test_winnow_pairs_matches_duckdb_oracle(spark, sf_dir):
+    """Demotion verifier (round 10): dedup_winnow_pairs left the
+    registry — its pair OUTPUT is quadratic in duplicate-cluster size
+    by definition (29.1M true pairs at the 100x probe) and its own
+    docstring routed volume work to the registered bounded sibling
+    dedup_winnow_clusters — so the driver's oracle pairing moves
+    here: replay _WINNOW_PAIRS_SQL via DuckDB on the same parquet and
+    compare the full row set exactly, at the bounded test scale where
+    the pair expansion is small."""
+    import duckdb
+
+    from _imdb_etl_spark.operators.text import (
+        _WINNOW_PAIRS_SQL,
+        dedup_winnow_pairs,
+    )
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.sql(_WINNOW_PAIRS_SQL).fetchall()
+    con.close()
+    got = [
+        (r.doc_a, r.doc_b, r.n_shared, r.overlap_permille)
+        for r in dedup_winnow_pairs(spark, sf_dir).collect()
+    ]
+    assert got == [tuple(w) for w in want]
+    assert len(got) > 0
+
+
 def test_winnow_clusters_reconcile_with_pair_face(spark, sf_dir):
     """dedup_winnow_clusters (the linear-output production face) must
     state exactly the connected components of dedup_winnow_pairs's
@@ -3562,9 +3647,11 @@ def test_winnow_clusters_reconcile_with_pair_face(spark, sf_dir):
     the DuckDB recursive CTE — reproduces every (cluster_id,
     cluster_size) row, with cluster_id = the component's min doc_id
     and no singleton rows."""
+    from _imdb_etl_spark.operators.text import dedup_winnow_pairs
+
     pairs = [
         (r.doc_a, r.doc_b)
-        for r in REGISTRY["dedup_winnow_pairs"].spark(spark, sf_dir).collect()
+        for r in dedup_winnow_pairs(spark, sf_dir).collect()
     ]
     assert pairs
     parent: dict = {}

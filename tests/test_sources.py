@@ -163,6 +163,40 @@ def test_reap_stale_pid_dirs(tmp_path):
     )
 
 
+def test_iter_stage_dir_caps_in_session_retention():
+    """Round-10 in-session GC for iterative-frontier staging (ADVICE):
+    the pid GC only reaps dead processes, so within one long session
+    _iter_stage_dir must itself cap retention — per tag, the current
+    run dir plus its immediate predecessor survive, older runs are
+    deleted; other tags are untouched."""
+    import os
+
+    import _imdb_etl_spark.plans  # noqa: F401  (break the operator-module import cycle)
+    from _imdb_etl_spark.operators.dedup import (
+        _ITER_RUN_DIRS,
+        _iter_stage_dir,
+    )
+
+    dirs = []
+    for _ in range(4):
+        d = _iter_stage_dir("t_retention")
+        os.makedirs(d, exist_ok=True)
+        dirs.append(d)
+    other = _iter_stage_dir("t_other")
+    os.makedirs(other, exist_ok=True)
+    assert not os.path.isdir(dirs[0]) and not os.path.isdir(dirs[1])
+    assert os.path.isdir(dirs[2]) and os.path.isdir(dirs[3])
+    assert os.path.isdir(other)
+    assert _ITER_RUN_DIRS["t_retention"] == dirs[-2:]
+    # cleanup the test's leaves
+    import shutil
+
+    for d in dirs[2:] + [other]:
+        shutil.rmtree(d, ignore_errors=True)
+    _ITER_RUN_DIRS.pop("t_retention", None)
+    _ITER_RUN_DIRS.pop("t_other", None)
+
+
 def test_python_source_filter_pushdown_prunes_partitions(spark):
     """pushFilters must prune partition planning to the accepted
     bounds (4 of 8 splits survive), and Spark must drop the pushed
