@@ -115,7 +115,6 @@ SELECT o_orderkey,
          AS due_date,
        datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_95
 FROM orders
-ORDER BY o_orderkey
 """
 
 
@@ -124,7 +123,15 @@ ORDER BY o_orderkey
     _DATE_SQL,
     doc="Date/time parity: EXTRACT fields, day-of-week (Spark's 1=Sunday "
     "vs DuckDB's 0=Sunday reconciled explicitly), month truncation, "
-    "last_day, interval arithmetic, and day difference from an epoch.",
+    "last_day, interval arithmetic, and day difference from an epoch. "
+    "No global ORDER BY (round 10): with no LIMIT it carries no "
+    "information (the driver hash is order-insensitive) yet range-"
+    "sorts the full projection — the widest of the scalar suites "
+    "(orders x 10 columns, three of them formatted strings) — and the "
+    "1000x probe measured that sort at 20.7x per decade (86.8 s at "
+    "272M rows) where the sibling suites on the 15x-smaller part "
+    "table run ~5 s; dropped from BOTH engines, the "
+    "events_props_udtf precedent.",
 )
 def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load_tables(spark, sf_dir, "orders")
@@ -142,7 +149,7 @@ def scalar_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_95"
         ),
-    ).orderBy("o_orderkey")
+    )
 
 
 _GSETS_SQL = """
