@@ -69,25 +69,50 @@ LIMIT 20
     "partsupp (distinct lineitem pairs, MIN extendedprice as cost). The "
     "per-part MIN is a window over p_partkey — one pass over the joined "
     "frame instead of the agg+self-join plan, which would recompute the "
-    "whole join tree twice. Region-filtered dims broadcast; the pair-agg "
-    "is the one lineitem shuffle.",
+    "whole join tree twice. Round 10: BOTH dimension filters (5% of "
+    "parts by size/type, 20% of suppliers by region) push below the "
+    "pair-agg as broadcast key-set joins on the raw fact rows — the "
+    "per-(part,supp) MIN depends only on its own group, so dropping "
+    "filtered-out groups before aggregating is exact. The previous "
+    "shape pair-aggregated the FULL fact table (near-full cardinality "
+    "under replication: a 600M-row shuffle producing 600M groups, then "
+    "filtered 95% of them; 303 s / 22x per decade measured fresh at "
+    "the 1000x probe); now the one fact-table exchange is the pair-agg "
+    "over the surviving ~1%. Broadcast sides are filtered KEY "
+    "projections (~1M longs / ~450k longs at 1000x); beyond "
+    "broadcastable sizes, drop the hints — the pair-agg still reuses "
+    "the join exchange (subset-key clustering).",
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, nation, region = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
-    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+    pf = part.where(
+        (F.col("p_size") < 16) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    eur = (
+        supplier.join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li_f = lineitem.join(
+        F.broadcast(pf.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).join(
+        F.broadcast(eur.select(F.col("s_suppkey").alias("sk"))),
+        F.col("sk") == F.col("l_suppkey"),
+    )
+    ps = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(dec("l_extendedprice")).alias("cost")
     )
     eligible = (
-        ps.join(
-            part.where((F.col("p_size") < 16) & (F.col("p_type") == "LARGE")),
-            F.col("p_partkey") == F.col("l_partkey"),
-        )
-        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
-        .where(F.col("r_name") == "EUROPE")
+        ps.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
     )
     return (
