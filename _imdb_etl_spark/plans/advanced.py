@@ -666,6 +666,14 @@ FROM pay GROUP BY o_orderkey ORDER BY o_orderkey
 """
 
 
+# Max installments any order can need: TPC-H o_totalprice tops out
+# well under 50000 * _RCTE_MAX_INSTALLMENTS, so the accumulated
+# recursive relation is bounded at anchors * this. A data-shape change
+# that exceeds it still fails LOUDLY on the (raised) engine guard
+# rather than looping.
+_RCTE_MAX_INSTALLMENTS = 32
+
+
 @register(
     "recursive_cte_amortization",
     _RECURSIVE_TMPL.format(orders="orders"),
@@ -674,12 +682,34 @@ FROM pay GROUP BY o_orderkey ORDER BY o_orderkey
     "depth that static SQL cannot express. The DuckDB oracle runs the "
     "identical recursion; exact double arithmetic (2-decimal prices, "
     "integral installment) keeps every intermediate balance and the "
-    "recursion predicate bitwise-identical across engines.",
+    "recursion predicate bitwise-identical across engines. Spark "
+    "guards WITH RECURSIVE with a 1M accumulated-row limit "
+    "(RECURSION_ROW_LIMIT_EXCEEDED — the 1000x probe hit it: the "
+    "schedule is genuinely anchors x installments rows, ~2.7M anchors "
+    "at that scale); the face raises the guard to the data-derived "
+    "bound anchors * _RCTE_MAX_INSTALLMENTS and materializes under it "
+    "via the conf-scoped eager-staging pattern of "
+    "runtime_bloom_filter_join / aqe_skew_join_events, so the session "
+    "default is restored and a pathological data shape still fails "
+    "loudly instead of recursing forever.",
 )
 def recursive_cte_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.sources import stage_to_parquet
+
     (orders,) = load_tables(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders_rec_v")
-    return spark.sql(_RECURSIVE_TMPL.format(orders="orders_rec_v"))
+    n_anchor = orders.where("o_orderkey % 100 = 0").count()
+    key = "spark.sql.cteRecursionRowLimit"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(max(1_000_000, n_anchor * _RCTE_MAX_INSTALLMENTS)))
+    try:
+        out = stage_to_parquet(
+            spark.sql(_RECURSIVE_TMPL.format(orders="orders_rec_v")),
+            "rcte_amort",
+        )
+    finally:
+        spark.conf.set(key, old)
+    return out.orderBy("o_orderkey")
 
 
 # DuckDB needs an explicit ON TRUE for JOIN LATERAL; Spark's parser
