@@ -53,75 +53,16 @@ GATE_WINDOW_SIZE = 50
 # window to the BACK of _GATE_REST, replay the new window at sf0.01
 # (tools/check.py) before committing.
 #
-# Round 10 window (rotation per the round-9 verdict task 1): a pure
-# prefix take of the round-9 queue — the queue was rebuilt strictly
-# oldest-driver-row-first in round 9 (sorted by latest CORRECTNESS
-# round, ties by name, over the raw r1..r8 artifacts), so
-# _GATE_REST[:50] is exactly the 50 rows with the oldest surviving
-# driver evidence (the remaining r3-era rows plus the oldest r4-era
-# rows). The retired round-9 window (r9-green rows) moved to the BACK
-# of _GATE_REST. Replayed green at sf0.01 (tools/check.py) before
+# Round 11 window (rotation per the round-10 verdict task 1): the
+# pure prefix take _GATE_REST[:50] of the round-10 queue — the 50
+# rows with the oldest surviving driver evidence (the remaining
+# r4-era rows plus the oldest r5-era rows; the queue was built
+# strictly oldest-driver-row-first in round 9 and each rotation since
+# has been a prefix take + back-append, preserving that invariant).
+# The retired round-10 window (r10-green rows) moved to the BACK of
+# _GATE_REST. Replayed green at sf0.01 (tools/check.py) before
 # commit.
 GATE_WINDOW = [
-    "sql_api_cte_nations",
-    "text_chunk_documents",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_normalize_tokens",
-    "text_quality",
-    "text_stats",
-    "text_token_count_bpe",
-    "tpch_q11_important_part_value",
-    "tpch_q16_supplier_part_variety",
-    "tpch_q20_dominant_supplier",
-    "tpch_q21_waiting_orders",
-    "tpch_q22_prospective_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_national_market_share",
-    "tpch_q9_product_type_profit",
-    "vocab_top_words",
-    "window_suite2_distribution",
-    "asof_join_purchase_view",
-    "boilerplate_ngram_filter",
-    "cdc_snapshot_diff",
-    "collation_ci_group",
-    "corpus_length_histogram",
-    "corpus_pack_shards",
-    "dedup_corpus_lines",
-    "dedup_incremental_batch",
-    "dedup_simhash",
-    "embedding_norms_arrow",
-    "events_daily_pivot",
-    "events_gapfill_hourly",
-    "events_granularity_ladder",
-    "events_hourly_rollup",
-    "events_props_json",
-    "events_props_udtf",
-    "events_props_variant",
-    "events_sessionize",
-    "events_unpivot_daily",
-    "graf4_top3_customers_top3_nations",
-    "grouped_map_user_gaps",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "null_safe_join_priorities",
-    "pipeline_docs_prep",
-    "pysource_synthetic_docs",
-    "sim_knn_lsh",
-    "skew_join_salted_events",
-    "split_train_val_test",
-    "streaming_dedup_events",
-    "streaming_enrich_events",
-    "streaming_hourly_rollup",
-]
-# everything below keeps per-round local coverage (tools/check.py +
-# pytest); ordering = rotation priority, strictly oldest driver row
-# first (ties broken by name), rebuilt this round from the raw
-# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
-# window, append the retired window to the BACK (its rows are then the
-# newest), re-sorting is only needed if a demotion/registration
-# changes the set.
-_GATE_REST = [
     "streaming_pysource_bucket_counts",
     "streaming_sessionize",
     "streaming_stateful_user_totals",
@@ -172,6 +113,15 @@ _GATE_REST = [
     "split_leakage_audit",
     "sql_tvf_brand_stats",
     "sql_udf_revenue",
+]
+# everything below keeps per-round local coverage (tools/check.py +
+# pytest); ordering = rotation priority, strictly oldest driver row
+# first (ties broken by name), rebuilt this round from the raw
+# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
+# window, append the retired window to the BACK (its rows are then the
+# newest), re-sorting is only needed if a demotion/registration
+# changes the set.
+_GATE_REST = [
     "streaming_join_view_purchase",
     "stringagg_top_customers_per_nation",
     "text_duplicate_spans",
@@ -376,6 +326,56 @@ _GATE_REST = [
     "scalar_string_suite",
     "sim_knn_bruteforce",
     "sim_knn_ivf",
+    "sql_api_cte_nations",
+    "text_chunk_documents",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_normalize_tokens",
+    "text_quality",
+    "text_stats",
+    "text_token_count_bpe",
+    "tpch_q11_important_part_value",
+    "tpch_q16_supplier_part_variety",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_waiting_orders",
+    "tpch_q22_prospective_customers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_national_market_share",
+    "tpch_q9_product_type_profit",
+    "vocab_top_words",
+    "window_suite2_distribution",
+    "asof_join_purchase_view",
+    "boilerplate_ngram_filter",
+    "cdc_snapshot_diff",
+    "collation_ci_group",
+    "corpus_length_histogram",
+    "corpus_pack_shards",
+    "dedup_corpus_lines",
+    "dedup_incremental_batch",
+    "dedup_simhash",
+    "embedding_norms_arrow",
+    "events_daily_pivot",
+    "events_gapfill_hourly",
+    "events_granularity_ladder",
+    "events_hourly_rollup",
+    "events_props_json",
+    "events_props_udtf",
+    "events_props_variant",
+    "events_sessionize",
+    "events_unpivot_daily",
+    "graf4_top3_customers_top3_nations",
+    "grouped_map_user_gaps",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "null_safe_join_priorities",
+    "pipeline_docs_prep",
+    "pysource_synthetic_docs",
+    "sim_knn_lsh",
+    "skew_join_salted_events",
+    "split_train_val_test",
+    "streaming_dedup_events",
+    "streaming_enrich_events",
+    "streaming_hourly_rollup",
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 
