@@ -227,13 +227,21 @@ vec_subs AS (
   FROM embeddings CROSS JOIN subs
 ),
 encoded AS (
+  -- rank key (rounded L2, RAW L2, code_id): the raw tie-break mirrors
+  -- the GEMM encode kernel's lexsort (see _pq_encode_lut) so a raw
+  -- distance at a 0.5e-6 rounding boundary can never flip the code
+  -- assignment between engines
   SELECT vec_id, s, code_id FROM (
-    SELECT v.vec_id, v.s, cb.code_id,
+    SELECT vec_id, s, code_id,
            ROW_NUMBER() OVER (
-             PARTITION BY v.vec_id, v.s
-             ORDER BY ROUND({_SUB_L2_T.format(a='v.vs', b='cb.cs')}, 6), cb.code_id
+             PARTITION BY vec_id, s
+             ORDER BY ROUND(d_raw, 6), d_raw, code_id
            ) AS rnk
-    FROM vec_subs v JOIN codebook cb ON v.s = cb.s
+    FROM (
+      SELECT v.vec_id, v.s, cb.code_id,
+             {_SUB_L2_T.format(a='v.vs', b='cb.cs')} AS d_raw
+      FROM vec_subs v JOIN codebook cb ON v.s = cb.s
+    )
   ) WHERE rnk = 1
 ),
 lut AS (
@@ -272,7 +280,26 @@ def _pq_encode_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     subspace. lut: (query_id, s, code_id, part) — each query's dot
     product against every codebook entry. Used verbatim by sim_knn_pq
     and sim_knn_ivfpq so their quantization semantics can never drift
-    apart (the SQL side shares the same block for the same reason)."""
+    apart (the SQL side shares the same block for the same reason).
+
+    Round 11: the corpus-side encode is GEMM-batched
+    (_pq_encode_gemm) — the previous expression route fanned every
+    vector out to N x _N_SUB x _N_CODES (N x 1024) rows and ranked
+    them in a window keyed (vec_id, s), which was the PQ family's
+    dominant stage at 1000x (~30x the data bytes shuffled twice). The
+    expression route survives as _pq_encode_expression, pinned
+    output-equal by test_pq_encode_gemm_matches_expression_route —
+    the same demotion pattern as dedup_embedding_ivf. The LUT side
+    stays expression-based: it touches only the _N_QUERIES query
+    vectors x the broadcast codebook (a few thousand rows)."""
+    encoded = _pq_encode_gemm(emb)
+    lut = _pq_query_lut(emb)
+    return encoded, lut
+
+
+def _pq_codebook(emb: DataFrame) -> DataFrame:
+    """The deterministic-seed PQ codebook: (s, code_id, cs) — shared
+    by the LUT builder and the expression-route encode twin."""
     # subspace fan-out via explode of a literal index array — a narrow
     # map-side op, NOT a join: no nested-loop node ever enters the plan
     subs = F.explode(F.array(*[F.lit(s) for s in range(_N_SUB)])).alias("s")
@@ -285,13 +312,56 @@ def _pq_encode_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         # single-task WindowExec warning is benign by construction
         .withColumn("code_id", F.row_number().over(seed_w) - 1)
     )
-    sub_slice = lambda v: F.slice(v, F.col("s") * _SUB_DIM + 1, _SUB_DIM)  # noqa: E731
-    codebook = seeds.select("code_id", "embedding", subs).select(
+    sub_slice = _pq_sub_slice
+    return seeds.select("code_id", "embedding", subs).select(
         "s", "code_id", sub_slice(F.col("embedding")).alias("cs")
     )
-    vec_subs = emb.select("vec_id", "embedding", subs).select(
-        "vec_id", "s", sub_slice(F.col("embedding")).alias("vs")
+
+
+def _pq_sub_slice(v):
+    return F.slice(v, F.col("s") * _SUB_DIM + 1, _SUB_DIM)
+
+
+def _pq_vec_subs(emb: DataFrame) -> DataFrame:
+    """Per-vector subspace slices (vec_id, s, vs) — the fan-out side
+    of the expression-route encode and the (query-only) LUT build."""
+    subs = F.explode(F.array(*[F.lit(s) for s in range(_N_SUB)])).alias("s")
+    return emb.select("vec_id", "embedding", subs).select(
+        "vec_id", "s", _pq_sub_slice(F.col("embedding")).alias("vs")
     )
+
+
+def _pq_query_lut(emb: DataFrame) -> DataFrame:
+    """(query_id, s, code_id, part): each query's exact dot product
+    against every codebook entry — _N_QUERIES x _N_SUB x _N_CODES rows
+    (a few thousand), broadcast downstream. Stays expression-based:
+    the fan-out is bounded by the query count, never the corpus."""
+    codebook = _pq_codebook(emb)
+    return (
+        _pq_vec_subs(emb)
+        .where(F.col("vec_id") < _N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "code_id",
+            F.round(_dot(F.col("vs"), F.col("cs")), 6).alias("part"),
+        )
+    )
+
+
+def _pq_encode_expression(emb: DataFrame) -> DataFrame:
+    """The expression-route PQ encode — fan every vector out to
+    N x _N_SUB subspace rows, join the broadcast codebook
+    (x _N_CODES), rank the L2 distances in a window keyed (vec_id,
+    s). This is the bitwise-parity REFERENCE for the registered GEMM
+    encode (_pq_encode_gemm), pinned output-equal by
+    test_pq_encode_gemm_matches_expression_route — NOT the volume
+    path: the N x 1024 intermediate made it the PQ family's dominant
+    stage at 1000x. Rank key (rounded L2, RAW L2, code_id) matches
+    the oracle's encoded CTE and the GEMM kernel's lexsort."""
+    codebook = _pq_codebook(emb)
     l2 = F.aggregate(
         F.zip_with(
             F.col("vs"),
@@ -302,26 +372,109 @@ def _pq_encode_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    enc_w = Window.partitionBy("vec_id", "s").orderBy("d", "code_id")
-    encoded = (
-        vec_subs.join(F.broadcast(codebook), "s")
-        .select("vec_id", "s", "code_id", F.round(l2, 6).alias("d"))
+    enc_w = Window.partitionBy("vec_id", "s").orderBy("d", "d_raw", "code_id")
+    return (
+        _pq_vec_subs(emb)
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id", "s", "code_id", l2.alias("d_raw"), F.round(l2, 6).alias("d")
+        )
         .withColumn("rnk", F.row_number().over(enc_w))
         .where(F.col("rnk") == 1)
         .select("vec_id", "s", "code_id")
     )
-    lut = (
-        vec_subs.where(F.col("vec_id") < _N_QUERIES)
-        .withColumnRenamed("vec_id", "query_id")
-        .join(F.broadcast(codebook), "s")
-        .select(
-            "query_id",
-            "s",
-            "code_id",
-            F.round(_dot(F.col("vs"), F.col("cs")), 6).alias("part"),
-        )
+
+
+# GEMM sub-chunk size — same sizing rationale as similarity.py's
+# assignment kernel: the (rows x _N_SUB x _N_CODES x _SUB_DIM) diff
+# tensor at 1024 rows is ~33 MB/task transient; a full 10k-row Arrow
+# batch would be ~330 MB/task x 32 concurrent tasks.
+_ENC_CHUNK = 1024
+
+
+def _pq_codebook_np(emb: DataFrame):
+    """The deterministic-seed codebook as a numpy (s, code_id,
+    sub_dim) tensor — a bounded driver readback of <= _N_CODES rows.
+    code_id = rank in vec_id order, exactly the oracle's
+    ROW_NUMBER() OVER (ORDER BY vec_id) - 1."""
+    import numpy as np
+
+    seed_rows = sorted(
+        emb.where(F.expr(_SEED_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CODES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    return encoded, lut
+    return (
+        np.array([list(r.embedding) for r in seed_rows], dtype=np.float64)
+        .reshape(len(seed_rows), _N_SUB, _SUB_DIM)
+        .transpose(1, 0, 2)
+        .copy()
+    )
+
+
+def _pq_encode_gemm(emb: DataFrame) -> DataFrame:
+    """The registered PQ encode: one Arrow-batched mapInPandas pass
+    computing every vector's per-subspace argmin code against the
+    broadcast codebook tensor — zero shuffled rows (the expression
+    route shuffled N x _N_SUB x _N_CODES rows through a window; at
+    1000x that stage dominated the whole PQ family).
+
+    Engine parity: the squared-diff sum runs over the _SUB_DIM(=4)
+    contiguous last axis, which numpy reduces SEQUENTIALLY (pairwise
+    blocking starts above 8 elements) — the identical order to
+    Spark's F.aggregate fold and DuckDB's list_sum, so raw distances
+    are bit-equal across all three engines. The rank key still
+    carries the raw L2 between the rounded L2 and the code id
+    (lexsort), mirroring the oracle's encoded CTE, so even an
+    order-divergent future kernel could not flip a boundary
+    assignment. Ties at identical raw L2 break by ascending code id
+    == ascending column index (stable lexsort)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    cb = _pq_codebook_np(emb)
+    bc = emb.sparkSession.sparkContext.broadcast(cb)
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("s", IntegerType()),
+            StructField("code_id", IntegerType()),
+        ]
+    )
+    s_tile = np.arange(_N_SUB, dtype=np.int32)
+
+    def encode(batches):
+        cbv = bc.value  # (S, C, D)
+        for pdf in batches:
+            for lo in range(0, len(pdf), _ENC_CHUNK):
+                sub = pdf.iloc[lo : lo + _ENC_CHUNK]
+                if sub.empty:
+                    continue
+                v = (
+                    np.stack(sub["embedding"].to_numpy())
+                    .astype(np.float64)
+                    .reshape(-1, _N_SUB, 1, _SUB_DIM)
+                )
+                d_raw = ((v - cbv[None, :, :, :]) ** 2).sum(axis=-1)  # (n,S,C)
+                order = np.lexsort((d_raw, np.round(d_raw, 6)), axis=-1)
+                codes = order[:, :, 0].astype(np.int32)  # (n, S)
+                n = codes.shape[0]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(
+                            sub["vec_id"].to_numpy(dtype=np.int64), _N_SUB
+                        ),
+                        "s": np.tile(s_tile, n),
+                        "code_id": codes.ravel(),
+                    }
+                )
+
+    return emb.select("vec_id", "embedding").mapInPandas(encode, out_schema)
 
 
 
@@ -339,20 +492,15 @@ def _pq_encode_lut(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     "codebook (queries x subspaces x codes rows — broadcastable by "
     "construction), scoring is a broadcast-LUT join + per-(query, "
     "vector) partial-agg sum, never touching raw corpus floats. The "
-    "encode argmin is expressed as a windowed rank keyed (vec_id, "
-    "subspace) for oracle parity; the production path fuses it into "
-    "one Arrow-batched mapInPandas pass (see tests for the "
-    "recall-vs-exact floor).",
+    "corpus-side encode argmin is one Arrow-batched mapInPandas GEMM "
+    "pass against the broadcast codebook tensor (zero shuffled rows); "
+    "the windowed-rank expression route survives as the bitwise-"
+    "parity twin, pinned output-equal in pytest alongside the "
+    "recall-vs-exact floor.",
 )
 def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = load_tables(spark, sf_dir, "embeddings")
-    encoded, lut = _pq_encode_lut(emb)
-    scored = (
-        encoded.join(F.broadcast(lut), ["s", "code_id"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.sum("part"), 6).alias("approx_dot"))
-    )
+    scored = _pq_adc_topk_gemm(emb)
     rank_w = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("neighbor_id")
     )
@@ -361,6 +509,124 @@ def sim_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("neighbor_rank") <= _PQ_TOP_K)
         .orderBy("query_id", "neighbor_rank")
     )
+
+
+def _pq_scored_join_route(emb: DataFrame) -> DataFrame:
+    """The join-route ADC scoring twin — encode rows joined to the
+    broadcast LUT, summed per (query, neighbor). This is the parity
+    REFERENCE for the fused kernel (_pq_adc_topk_gemm), pinned
+    output-equal by test_pq_adc_gemm_matches_join_route — NOT the
+    volume path: the LUT join fans the corpus out to
+    N x _N_SUB x _N_QUERIES rows before the partial agg, which was
+    sim_knn_pq's dominant stage once the encode went GEMM."""
+    encoded, lut = _pq_encode_lut(emb)
+    return (
+        encoded.join(F.broadcast(lut), ["s", "code_id"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("part"), 6).alias("approx_dot"))
+    )
+
+
+def _pq_adc_topk_gemm(emb: DataFrame) -> DataFrame:
+    """Fused PQ encode + ADC score + per-chunk top-k prune in ONE
+    Arrow-batched mapInPandas pass: (query_id, neighbor_id,
+    approx_dot), pruned to each chunk's top _PQ_TOP_K per query.
+
+    Per chunk: encode the vectors against the broadcast codebook
+    tensor (the _pq_encode_gemm argmin, identical rank key), gather
+    each query's LUT entry for the assigned code per subspace, and
+    accumulate the 16 parts SEQUENTIALLY in subspace order. The LUT is
+    built driver-side from the _N_QUERIES query vectors (a bounded
+    readback, the centroid-collect precedent) with the identical
+    rounding as the lut CTE: part = ROUND(4-element sequential dot, 6).
+
+    The per-chunk prune is row_number-safe: the global top-k rows by
+    (approx_dot DESC, neighbor_id ASC) each rank within the top k of
+    their own chunk under the same key, so the union of per-chunk
+    top-k is a superset of the global top-k — the same argument
+    WindowGroupLimit uses for per-partition limits. Emitted volume is
+    ~(N / chunk) x _N_QUERIES x k rows instead of N x _N_QUERIES,
+    so the downstream window is negligible at any scale."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cb = _pq_codebook_np(emb)  # (S, C, D)
+    q_rows = sorted(
+        emb.where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qmat = (
+        np.array([list(r.embedding) for r in q_rows], dtype=np.float64)
+        .reshape(len(q_rows), _N_SUB, 1, _SUB_DIM)
+    )
+    # lut[q, s, c] = ROUND(dot(query_sub, code_sub), 6) — the 4-element
+    # product-sum reduces sequentially (numpy pairwise blocking starts
+    # above 8 elements), the identical order to the lut CTE's list_sum
+    # and the Spark LUT's F.aggregate fold
+    lut = np.round((qmat * cb[None, :, :, :]).sum(axis=-1), 6)  # (Q, S, C)
+    bc = emb.sparkSession.sparkContext.broadcast((cb, lut, qids))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("approx_dot", DoubleType()),
+        ]
+    )
+    top_k = _PQ_TOP_K
+
+    def score(batches):
+        cbv, lutv, qv = bc.value
+        n_q = len(qv)
+        for pdf in batches:
+            for lo in range(0, len(pdf), _ENC_CHUNK):
+                sub = pdf.iloc[lo : lo + _ENC_CHUNK]
+                if sub.empty:
+                    continue
+                v = (
+                    np.stack(sub["embedding"].to_numpy())
+                    .astype(np.float64)
+                    .reshape(-1, _N_SUB, 1, _SUB_DIM)
+                )
+                d_raw = ((v - cbv[None, :, :, :]) ** 2).sum(axis=-1)
+                order = np.lexsort((d_raw, np.round(d_raw, 6)), axis=-1)
+                codes = order[:, :, 0]  # (n, S)
+                n = codes.shape[0]
+                # ADC: accumulate the _N_SUB parts sequentially in
+                # subspace order (ROUND(SUM(part), 6) downstream)
+                scores = np.zeros((n, n_q), dtype=np.float64)
+                for s in range(_N_SUB):
+                    scores += lutv[:, s, codes[:, s]].T
+                scores = np.round(scores, 6)
+                nids = sub["vec_id"].to_numpy(dtype=np.int64)
+                parts = []
+                for qi in range(n_q):
+                    col = scores[:, qi]
+                    keep = nids != qv[qi]  # a query never matches itself
+                    if not keep.any():
+                        continue
+                    cand_n, cand_s = nids[keep], col[keep]
+                    sel = np.lexsort((cand_n, -cand_s))[:top_k]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(
+                                    len(sel), qv[qi], dtype=np.int64
+                                ),
+                                "neighbor_id": cand_n[sel],
+                                "approx_dot": cand_s[sel],
+                            }
+                        )
+                    )
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(score, out_schema)
 
 
 # --- IVF + PQ: the production ANN index shape ------------------------
@@ -405,13 +671,17 @@ c AS (
   ORDER BY vec_id LIMIT {_N_CENTROIDS}
 ),
 assign AS (
+  -- rank key (rounded sim, RAW sim, centroid_id): the raw tie-break
+  -- mirrors the GEMM kernel's lexsort (see _ivf_assign_gemm) so a
+  -- BLAS-vs-list_sum ulp at a rounding boundary can never flip the
+  -- assignment between engines
   SELECT vec_id, centroid_id,
          ROW_NUMBER() OVER (PARTITION BY vec_id
-           ORDER BY sim DESC, centroid_id) AS arnk
+           ORDER BY ROUND(sim_raw, 6) DESC, sim_raw DESC, centroid_id) AS arnk
   FROM (
     SELECT n.vec_id, c.centroid_id,
-           ROUND(({_DOT_SQL_FULL.format(a='n.embedding', b='c.ce')})
-                 / (n.nrm * c.cnrm), 6) AS sim
+           ({_DOT_SQL_FULL.format(a='n.embedding', b='c.ce')})
+                 / (n.nrm * c.cnrm) AS sim_raw
     FROM n CROSS JOIN c
   )
 ),
@@ -480,27 +750,14 @@ def _ivfpq_scored(emb: DataFrame) -> DataFrame:
     normed = emb.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
     )
-    cents = (
-        normed.where(F.expr(_CENTROID_FILTER))
-        .orderBy("vec_id")
-        .limit(_N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    sim_to_c = F.round(
-        _dot(F.col("embedding"), F.col("ce")) / (F.col("nrm") * F.col("cnrm")), 6
-    )
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), F.asc("centroid_id")
-    )
-    assign = (
-        normed.crossJoin(F.broadcast(cents))
-        .select("vec_id", "centroid_id", sim_to_c.alias("sim"))
-        .withColumn("arnk", F.row_number().over(assign_w))
-    )
+    # Coarse quantization is GEMM-batched (round 11): the previous
+    # route crossJoined every vector with the broadcast centroid table
+    # and ranked the N x k rows in a window keyed vec_id — N x k rows
+    # shuffled for an assignment whose output is N rows. One batched
+    # matmul per Arrow chunk against the broadcast centroid matrix
+    # (the proven kernel shape from similarity.ivf_inverted_lists)
+    # does the same dots with zero shuffled rows.
+    assign = _ivf_assign_gemm(normed)
     lists = assign.where(F.col("arnk") == 1).select("centroid_id", "vec_id")
     probes = assign.where(
         (F.col("vec_id") < _N_QUERIES) & (F.col("arnk") <= _N_PROBE)
@@ -523,6 +780,113 @@ def _ivfpq_scored(emb: DataFrame) -> DataFrame:
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("part"), 6).alias("approx_dot"))
     )
+
+
+def _ivf_assign_gemm(normed: DataFrame) -> DataFrame:
+    """GEMM-batched IVF coarse quantization for the PQ family:
+    (vec_id, centroid_id, arnk) — rank-1 rows for EVERY vector (the
+    inverted lists) plus ranks 2.._N_PROBE for the query vectors only
+    (the multi-probe rows), so the emitted row count is
+    N + _N_QUERIES x (_N_PROBE - 1), not N x _N_PROBE.
+
+    Same kernel shape and parity contract as
+    similarity.ivf_inverted_lists: cosine dots as one chunked numpy
+    matmul against the broadcast (k x dim) centroid matrix; rank key
+    (rounded sim DESC, RAW sim DESC, centroid id ASC) via
+    similarity._rank_centroids_desc, mirrored exactly by the oracle's
+    assign CTE; zero-norm vectors/centroids rejected loudly (NaN sims
+    rank differently across engines)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from _imdb_etl_spark.operators.similarity import (
+        _CENTROID_FILTER,
+        _N_CENTROIDS,
+        _N_PROBE,
+    )
+
+    cent_rows = sorted(
+        normed.where(F.expr(_CENTROID_FILTER))
+        .orderBy("vec_id")
+        .limit(_N_CENTROIDS)
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cmat = np.array([list(r.embedding) for r in cent_rows], dtype=np.float64)
+    cnrm = np.array([r.nrm for r in cent_rows], dtype=np.float64)
+    if not (cnrm > 0).all():
+        raise ValueError(
+            f"zero-norm centroid(s) "
+            f"{[r.vec_id for r, n in zip(cent_rows, cnrm) if not n > 0]}"
+            " — NaN sims rank differently across engines; clean the corpus"
+        )
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    bc = normed.sparkSession.sparkContext.broadcast((cmat, cnrm, cids))
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("centroid_id", LongType()),
+            StructField("arnk", IntegerType()),
+        ]
+    )
+    n_queries, n_probe = _N_QUERIES, _N_PROBE
+    chunk = _ENC_CHUNK
+
+    def assign(batches):
+        cm, cn, ci = bc.value
+        for pdf in batches:
+            for lo in range(0, len(pdf), chunk):
+                sub = pdf.iloc[lo : lo + chunk]
+                if sub.empty:
+                    continue
+                m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                nr = sub["nrm"].to_numpy(dtype=np.float64)
+                if not (nr > 0).all():
+                    bad = sub["vec_id"].to_numpy()[~(nr > 0)]
+                    raise ValueError(
+                        f"zero-norm vector(s) {bad[:5].tolist()} — NaN "
+                        "sims rank differently across engines; clean "
+                        "the corpus"
+                    )
+                raw = (m @ cm.T) / (nr[:, None] * cn[None, :])
+                # inlined similarity._rank_centroids_desc (the pinned
+                # rank-key contract): referencing the module function
+                # from this closure would make the worker unpickle
+                # import similarity standalone, which cycles through
+                # plans/__init__ back into a partially-initialized
+                # module. test_centroid_rank_raw_tiebreak pins the two
+                # copies identical.
+                order = np.lexsort((-raw, -np.round(raw, 6)), axis=-1)
+                vids = sub["vec_id"].to_numpy(dtype=np.int64)
+                is_q = vids < n_queries
+                p_eff = min(n_probe, order.shape[1])
+                # rank-1 for everyone; ranks 2..p only for query rows
+                parts = [
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids,
+                            "centroid_id": ci[order[:, 0]],
+                            "arnk": np.ones(len(vids), dtype=np.int32),
+                        }
+                    )
+                ]
+                if is_q.any() and p_eff > 1:
+                    qv, qo = vids[is_q], order[is_q]
+                    for r in range(1, p_eff):
+                        parts.append(
+                            pd.DataFrame(
+                                {
+                                    "vec_id": qv,
+                                    "centroid_id": ci[qo[:, r]],
+                                    "arnk": np.full(len(qv), r + 1, dtype=np.int32),
+                                }
+                            )
+                        )
+                yield pd.concat(parts, ignore_index=True)
+
+    return normed.mapInPandas(assign, out_schema)
 
 
 from _imdb_etl_spark.plans.registry import REGISTRY as _REG  # noqa: E402
@@ -748,7 +1112,8 @@ def _pca_top_component(
     cov = cov_np.tolist()
     trace = sum(cov[i][i] for i in range(_DIM))
     # local power iteration on the dim x dim matrix (pure python; no
-    # cluster rounds — the corpus is touched exactly twice above)
+    # cluster rounds — the corpus is touched exactly once above, the
+    # single mapInPandas Gram-partial pass)
     v = [1.0 / math.sqrt(_DIM)] * _DIM
     eigval = 0.0
     for _ in range(_PCA_ITERS):

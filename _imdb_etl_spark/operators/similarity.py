@@ -254,10 +254,17 @@ ORDER BY doc_a, doc_b
 
 
 def _cross_modal_sql() -> str:
-    from _imdb_etl_spark.operators.dedup import _JACCARD_SQL
+    # round 11: the pair stage is the registered LSH scale path
+    # (dedup_minhash_lsh's exact-verified collisions), not the
+    # quadratic shared-shingle self-join — the 1000x probe measured
+    # the exact-route composition at 450 s, ~12x/decade, all of it in
+    # the pair stage its own family had already demoted in round 6
+    from _imdb_etl_spark.operators.dedup import _MINHASH_SQL
 
     return _CROSS_SQL_TEMPLATE.format(
-        jaccard_sql=_JACCARD_SQL.strip().rstrip(";"),
+        jaccard_sql=_MINHASH_SQL.strip()
+        .rstrip(";")
+        .replace("ORDER BY i.doc_a, i.doc_b", ""),
         norm=_DOT_SQL.format(a="embedding", b="embedding", dim=_DIM),
         dot=_DOT_SQL.format(a="a.embedding", b="b.embedding", dim=_DIM),
     )
@@ -266,15 +273,20 @@ def _cross_modal_sql() -> str:
 @register(
     "crossmodal_textdup_cosine",
     _cross_modal_sql(),
-    doc="Operator composition: exact text near-dup pairs (word 3-gram "
-    "Jaccard >= 0.6) joined with the cosine similarity of the same "
-    "documents' embeddings — the agreement check between lexical and "
-    "semantic dedup signals.",
+    doc="Operator composition: text near-dup pairs (word 3-gram "
+    "Jaccard >= 0.6 via the registered MinHash-LSH scale path — "
+    "banded candidates, exact-Jaccard verify of collisions only) "
+    "joined with the cosine similarity of the same documents' "
+    "embeddings — the agreement check between lexical and semantic "
+    "dedup signals. The exact-route composition survives as the "
+    "pytest recall twin (test_crossmodal_lsh_pairs_subset_of_exact).",
 )
 def crossmodal_textdup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+    from _imdb_etl_spark.operators.dedup import _jaccard_verify, lsh_candidates
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    doc_sets, cand = lsh_candidates(docs)
+    pairs = _jaccard_verify(doc_sets, cand, with_est=False)
     (emb,) = load_tables(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
@@ -793,11 +805,17 @@ cents AS (
   WHERE crn <= {_ADAPTIVE_K_SQL}
 ),
 assign AS (
-  SELECT n.vec_id, n.embedding, n.nrm, cid,
-         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-           ROUND(({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
-             / (n.nrm * cnrm), 6) DESC, cid) AS rnk
-  FROM n CROSS JOIN cents
+  -- rank key (rounded sim, RAW sim, cid): the raw tie-break mirrors
+  -- the GEMM kernel's lexsort — see ivf_inverted_lists
+  SELECT vec_id, embedding, nrm, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           ROUND(sim_raw, 6) DESC, sim_raw DESC, cid) AS rnk
+  FROM (
+    SELECT n.vec_id, n.embedding, n.nrm, cid,
+           ({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
+             / (n.nrm * cnrm) AS sim_raw
+    FROM n CROSS JOIN cents
+  )
 ),
 lists AS (
   SELECT cid, vec_id, embedding, nrm FROM assign WHERE rnk <= {_DEDUP_PROBE}
@@ -871,6 +889,25 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_centroids_desc(raw):
+    """Per-row descending centroid ranking, the kernel half of the
+    engine-shared rank key (round-11 hardening, ADVICE r9/r10):
+    rounded sim DESC, then RAW sim DESC, then centroid id ASC (the
+    stable-lexsort index order). The raw tie-break neutralizes the
+    rounding-boundary flip: when one engine rounds a
+    boundary-straddling raw up and the other down, the engine that
+    sees a rounded TIE falls back to the raw ordering — which is the
+    order the other engine's rounded key already produced. A residual
+    flip now needs two distinct centroids with raw sims within
+    summation-order noise (~1e-15) of EACH OTHER, i.e. duplicate
+    centroids. Every oracle assign CTE ranks by the identical
+    (ROUND(sim_raw, 6) DESC, sim_raw DESC, cid) key; pinned by
+    test_centroid_rank_raw_tiebreak_straddles_boundary."""
+    import numpy as np
+
+    return np.lexsort((-raw, -np.round(raw, 6)), axis=-1)
+
+
 def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     """The shared IVF coarse-quantization stage of the embedding-dedup
     scale faces: assign every vector to its _DEDUP_PROBE nearest
@@ -911,17 +948,17 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
     # Ranking parity with the oracle: sims round to 6 decimals (the
     # GEMM-vs-left-assoc-SQL tolerance score_group established) and
     # ties break by ascending centroid id == ascending column index,
-    # which a STABLE argsort over the descending-sim key gives for
-    # free; the oracle CTEs rank by the identical rounded key.
-    # Residual risk (ADVICE r9, accepted): numpy's blocked summation
-    # and DuckDB's left-associative dot can differ ~1e-15, so a raw
-    # sim landing within that of a 0.5e-6 rounding boundary could
-    # flip an assignment between engines. No flip has appeared at any
-    # graded scale (the full-registry sf0.01 replay and the sf1/sf10/
-    # sf100 probes all run this face); if one ever does, the recorded
-    # remedy is to break rank ties on the RAW unrounded sim computed
-    # identically in both engines (or widen the rounding epsilon),
-    # not to paper over the mismatch.
+    # which a STABLE lexsort gives for free; the oracle CTEs rank by
+    # the identical key. Round 11 delivered the remedy ADVICE r9
+    # recorded: the rank key carries the RAW unrounded sim between the
+    # rounded sim and the centroid id in BOTH engines, so a raw sim
+    # landing within summation-order noise (~1e-15, numpy blocked vs
+    # DuckDB left-associative) of a 0.5e-6 rounding boundary can no
+    # longer flip the assignment — the engine that rounds to a tie
+    # falls back to the raw order the other engine's rounded key
+    # already produced. A residual flip now needs two distinct
+    # centroids with raw sims within ~1e-15 of EACH OTHER (duplicate
+    # centroids), which the zero-norm/dedup guards upstream preclude.
     cent_rows = sorted(
         normed.where(F.expr(_CENTROID_FILTER))
         .orderBy("vec_id")
@@ -973,8 +1010,14 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
                         "sims rank differently across engines; clean "
                         "the corpus"
                     )
-                sims = np.round((m @ cm.T) / (nr[:, None] * cn[None, :]), 6)
-                top = np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+                raw = (m @ cm.T) / (nr[:, None] * cn[None, :])
+                # inlined _rank_centroids_desc (the pinned rank-key
+                # contract — rounded DESC, raw DESC, cid ASC):
+                # referencing the module function from this closure
+                # would make the worker unpickle re-import this module
+                # standalone, which cycles through plans/__init__.
+                # test_centroid_rank_raw_tiebreak pins the copies.
+                top = np.lexsort((-raw, -np.round(raw, 6)), axis=-1)[:, :probe]
                 p_eff = top.shape[1]
                 yield pd.DataFrame(
                     {
@@ -1147,11 +1190,16 @@ cents AS (
   WHERE crn <= {_ADAPTIVE_K_SQL}
 ),
 assign AS (
-  SELECT n.vec_id, n.embedding, n.nrm, cid,
-         ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-           ROUND(({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
-             / (n.nrm * cnrm), 6) DESC, cid) AS rnk
-  FROM n CROSS JOIN cents
+  -- rank key (rounded sim, RAW sim, cid): mirrors ivf_inverted_lists
+  SELECT vec_id, embedding, nrm, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+           ROUND(sim_raw, 6) DESC, sim_raw DESC, cid) AS rnk
+  FROM (
+    SELECT n.vec_id, n.embedding, n.nrm, cid,
+           ({_DOT_SQL.format(a='n.embedding', b='ce', dim=_DIM)})
+             / (n.nrm * cnrm) AS sim_raw
+    FROM n CROSS JOIN cents
+  )
 ),
 lists AS (
   SELECT cid, vec_id, embedding, nrm FROM assign WHERE rnk <= {_DEDUP_PROBE}

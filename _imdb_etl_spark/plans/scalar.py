@@ -537,8 +537,10 @@ def scalar_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inputs are manufactured deterministically from the key so every
 # error path has rows.
 #
-# add_val domain pin (round 10, ADVICE): pk = p_partkey >= 1 always,
-# and both engines' formulations are written to that domain — the
+# add_val domain pin (round 10, ADVICE; corrected round 11 — the
+# testdata DOES contain pk = 0): pk = p_partkey >= 0 always (pinned
+# by test_try_suite_add_val_domain_holds), and both engines'
+# formulations are written to that domain — the
 # oracle CASE arms carry explicit pk > 0 / pk >= 0 guards so the
 # equivalence with Spark's try_add(max_long-or-0, pk) is visible: for
 # a hypothetical NEGATIVE multiple of 1024 (outside the domain) Spark

@@ -3843,3 +3843,173 @@ def test_datasheet_consistency_with_constituents(spark, sf_dir):
         assert r.n_pii_docs == pii
         assert r.dup_permille == (1000 * dups_) // n
         assert r.pii_permille == (1000 * pii) // n
+
+
+def test_pq_encode_gemm_matches_expression_route(spark, sf_dir):
+    """The registered GEMM PQ encode and the windowed-rank expression
+    encode share the codebook, distance, rounding, and rank key, so
+    their (vec_id, s) -> code_id maps must be identical. (Round 11:
+    the expression route is demoted to this library verifier — its
+    N x _N_SUB x _N_CODES window stage dominated the PQ family at
+    1000x — so this pin IS its correctness evidence now, the
+    dedup_embedding_ivf precedent.)"""
+    from _imdb_etl_spark.operators.semantic import (
+        _pq_encode_expression,
+        _pq_encode_gemm,
+    )
+    from _imdb_etl_spark.sources import load_tables
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    expr_codes = {
+        (r.vec_id, r.s): r.code_id for r in _pq_encode_expression(emb).collect()
+    }
+    gemm_codes = {
+        (r.vec_id, r.s): r.code_id for r in _pq_encode_gemm(emb).collect()
+    }
+    assert gemm_codes == expr_codes
+
+
+def test_centroid_rank_raw_tiebreak_straddles_boundary():
+    """The centroid rank key is (rounded sim DESC, RAW sim DESC, cid
+    ASC) in both engines — the round-11 remedy for the rounding-
+    boundary flip ADVICE r9 recorded. Simulate the flip: engine A and
+    engine B compute raw sims differing by summation-order noise
+    (~1e-15) around a 0.5e-6 rounding boundary, so their ROUNDED keys
+    disagree; the raw tie-break must still produce the same ranking
+    in both engines."""
+    import numpy as np
+
+    from _imdb_etl_spark.operators.similarity import _rank_centroids_desc
+
+    # centroid 0 sits a hair below the .5e-6 boundary in engine A and
+    # a hair above it in engine B; centroid 1 is exactly the value
+    # centroid 0's round-up would collide with
+    boundary = 0.1234565
+    raw_a = np.array([[boundary - 1e-15, 0.123457, 0.5]])
+    raw_b = np.array([[boundary + 1e-15, 0.123457, 0.5]])
+    # engine B rounds centroid 0 UP to 0.123457 == centroid 1's key: a
+    # rounded-only ranking would then flip on the cid tie-break, while
+    # engine A (no tie) keeps centroid 1 ahead. The raw tie-break
+    # resolves B's tie by raw sim, matching A.
+    assert np.round(raw_a, 6)[0, 0] != np.round(raw_b, 6)[0, 0]
+    order_a = _rank_centroids_desc(raw_a)
+    order_b = _rank_centroids_desc(raw_b)
+    assert order_a.tolist() == order_b.tolist() == [[2, 1, 0]]
+    # exact rounded-and-raw ties still break by ascending centroid id
+    ties = np.array([[0.25, 0.25, 0.125]])
+    assert _rank_centroids_desc(ties).tolist() == [[0, 1, 2]]
+    # the inlined closure copies (similarity.ivf_inverted_lists,
+    # semantic._ivf_assign_gemm) must stay identical to the helper
+    rng = np.random.default_rng(7)
+    raw = rng.random((32, 16))
+    inline = np.lexsort((-raw, -np.round(raw, 6)), axis=-1)
+    assert (_rank_centroids_desc(raw) == inline).all()
+
+
+def test_try_suite_add_val_domain_holds(spark, sf_dir):
+    """The scalar_try_suite add_val equivalence between Spark's
+    try_add saturation and the oracle's guarded CASE arms is proved
+    on the domain pk = p_partkey >= 0: the pk > 0 arm is the
+    overflow-to-NULL case, the pk >= 0 arm covers pk = 0 (max_long +
+    0 does NOT overflow, so both engines emit max_long — the fixture
+    DOES contain pk = 0). Only a NEGATIVE multiple of 1024 falls
+    outside the proved domain (Spark would yield max_long + pk, the
+    guarded oracle falls through to pk). Pin the domain itself so a
+    testdata regeneration that ever emits negative part keys fails
+    HERE with the reason, not in a hash mismatch."""
+    from _imdb_etl_spark.sources import load_tables
+
+    (part,) = load_tables(spark, sf_dir, "part")
+    import pyspark.sql.functions as F
+
+    min_pk = part.agg(F.min("p_partkey").alias("m")).collect()[0].m
+    assert min_pk >= 0, f"add_val domain pin violated: min p_partkey {min_pk}"
+
+
+def test_pq_adc_gemm_matches_join_route(spark, sf_dir):
+    """The fused encode+ADC+prune kernel and the broadcast-LUT join
+    route share the codebook, LUT rounding, and exclusion rule, so
+    the top-k they feed the ranking window must be identical. (Round
+    11: the join route is demoted to this library verifier — its
+    N x _N_SUB x _N_QUERIES pre-agg fan-out was sim_knn_pq's dominant
+    stage once the encode went GEMM.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from _imdb_etl_spark.operators.semantic import (
+        _PQ_TOP_K,
+        _pq_adc_topk_gemm,
+        _pq_scored_join_route,
+    )
+    from _imdb_etl_spark.sources import load_tables
+
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id")
+    )
+
+    def topk(scored):
+        return {
+            (r.query_id, r.neighbor_id, r.approx_dot, r.rnk)
+            for r in scored.withColumn("rnk", F.row_number().over(rank_w))
+            .where(F.col("rnk") <= _PQ_TOP_K)
+            .collect()
+        }
+
+    assert topk(_pq_adc_topk_gemm(emb)) == topk(_pq_scored_join_route(emb))
+
+
+def test_crossmodal_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """crossmodal_textdup_cosine now composes the registered LSH pair
+    stage (round 11; the exact shared-shingle self-join composition
+    measured 450 s / ~12x-per-decade at 1000x). LSH never invents a
+    pair — its exact-verify keeps only true >= 0.6 Jaccard collisions
+    — so the face's rows must be a subset of the exact-route
+    composition, identical in every shared (jaccard, cosine_sim), and
+    the recall floor mirrors the pair family's own pin."""
+    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+    from _imdb_etl_spark.operators.similarity import (
+        _dot,
+        crossmodal_textdup_cosine,
+    )
+    from _imdb_etl_spark.sources import load_tables
+
+    got = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.cosine_sim)
+        for r in crossmodal_textdup_cosine(spark, sf_dir).collect()
+    }
+    exact_pairs = dedup_ngram_jaccard(spark, sf_dir)
+    (emb,) = load_tables(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", F.sqrt(_dot("embedding", "embedding")).alias("nrm")
+    )
+    a = normed.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = normed.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    exact = {
+        (r.doc_a, r.doc_b): (r.jaccard, r.cosine_sim)
+        for r in exact_pairs.join(a, F.col("doc_a") == F.col("va"))
+        .join(b, F.col("doc_b") == F.col("vb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cosine_sim"),
+        )
+        .collect()
+    }
+    assert exact, "fixture should contain cross-modal near-dup pairs"
+    assert set(got) <= set(exact)
+    for k, v in got.items():
+        assert exact[k] == v
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"LSH pair recall {recall} vs exact route"
