@@ -145,6 +145,7 @@ def main() -> None:
         "band": band,
         "failed": failed,
         "regressions": regressions(times),
+        "canary": cpu_canary(spark),
         "sf": sf,
     }
     spot = sf1_spot(spark)
@@ -174,6 +175,7 @@ def main() -> None:
         "queries": out["queries"],
         "failed": out["failed"],
         "regressions": out["regressions"],
+        "canary": out["canary"],
         "sf": out["sf"],
     }
     line = json.dumps(compact, separators=(",", ":"))
@@ -205,6 +207,44 @@ def main() -> None:
 
 
 _TAIL_SAFE = 1900  # driver tail window is 2000 chars; leave margin
+
+
+def cpu_canary(spark) -> dict:
+    """Fixed-work load canary (round-10 verdict task 5): the r10 run
+    measured ~1.35x uniformly slower than r9 across queries whose code
+    did not change — box load, but unprovable from the artifact alone.
+    Recording the wall time of FIXED work next to the query times turns
+    that into a measured normalization factor for cross-round deltas
+    and the 2x gate. Two probes, each best-of-3:
+
+    - gemm_sec: a 1024^3 numpy matmul (~2.1 GFLOP through the same
+      BLAS the GEMM kernels use) — CPU + memory-bandwidth pressure.
+    - jvm_sec: sum over spark.range(50M) — whole-stage-codegen loop on
+      the executor threads; tracks JVM/core contention, which can move
+      independently of the BLAS number.
+
+    Deterministic inputs, no data dependence: a canary ratio between
+    two rounds is pure machine state."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random((1024, 1024))
+    b = rng.random((1024, 1024))
+
+    def once_gemm() -> float:
+        t0 = time.time()
+        (a @ b).sum()
+        return time.time() - t0
+
+    def once_jvm() -> float:
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id)").collect()
+        return time.time() - t0
+
+    return {
+        "gemm_sec": round(min(once_gemm() for _ in range(3)), 4),
+        "jvm_sec": round(min(once_jvm() for _ in range(3)), 4),
+    }
 
 
 _R1_BASELINE = "BENCH_r01.json"
