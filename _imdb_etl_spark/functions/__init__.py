@@ -40,6 +40,30 @@ def dec(col: str | Column, typ: str = MONEY) -> Column:
     return c.cast(typ)
 
 
+# Ceiling for count-gated broadcast hints on FILTERED key/dim
+# projections: ~4M narrow rows is comfortably inside executor/driver
+# broadcast budgets (a long-key set at that size is tens of MB;
+# Spark's hard broadcast cap is 8 GB and the practical cliff is driver
+# heap). Above it the hint is dropped and Catalyst/AQE picks the
+# strategy — degrading to a shuffle join instead of OOMing the driver.
+BROADCAST_ROWS_MAX = 4_000_000
+
+
+def broadcast_if_bounded(df, max_rows: int = BROADCAST_ROWS_MAX):
+    """Apply F.broadcast only when the frame is measured broadcast-
+    sized (ADVICE r10: Q2/Q17 hinted filtered key sets that grow
+    linearly with the corpus — ~1M part keys at 1000x — so a
+    pathological shape would OOM the driver rather than degrade).
+
+    The gate is one eager COUNT of a filtered dimension projection —
+    the adaptive-k / recursive-CTE eager-stage precedent: a narrow
+    dimension scan whose cost is noise next to the fact-table work the
+    hint accelerates, paid only at plan-build time. The count also
+    warms the scan for the real join. NOT for fact tables: counting
+    one of those would be a full extra pass."""
+    return F.broadcast(df) if df.count() <= max_rows else df
+
+
 def one_minus(col: str) -> Column:
     return (F.lit(1) - F.col(col)).cast(FRAC)
 

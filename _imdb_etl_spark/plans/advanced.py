@@ -699,6 +699,13 @@ def recursive_cte_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load_tables(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders_rec_v")
     n_anchor = orders.where("o_orderkey % 100 = 0").count()
+    # NOTE (ADVICE r10): this conf-mutate/restore is single-builder-
+    # safe only, like every face using the conf-scoped eager-staging
+    # pattern (runtime_bloom_filter_join, aqe_skew_join_events).
+    # Concurrent query BUILDS on one SparkSession are not a supported
+    # mode of this registry (the driver, check.py, bench.py, and the
+    # probes all build sequentially); if that ever changes, lift the
+    # pattern into a lock-guarded conf-context helper FIRST.
     key = "spark.sql.cteRecursionRowLimit"
     old = spark.conf.get(key)
     spark.conf.set(key, str(max(1_000_000, n_anchor * _RCTE_MAX_INSTALLMENTS)))

@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from _imdb_etl_spark.functions import dec, disc_price, dsum
+from _imdb_etl_spark.functions import broadcast_if_bounded, dec, disc_price, dsum
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
@@ -95,17 +95,18 @@ WHERE p_brand = 'Brand#1'
     "(600M-row groupBy + 600M-row join at the 1000x probe, 30x per "
     "decade measured fresh); this plan's only fact-table exchange is "
     "the post-filter window partitioning — 187.9 s -> linear. The "
-    "broadcast side is the brand's part keys (~1M longs at 1000x); "
-    "beyond broadcastable key counts, drop the hint and the window "
-    "still reuses the join exchange. Exact-decimal mean keeps the "
+    "broadcast side is the brand's part keys (~1M longs at 1000x), "
+    "and the hint is COUNT-GATED (broadcast_if_bounded): beyond "
+    "BROADCAST_ROWS_MAX keys the hint drops and the plan degrades to "
+    "a shuffle join — the window still reuses the join exchange. Exact-decimal mean keeps the "
     "threshold comparison engine-stable.",
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
-    brand_keys = part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
-    li_b = lineitem.join(
-        F.broadcast(brand_keys), F.col("p_partkey") == F.col("l_partkey")
+    brand_keys = broadcast_if_bounded(
+        part.where(F.col("p_brand") == "Brand#1").select("p_partkey")
     )
+    li_b = lineitem.join(brand_keys, F.col("p_partkey") == F.col("l_partkey"))
     w = Window.partitionBy("l_partkey")
     avg_qty = F.sum(dec("l_quantity")).over(w).cast("double") / F.count(
         F.lit(1)

@@ -32,7 +32,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from _imdb_etl_spark.functions import davg, dec, disc_price, dsum
+from _imdb_etl_spark.functions import (
+    broadcast_if_bounded,
+    davg,
+    dec,
+    disc_price,
+    dsum,
+)
 from _imdb_etl_spark.plans.registry import register
 from _imdb_etl_spark.sources import load_tables
 
@@ -79,18 +85,26 @@ LIMIT 20
     "filtered 95% of them; 303 s / 22x per decade measured fresh at "
     "the 1000x probe); now the one fact-table exchange is the pair-agg "
     "over the surviving ~1%. Broadcast sides are filtered KEY "
-    "projections (~1M longs / ~450k longs at 1000x); beyond "
-    "broadcastable sizes, drop the hints — the pair-agg still reuses "
-    "the join exchange (subset-key clustering).",
+    "projections (~1M longs / ~450k longs at 1000x), COUNT-GATED "
+    "(broadcast_if_bounded): beyond BROADCAST_ROWS_MAX the hint drops "
+    "and the plan degrades to a shuffle join — the pair-agg still "
+    "reuses the join exchange (subset-key clustering).",
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, nation, region = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
-    pf = part.where(
-        (F.col("p_size") < 16) & (F.col("p_type") == "LARGE")
-    ).select("p_partkey", "p_name")
-    eur = (
+    # count-gated hints (ADVICE r10): pf and eur grow linearly with
+    # the corpus (~1M part keys / ~450k suppliers at 1000x); each is
+    # counted ONCE and the hinted frame reused at both its join sites,
+    # so a pathological shape degrades to a shuffle join, never a
+    # driver OOM
+    pf = broadcast_if_bounded(
+        part.where((F.col("p_size") < 16) & (F.col("p_type") == "LARGE")).select(
+            "p_partkey", "p_name"
+        )
+    )
+    eur = broadcast_if_bounded(
         supplier.join(
             F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
         )
@@ -101,18 +115,18 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     li_f = lineitem.join(
-        F.broadcast(pf.select("p_partkey")),
+        pf.select("p_partkey"),
         F.col("p_partkey") == F.col("l_partkey"),
     ).join(
-        F.broadcast(eur.select(F.col("s_suppkey").alias("sk"))),
+        eur.select(F.col("s_suppkey").alias("sk")),
         F.col("sk") == F.col("l_suppkey"),
     )
     ps = li_f.groupBy("l_partkey", "l_suppkey").agg(
         F.min(dec("l_extendedprice")).alias("cost")
     )
     eligible = (
-        ps.join(F.broadcast(pf), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(eur), F.col("s_suppkey") == F.col("l_suppkey"))
+        ps.join(pf, F.col("p_partkey") == F.col("l_partkey"))
+        .join(eur, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
     )
     return (

@@ -103,6 +103,25 @@ def reap_stale_pid_dirs(base: str, prefix: str) -> None:
 
 _STAGE_RUN_SEQ = __import__("itertools").count()
 _STAGE_RUN_DIRS: dict = {}
+# Per-tag in-session retention depth (current + previous run by
+# default). A caller that must hold a staged DataFrame across TWO OR
+# MORE later invocations of the same face can widen this (module
+# constant, not per-call: retention is a session lifecycle policy,
+# and every widening costs disk for every tag).
+_STAGE_RETAIN = 2
+# Reaped run dirs are not deleted outright — each is replaced by a
+# directory holding only this breadcrumb file (ADVICE r10). A held
+# DataFrame that outlives retention fails FAILED_READ_FILE.FILE_NOT_
+# EXIST naming ".../stage_<pid>/<tag>_runN/part-...": the path names
+# this policy's dir, and inspecting it finds the tombstone with the
+# full explanation (the scan replays remembered file names, so the
+# message itself cannot be intercepted). A consumer that RE-LISTS the
+# old path (fresh read.parquet) fails better still — "Could not read
+# footer ... REAPED-....txt" puts the cause in the message.
+_STAGE_TOMBSTONE = (
+    "REAPED-dataframe-outlived-stage_to_parquet-retention-"
+    "widen-_STAGE_RETAIN-in-sources-catalog.txt"
+)
 
 
 def stage_to_parquet(df: DataFrame, tag: str) -> DataFrame:
@@ -121,7 +140,8 @@ def stage_to_parquet(df: DataFrame, tag: str) -> DataFrame:
     concurrent harness runs never race (dead-pid roots reaped),
     run-counter leaf so a still-referenced DataFrame from a prior
     invocation never re-reads files a later one rewrote, and per-tag
-    in-session retention of the current + previous run only.
+    in-session retention of the newest _STAGE_RETAIN runs (reaped runs
+    leave a descriptive tombstone — see _STAGE_TOMBSTONE).
     """
     import shutil
 
@@ -130,9 +150,22 @@ def stage_to_parquet(df: DataFrame, tag: str) -> DataFrame:
     path = f"{base}/{tag}_run{next(_STAGE_RUN_SEQ)}"
     prior = _STAGE_RUN_DIRS.setdefault(tag, [])
     prior.append(path)
-    for old in prior[:-2]:
+    for old in prior[: -_STAGE_RETAIN]:
         shutil.rmtree(old, ignore_errors=True)
-    del prior[:-2]
+        try:  # descriptive-failure tombstone (see _STAGE_TOMBSTONE)
+            os.makedirs(old, exist_ok=True)
+            with open(os.path.join(old, _STAGE_TOMBSTONE), "w") as f:
+                f.write(
+                    "This staged intermediate was retired by the per-tag "
+                    f"retention policy (_STAGE_RETAIN={_STAGE_RETAIN}): a "
+                    "DataFrame returned by stage_to_parquet was held across "
+                    f"{_STAGE_RETAIN}+ later invocations of the same tag. "
+                    "Re-stage the frame, or widen _STAGE_RETAIN in "
+                    "_imdb_etl_spark/sources/catalog.py.\n"
+                )
+        except OSError:
+            pass  # best-effort: GC must never fail the live query
+    del prior[: -_STAGE_RETAIN]
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 

@@ -252,3 +252,33 @@ def test_schema_evolution_merge_semantics(spark, sf_dir):
             assert r.batch == 1 and r.quality_score is None
         else:
             assert r.batch == 2 and r.quality_score == r.n_chars % 100
+
+
+def test_stage_to_parquet_reaps_with_descriptive_tombstone(spark):
+    """A DataFrame held past the per-tag retention depth must fail
+    with the CAUSE IN THE ERROR (the tombstone file name), not a bare
+    missing-path error far from stage_to_parquet (ADVICE r10)."""
+    import pytest
+
+    from _imdb_etl_spark.sources import catalog
+
+    tag = "tombstone_pytest"
+    held = catalog.stage_to_parquet(spark.range(5).toDF("x"), tag)
+    held_path = catalog._STAGE_RUN_DIRS[tag][-1]
+    assert held.count() == 5
+    for _ in range(catalog._STAGE_RETAIN):
+        catalog.stage_to_parquet(spark.range(5).toDF("x"), tag)
+    # the first run dir is now retired: data gone, tombstone present
+    import os
+
+    assert os.path.isfile(os.path.join(held_path, catalog._STAGE_TOMBSTONE))
+    # the held frame replays remembered file names, so its error names
+    # the retired run dir (the policy's locus, where the tombstone sits)
+    with pytest.raises(Exception, match=tag + "_run"):
+        held.count()
+    # a consumer that RE-LISTS the old path gets the cause in the
+    # message: the footer read fails on the tombstone file itself
+    with pytest.raises(Exception, match="REAPED"):
+        spark.read.parquet(held_path).count()
+    # the newest run is untouched
+    assert catalog.stage_to_parquet(spark.range(3).toDF("x"), tag).count() == 3
