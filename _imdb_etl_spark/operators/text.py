@@ -400,57 +400,68 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(docs)
     toks = _toks()
 
-    def top_count(arr):
-        # max multiplicity via one run-length pass over the sorted array:
-        # O(n log n) per document vs the naive O(distinct * n) per-distinct
-        # filter scan (which re-inlines the n-gram construction per probe
-        # and is ~50x slower at 55-token documents)
-        return F.aggregate(
-            F.array_sort(arr),
-            F.struct(
-                F.lit("").alias("prev"),
-                F.lit(0).alias("run"),
-                F.lit(0).alias("best"),
-            ),
-            lambda acc, x: F.struct(
-                x.alias("prev"),
-                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
-                F.greatest(
-                    acc.best,
-                    F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
-                ).alias("best"),
-            ),
-            lambda acc: acc.best,
+    # Max multiplicity = the widest gap between run BOUNDARIES of the
+    # sorted array (round 11): sort once (bound as a column so each
+    # stage evaluates it once), collect the 1-based positions where
+    # s[i] != s[i-1] with sentinels 1 and n+1, and take the max
+    # adjacent difference. Every pass is a flat O(n) vectorized HOF —
+    # the previous struct-fold (aggregate with a 3-field struct
+    # rebuilt per element) allocated per ELEMENT and measured as the
+    # face's dominant cost at the 1000x probe (CAP>900 s; interpreted
+    # HOFs, not codegen).
+    def run_boundaries(sorted_col: str):
+        # boundary positions via an (element, index) transform over the
+        # tail slice — NOT filter(sequence(2, n), ...): sequence(2, n)
+        # DESCENDS to [2, 1] on a single-token doc and element_at(_, 2)
+        # throws under ANSI (the winnow property-test lesson)
+        return F.expr(
+            f"concat(array(1),"
+            f" filter(transform("
+            f"   slice({sorted_col}, 2, greatest(size({sorted_col}) - 1, 0)),"
+            f"   (x, i) -> if(x != element_at({sorted_col}, i + 1),"
+            f"             i + 2, 0)),"
+            f"  p -> p > 0),"
+            f" array(size({sorted_col}) + 1))"
+        )
+
+    def max_gap(bp_col: str):
+        return F.expr(
+            f"array_max(zip_with(slice({bp_col}, 2, size({bp_col}) - 1),"
+            f" slice({bp_col}, 1, size({bp_col}) - 1), (a, b) -> a - b))"
         )
 
     # 1-based element_at over sequence(1, n-1) / sequence(1, n-2); Spark's
     # sequence() counts DOWN when the bound is below the start, so the
     # short-document guards are CASE, not empty sequences as in DuckDB.
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
-        ),
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1),"
+        " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))"
     )
-    trigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + F.lit(1)),
-            F.element_at(toks, i + F.lit(2)),
-        ),
+    trigrams = F.expr(
+        "transform(sequence(1, size(tk) - 2),"
+        " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),"
+        " element_at(tk, i + 2)))"
     )
-    t = docs.select(
+    staged = (
+        docs.select("doc_id", toks.alias("tk"))
+        .withColumn("n", F.size("tk"))
+        .withColumn("bg", F.when(F.col("n") >= 2, bigrams))
+        .withColumn("tg", F.when(F.col("n") >= 3, trigrams))
+        .withColumn("stk", F.array_sort("tk"))
+        .withColumn("sbg", F.array_sort("bg"))
+        .withColumn("bp_uni", run_boundaries("stk"))
+        .withColumn("bp_bi", F.when(F.col("n") >= 2, run_boundaries("sbg")))
+    )
+    t = staged.select(
         "doc_id",
-        F.size(toks).alias("n"),
-        top_count(toks).alias("top_uni"),
-        F.when(F.size(toks) >= 2, top_count(bigrams)).alias("top_bi"),
-        F.when(F.size(toks) >= 2, F.size(bigrams)).alias("n_bi"),
+        "n",
+        max_gap("bp_uni").alias("top_uni"),
+        F.when(F.col("n") >= 2, max_gap("bp_bi")).alias("top_bi"),
+        F.when(F.col("n") >= 2, F.size("bg")).alias("n_bi"),
         F.when(
-            F.size(toks) >= 3, F.size(trigrams) - F.size(F.array_distinct(trigrams))
+            F.col("n") >= 3, F.size("tg") - F.size(F.array_distinct("tg"))
         ).alias("dup_tri"),
-        F.when(F.size(toks) >= 3, F.size(trigrams)).alias("n_tri"),
+        F.when(F.col("n") >= 3, F.size("tg")).alias("n_tri"),
     )
     return t.select(
         "doc_id",
@@ -1016,15 +1027,57 @@ def winnow_arrays(docs: DataFrame) -> DataFrame:
         f" i -> md5(substr(text, i, {_WIN_K}))))"
     )
     base = docs.select("doc_id", hs.alias("hs"))
+    # Sliding rightmost-min by sparse-table doubling (round 11): the
+    # naive form materialized and scanned TWO w-element window slices
+    # per position (O(n*w) interpreted HOF work + 2 allocations per
+    # window), which the 1000x probe measured as ~83% of the face and
+    # capped at 900 s. Doubling computes every window's rightmost min
+    # in log2(w)=3 zip_with passes over (value, position) structs —
+    # O(n log w) with per-LEVEL allocations instead of per-window.
+    # The combiner prefers the RIGHT operand on value ties at every
+    # level; the level ranges are non-overlapping ([i..i+1]+[i+2..i+3]
+    # etc.), so the final struct is exactly the rightmost minimum of
+    # hs[j .. j+w-1] — identical selection to the oracle's
+    # list_position(list_reverse(list_slice(...)), list_min(...)),
+    # which the shared sf0.01 gate and the winnow pytest pins verify.
+    assert _WIN_W == 8, "doubling ladder below is specialized to w = 8"
+    comb = "(x, y) -> if(y.v <= x.v, y, x)"
     ps = F.expr(
-        f"if(size(hs) < {_WIN_W}, array(),"
-        f" array_sort(array_distinct(transform("
-        f"sequence(1, size(hs) - {_WIN_W - 1}),"
-        f" j -> j + {_WIN_W} - array_position("
-        f"reverse(slice(hs, j, {_WIN_W})),"
-        f" array_min(slice(hs, j, {_WIN_W})))))))"
+        f"if(size(hs) < {_WIN_W}, array(), array_sort(array_distinct("
+        "transform("
+        "  zip_with("
+        "    slice(m2, 1, greatest(size(m2) - 4, 0)),"
+        "    slice(m2, 5, greatest(size(m2) - 4, 0)),"
+        f"   {comb}),"
+        "  e -> e.p))))"
     )
-    return base.select("doc_id", "hs", ps.alias("ps"))
+    # GREATEST(..., 0) clamps the short-document ladders (a doc below
+    # w k-grams must yield empty slices, not a negative-length error;
+    # the if() above already discards their ps)
+    m1 = F.expr(
+        "zip_with(slice(s0, 1, greatest(size(s0) - 1, 0)),"
+        f" slice(s0, 2, greatest(size(s0) - 1, 0)), {comb})"
+    )
+    m2 = F.expr(
+        "zip_with(slice(m1, 1, greatest(size(m1) - 2, 0)),"
+        f" slice(m1, 3, greatest(size(m1) - 2, 0)), {comb})"
+    )
+    staged = (
+        base.withColumn(
+            "s0",
+            # (element, 0-based index) transform: an EMPTY hs yields an
+            # empty s0 (sequence(1, size) would DESCEND to [1, 0] on a
+            # zero-k-gram doc and element_at would throw under ANSI —
+            # caught by test_winnowing_property_random_texts)
+            F.expr(
+                "transform(hs,"
+                " (x, i) -> struct(x AS v, cast(i + 1 AS bigint) AS p))"
+            ),
+        )
+        .withColumn("m1", m1)
+        .withColumn("m2", m2)
+    )
+    return staged.select("doc_id", "hs", ps.alias("ps"))
 
 
 
