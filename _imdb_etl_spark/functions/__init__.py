@@ -40,28 +40,81 @@ def dec(col: str | Column, typ: str = MONEY) -> Column:
     return c.cast(typ)
 
 
-# Ceiling for count-gated broadcast hints on FILTERED key/dim
+# Ceilings for measure-gated broadcast hints on FILTERED key/dim
 # projections: ~4M narrow rows is comfortably inside executor/driver
 # broadcast budgets (a long-key set at that size is tens of MB;
 # Spark's hard broadcast cap is 8 GB and the practical cliff is driver
-# heap). Above it the hint is dropped and Catalyst/AQE picks the
-# strategy — degrading to a shuffle join instead of OOMing the driver.
+# heap). Rows alone under-measure projections that carry string
+# payload columns (ADVICE r11: tpch_q2's 'eur' frame has s_name /
+# n_name — 4M of THOSE is hundreds of MB), so the same eager pass
+# also estimates bytes (fixed type widths + measured string lengths)
+# and the hint additionally requires <= BROADCAST_BYTES_MAX estimated
+# in-memory size. Above either ceiling the hint is dropped and
+# Catalyst/AQE picks the strategy — degrading to a shuffle join
+# instead of OOMing the driver.
 BROADCAST_ROWS_MAX = 4_000_000
+BROADCAST_BYTES_MAX = 256 << 20
+
+# estimated in-memory width per value for fixed-width Spark SQL types
+# (UnsafeRow-ish: 8-byte word per field; decimals/timestamps a word,
+# wide decimals two). Anything unlisted and non-string (array, map,
+# struct, binary) falls back to a deliberately heavy 64B/value so odd
+# payloads fail toward NOT broadcasting.
+_FIXED_WIDTH = {
+    "boolean": 8,
+    "tinyint": 8,
+    "smallint": 8,
+    "int": 8,
+    "bigint": 8,
+    "float": 8,
+    "double": 8,
+    "date": 8,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+}
 
 
-def broadcast_if_bounded(df, max_rows: int = BROADCAST_ROWS_MAX):
+def broadcast_if_bounded(
+    df,
+    max_rows: int = BROADCAST_ROWS_MAX,
+    max_bytes: int = BROADCAST_BYTES_MAX,
+):
     """Apply F.broadcast only when the frame is measured broadcast-
     sized (ADVICE r10: Q2/Q17 hinted filtered key sets that grow
     linearly with the corpus — ~1M part keys at 1000x — so a
-    pathological shape would OOM the driver rather than degrade).
+    pathological shape would OOM the driver rather than degrade;
+    ADVICE r11 added the byte gate for string-bearing projections).
 
-    The gate is one eager COUNT of a filtered dimension projection —
-    the adaptive-k / recursive-CTE eager-stage precedent: a narrow
-    dimension scan whose cost is noise next to the fact-table work the
-    hint accelerates, paid only at plan-build time. The count also
-    warms the scan for the real join. NOT for fact tables: counting
-    one of those would be a full extra pass."""
-    return F.broadcast(df) if df.count() <= max_rows else df
+    The gate is ONE eager aggregate over the filtered dimension
+    projection (count + summed string lengths — same single pass the
+    old COUNT was) — the adaptive-k / recursive-CTE eager-stage
+    precedent: a narrow dimension scan whose cost is noise next to
+    the fact-table work the hint accelerates, paid only at
+    plan-build time. The pass also warms the scan for the real join.
+    NOT for fact tables: measuring one of those would be a full
+    extra pass."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    fixed = 0
+    for f in df.schema.fields:
+        t = f.dataType.simpleString()
+        if t == "string":
+            # 20B/str overhead (object header + offsets) + data bytes
+            aggs.append(
+                F.coalesce(F.sum(F.length(F.col(f.name))), F.lit(0)).alias(
+                    f"__b_{f.name}"
+                )
+            )
+            fixed += 20
+        elif t.startswith("decimal"):
+            fixed += 16
+        elif t in _FIXED_WIDTH:
+            fixed += _FIXED_WIDTH[t]
+        else:
+            fixed += 64
+    m = df.agg(*aggs).first()
+    n = m["__n"]
+    est = n * fixed + 2 * sum(v or 0 for k, v in m.asDict().items() if k != "__n")
+    return F.broadcast(df) if n <= max_rows and est <= max_bytes else df
 
 
 def one_minus(col: str) -> Column:

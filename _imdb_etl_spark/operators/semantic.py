@@ -461,7 +461,8 @@ def _pq_encode_gemm(emb: DataFrame) -> DataFrame:
                     .reshape(-1, _N_SUB, 1, _SUB_DIM)
                 )
                 d_raw = ((v - cbv[None, :, :, :]) ** 2).sum(axis=-1)  # (n,S,C)
-                order = np.lexsort((d_raw, np.round(d_raw, 6)), axis=-1)
+                d_key = np.floor(d_raw * 1e6 + 0.5) / 1e6  # half-up, d_raw >= 0
+                order = np.lexsort((d_raw, d_key), axis=-1)
                 codes = order[:, :, 0].astype(np.int32)  # (n, S)
                 n = codes.shape[0]
                 yield pd.DataFrame(
@@ -568,7 +569,10 @@ def _pq_adc_topk_gemm(emb: DataFrame) -> DataFrame:
     # product-sum reduces sequentially (numpy pairwise blocking starts
     # above 8 elements), the identical order to the lut CTE's list_sum
     # and the Spark LUT's F.aggregate fold
-    lut = np.round((qmat * cb[None, :, :, :]).sum(axis=-1), 6)  # (Q, S, C)
+    lut_raw = (qmat * cb[None, :, :, :]).sum(axis=-1)  # (Q, S, C)
+    # half-away-from-zero to match the lut CTE's ROUND (ADVICE r11),
+    # not np.round's half-even: these parts sum into EMITTED approx_dot
+    lut = np.copysign(np.floor(np.abs(lut_raw) * 1e6 + 0.5), lut_raw) / 1e6
     bc = emb.sparkSession.sparkContext.broadcast((cb, lut, qids))
 
     out_schema = StructType(
@@ -594,7 +598,8 @@ def _pq_adc_topk_gemm(emb: DataFrame) -> DataFrame:
                     .reshape(-1, _N_SUB, 1, _SUB_DIM)
                 )
                 d_raw = ((v - cbv[None, :, :, :]) ** 2).sum(axis=-1)
-                order = np.lexsort((d_raw, np.round(d_raw, 6)), axis=-1)
+                d_key = np.floor(d_raw * 1e6 + 0.5) / 1e6  # half-up, d_raw >= 0
+                order = np.lexsort((d_raw, d_key), axis=-1)
                 codes = order[:, :, 0]  # (n, S)
                 n = codes.shape[0]
                 # ADC: accumulate the _N_SUB parts sequentially in
@@ -602,7 +607,7 @@ def _pq_adc_topk_gemm(emb: DataFrame) -> DataFrame:
                 scores = np.zeros((n, n_q), dtype=np.float64)
                 for s in range(_N_SUB):
                     scores += lutv[:, s, codes[:, s]].T
-                scores = np.round(scores, 6)
+                scores = np.copysign(np.floor(np.abs(scores) * 1e6 + 0.5), scores) / 1e6
                 nids = sub["vec_id"].to_numpy(dtype=np.int64)
                 parts = []
                 for qi in range(n_q):
@@ -858,7 +863,8 @@ def _ivf_assign_gemm(normed: DataFrame) -> DataFrame:
                 # plans/__init__ back into a partially-initialized
                 # module. test_centroid_rank_raw_tiebreak pins the two
                 # copies identical.
-                order = np.lexsort((-raw, -np.round(raw, 6)), axis=-1)
+                key = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+                order = np.lexsort((-raw, -key), axis=-1)
                 vids = sub["vec_id"].to_numpy(dtype=np.int64)
                 is_q = vids < n_queries
                 p_eff = min(n_probe, order.shape[1])

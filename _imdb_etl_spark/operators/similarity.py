@@ -261,10 +261,14 @@ def _cross_modal_sql() -> str:
     # the pair stage its own family had already demoted in round 6
     from _imdb_etl_spark.operators.dedup import _MINHASH_SQL
 
+    body = _MINHASH_SQL.strip().rstrip(";")
+    stripped = body.replace("ORDER BY i.doc_a, i.doc_b", "")
+    # the strip is coupled to _MINHASH_SQL's exact final-line text; a
+    # reformat over in dedup.py would otherwise make this a silent
+    # no-op and leave an ORDER BY inside the txt_pairs CTE (ADVICE r11)
+    assert stripped != body, "_MINHASH_SQL ORDER BY marker not found"
     return _CROSS_SQL_TEMPLATE.format(
-        jaccard_sql=_MINHASH_SQL.strip()
-        .rstrip(";")
-        .replace("ORDER BY i.doc_a, i.doc_b", ""),
+        jaccard_sql=stripped,
         norm=_DOT_SQL.format(a="embedding", b="embedding", dim=_DIM),
         dot=_DOT_SQL.format(a="a.embedding", b="b.embedding", dim=_DIM),
     )
@@ -729,7 +733,11 @@ def blockpair_cosine_pairs(emb: DataFrame) -> DataFrame:
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         lo, hi = int(pdf["bp_lo"].iat[0]), int(pdf["bp_hi"].iat[0])
         if lo == hi:
-            sims = np.round(m @ m.T, 6)
+            # half-up to match the twins' ROUND (ADVICE r11); emitted
+            # sims pass a positive threshold, so sign handling is moot,
+            # but copysign keeps the mechanism uniform repo-wide
+            s_raw = m @ m.T
+            sims = np.copysign(np.floor(np.abs(s_raw) * 1e6 + 0.5), s_raw) / 1e6
             ai, bi = np.nonzero(
                 (sims >= _COS_THRESH) & (ids[:, None] < ids[None, :])
             )
@@ -737,7 +745,8 @@ def blockpair_cosine_pairs(emb: DataFrame) -> DataFrame:
         else:
             is_lo = pdf["blk"].to_numpy() == lo
             ida, idb = ids[is_lo], ids[~is_lo]
-            sims = np.round(m[is_lo] @ m[~is_lo].T, 6)
+            s_raw = m[is_lo] @ m[~is_lo].T
+            sims = np.copysign(np.floor(np.abs(s_raw) * 1e6 + 0.5), s_raw) / 1e6
             ai, bi = np.nonzero(sims >= _COS_THRESH)
             va = np.minimum(ida[ai], idb[bi])
             vb = np.maximum(ida[ai], idb[bi])
@@ -902,10 +911,14 @@ def _rank_centroids_desc(raw):
     summation-order noise (~1e-15) of EACH OTHER, i.e. duplicate
     centroids. Every oracle assign CTE ranks by the identical
     (ROUND(sim_raw, 6) DESC, sim_raw DESC, cid) key; pinned by
-    test_centroid_rank_raw_tiebreak_straddles_boundary."""
+    test_centroid_rank_raw_tiebreak_straddles_boundary. The rounded
+    key uses the half-away-from-zero mechanism (floor(|x|*1e6 + .5),
+    sign restored) matching Spark F.round / DuckDB ROUND — not
+    np.round's half-even (ADVICE r11)."""
     import numpy as np
 
-    return np.lexsort((-raw, -np.round(raw, 6)), axis=-1)
+    key = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+    return np.lexsort((-raw, -key), axis=-1)
 
 
 def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
@@ -1017,7 +1030,8 @@ def ivf_inverted_lists(emb: DataFrame) -> DataFrame:
                 # would make the worker unpickle re-import this module
                 # standalone, which cycles through plans/__init__.
                 # test_centroid_rank_raw_tiebreak pins the copies.
-                top = np.lexsort((-raw, -np.round(raw, 6)), axis=-1)[:, :probe]
+                key = np.copysign(np.floor(np.abs(raw) * 1e6 + 0.5), raw) / 1e6
+                top = np.lexsort((-raw, -key), axis=-1)[:, :probe]
                 p_eff = top.shape[1]
                 yield pd.DataFrame(
                     {

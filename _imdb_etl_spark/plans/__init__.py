@@ -53,75 +53,17 @@ GATE_WINDOW_SIZE = 50
 # window to the BACK of _GATE_REST, replay the new window at sf0.01
 # (tools/check.py) before committing.
 #
-# Round 11 window (rotation per the round-10 verdict task 1): the
-# pure prefix take _GATE_REST[:50] of the round-10 queue — the 50
-# rows with the oldest surviving driver evidence (the remaining
-# r4-era rows plus the oldest r5-era rows; the queue was built
-# strictly oldest-driver-row-first in round 9 and each rotation since
-# has been a prefix take + back-append, preserving that invariant).
-# The retired round-10 window (r10-green rows) moved to the BACK of
-# _GATE_REST. Replayed green at sf0.01 (tools/check.py) before
-# commit.
+# Round 12 window (rotation per the round-11 verdict task 2): the
+# pure prefix take _GATE_REST[:50] of the round-11 queue — the 7
+# remaining r5-era rows plus the oldest r6-era rows
+# (streaming_join_view_purchase through text_bm25_search; the queue
+# was built strictly oldest-driver-row-first in round 9 and each
+# rotation since has been a prefix take + back-append, preserving
+# that invariant). The retired round-11 window (r11-green rows)
+# moved to the BACK of _GATE_REST. One further rotation retires the
+# freshness tail entirely. Replayed green at sf0.01 (tools/check.py)
+# before commit.
 GATE_WINDOW = [
-    "streaming_pysource_bucket_counts",
-    "streaming_sessionize",
-    "streaming_stateful_user_totals",
-    "text_pii_redact",
-    "text_repetition_scores",
-    "tpch_q12_late_shipment_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "unigram_logprob_quality",
-    "w1_top3_parts_per_brand",
-    "approx_distinct_users",
-    "approx_quantiles_price",
-    "corpus_balanced_sample",
-    "corpus_domain_cap",
-    "corpus_source_quality_profile",
-    "corpus_temperature_sample",
-    "corpus_token_budget_plan",
-    "decontaminate_bloom",
-    "decontaminate_embedding",
-    "dedup_cluster_size_histogram",
-    "dedup_clusters",
-    "embedding_centroid_cohesion",
-    "embedding_pca_top_component",
-    "embedding_quantize_int8",
-    "events_funnel_analysis",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_session_window_native",
-    "events_value_drift_daily",
-    "grouped_agg_pandas_udaf",
-    "jsonl_roundtrip_source",
-    "lateral_top_orders_per_customer",
-    "merge_scd2_customer_history",
-    "multimodal_audio_stats",
-    "multimodal_decode_png",
-    "multimodal_decode_wav",
-    "multimodal_phash_dedup",
-    "multimodal_shot_boundaries",
-    "neardup_graph_stats",
-    "neardup_pagerank",
-    "pipeline_pretrain_mix",
-    "pysink_roundtrip_docs",
-    "recursive_cte_amortization",
-    "scd2_point_in_time_join",
-    "sim_knn_ivf_trained",
-    "sim_knn_pq",
-    "split_leakage_audit",
-    "sql_tvf_brand_stats",
-    "sql_udf_revenue",
-]
-# everything below keeps per-round local coverage (tools/check.py +
-# pytest); ordering = rotation priority, strictly oldest driver row
-# first (ties broken by name), rebuilt this round from the raw
-# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
-# window, append the retired window to the BACK (its rows are then the
-# newest), re-sorting is only needed if a demotion/registration
-# changes the set.
-_GATE_REST = [
     "streaming_join_view_purchase",
     "stringagg_top_customers_per_nation",
     "text_duplicate_spans",
@@ -172,6 +114,15 @@ _GATE_REST = [
     "streaming_corpus_ingest",
     "text_bigram_lm_score",
     "text_bm25_search",
+]
+# everything below keeps per-round local coverage (tools/check.py +
+# pytest); ordering = rotation priority, strictly oldest driver row
+# first (ties broken by name), rebuilt this round from the raw
+# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
+# window, append the retired window to the BACK (its rows are then the
+# newest), re-sorting is only needed if a demotion/registration
+# changes the set.
+_GATE_REST = [
     "text_embed_batch_inference",
     "text_lm_heldout_perplexity",
     "text_tfidf_keywords",
@@ -376,6 +327,56 @@ _GATE_REST = [
     "streaming_dedup_events",
     "streaming_enrich_events",
     "streaming_hourly_rollup",
+    "streaming_pysource_bucket_counts",
+    "streaming_sessionize",
+    "streaming_stateful_user_totals",
+    "text_pii_redact",
+    "text_repetition_scores",
+    "tpch_q12_late_shipment_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "unigram_logprob_quality",
+    "w1_top3_parts_per_brand",
+    "approx_distinct_users",
+    "approx_quantiles_price",
+    "corpus_balanced_sample",
+    "corpus_domain_cap",
+    "corpus_source_quality_profile",
+    "corpus_temperature_sample",
+    "corpus_token_budget_plan",
+    "decontaminate_bloom",
+    "decontaminate_embedding",
+    "dedup_cluster_size_histogram",
+    "dedup_clusters",
+    "embedding_centroid_cohesion",
+    "embedding_pca_top_component",
+    "embedding_quantize_int8",
+    "events_funnel_analysis",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_session_window_native",
+    "events_value_drift_daily",
+    "grouped_agg_pandas_udaf",
+    "jsonl_roundtrip_source",
+    "lateral_top_orders_per_customer",
+    "merge_scd2_customer_history",
+    "multimodal_audio_stats",
+    "multimodal_decode_png",
+    "multimodal_decode_wav",
+    "multimodal_phash_dedup",
+    "multimodal_shot_boundaries",
+    "neardup_graph_stats",
+    "neardup_pagerank",
+    "pipeline_pretrain_mix",
+    "pysink_roundtrip_docs",
+    "recursive_cte_amortization",
+    "scd2_point_in_time_join",
+    "sim_knn_ivf_trained",
+    "sim_knn_pq",
+    "split_leakage_audit",
+    "sql_tvf_brand_stats",
+    "sql_udf_revenue",
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 

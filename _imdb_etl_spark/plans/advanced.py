@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import dec, dsum
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, scoped_conf
 
 _ASOF_SQL = """
 WITH seq AS (
@@ -699,23 +699,15 @@ def recursive_cte_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = load_tables(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("orders_rec_v")
     n_anchor = orders.where("o_orderkey % 100 = 0").count()
-    # NOTE (ADVICE r10): this conf-mutate/restore is single-builder-
-    # safe only, like every face using the conf-scoped eager-staging
-    # pattern (runtime_bloom_filter_join, aqe_skew_join_events).
-    # Concurrent query BUILDS on one SparkSession are not a supported
-    # mode of this registry (the driver, check.py, bench.py, and the
-    # probes all build sequentially); if that ever changes, lift the
-    # pattern into a lock-guarded conf-context helper FIRST.
+    # conf-scoped eager staging: single-builder contract lives on
+    # scoped_conf (sources/catalog.py) — centralized per ADVICE r10/r11
     key = "spark.sql.cteRecursionRowLimit"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(max(1_000_000, n_anchor * _RCTE_MAX_INSTALLMENTS)))
-    try:
+    lim = str(max(1_000_000, n_anchor * _RCTE_MAX_INSTALLMENTS))
+    with scoped_conf(spark, {key: lim}):
         out = stage_to_parquet(
             spark.sql(_RECURSIVE_TMPL.format(orders="orders_rec_v")),
             "rcte_amort",
         )
-    finally:
-        spark.conf.set(key, old)
     return out.orderBy("o_orderkey")
 
 

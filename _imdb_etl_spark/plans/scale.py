@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import dec, dsum, md5_prefix_int_sql
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, stage_to_parquet
+from _imdb_etl_spark.sources import load_tables, scoped_conf, stage_to_parquet
 
 _SALT_BUCKETS = 16
 
@@ -732,17 +732,10 @@ def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join and skip the bloom. Plan nodes pinned in tests/test_plans.py.",
 )
 def runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    old_scan = spark.conf.get(_BLOOM_SCAN_KEY)
-    old_bcast = spark.conf.get(_BCAST_KEY)
-    spark.conf.set(_BLOOM_SCAN_KEY, "0")
-    spark.conf.set(_BCAST_KEY, "-1")
-    try:
+    with scoped_conf(spark, {_BLOOM_SCAN_KEY: "0", _BCAST_KEY: "-1"}):
         # eager: planned (bloom injected) and executed under the confs;
         # the staged frame is bounded at one row per return flag
         out = stage_to_parquet(_bloom_join_frame(spark, sf_dir), "bloom_out")
-    finally:
-        spark.conf.set(_BLOOM_SCAN_KEY, old_scan)
-        spark.conf.set(_BCAST_KEY, old_bcast)
     return out.orderBy("returnflag")
 
 
@@ -828,15 +821,9 @@ def _aqe_skew_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a single task should own.",
 )
 def aqe_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    old = {k: spark.conf.get(k) for k in _AQE_SKEW_CONFS}
-    for k, v in _AQE_SKEW_CONFS.items():
-        spark.conf.set(k, v)
-    try:
+    with scoped_conf(spark, _AQE_SKEW_CONFS):
         # eager under the AQE-skew confs; bounded at one row/segment
         out = stage_to_parquet(_aqe_skew_frame(spark, sf_dir), "aqeskew_out")
-    finally:
-        for k, v in old.items():
-            spark.conf.set(k, v)
     return out.orderBy("segment")
 
 

@@ -96,8 +96,9 @@ WHERE p_brand = 'Brand#1'
     "decade measured fresh); this plan's only fact-table exchange is "
     "the post-filter window partitioning — 187.9 s -> linear. The "
     "broadcast side is the brand's part keys (~1M longs at 1000x), "
-    "and the hint is COUNT-GATED (broadcast_if_bounded): beyond "
-    "BROADCAST_ROWS_MAX keys the hint drops and the plan degrades to "
+    "and the hint is MEASURE-GATED (broadcast_if_bounded): beyond "
+    "BROADCAST_ROWS_MAX keys or BROADCAST_BYTES_MAX estimated bytes "
+    "the hint drops and the plan degrades to "
     "a shuffle join — the window still reuses the join exchange. Exact-decimal mean keeps the "
     "threshold comparison engine-stable.",
 )

@@ -85,8 +85,10 @@ LIMIT 20
     "filtered 95% of them; 303 s / 22x per decade measured fresh at "
     "the 1000x probe); now the one fact-table exchange is the pair-agg "
     "over the surviving ~1%. Broadcast sides are filtered KEY "
-    "projections (~1M longs / ~450k longs at 1000x), COUNT-GATED "
-    "(broadcast_if_bounded): beyond BROADCAST_ROWS_MAX the hint drops "
+    "projections (~1M longs / ~450k longs at 1000x), MEASURE-GATED "
+    "(broadcast_if_bounded): beyond BROADCAST_ROWS_MAX rows or "
+    "BROADCAST_BYTES_MAX estimated bytes (the eur frame carries "
+    "s_name/n_name strings — ADVICE r11) the hint drops "
     "and the plan degrades to a shuffle join — the pair-agg still "
     "reuses the join exchange (subset-key clustering).",
 )
@@ -94,11 +96,12 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, nation, region = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
     )
-    # count-gated hints (ADVICE r10): pf and eur grow linearly with
-    # the corpus (~1M part keys / ~450k suppliers at 1000x); each is
-    # counted ONCE and the hinted frame reused at both its join sites,
-    # so a pathological shape degrades to a shuffle join, never a
-    # driver OOM
+    # measure-gated hints (ADVICE r10 rows + r11 bytes): pf and eur
+    # grow linearly with the corpus (~1M part keys / ~450k suppliers
+    # at 1000x) and eur carries string payload; each is measured ONCE
+    # and the hinted frame reused at both its join sites, so a
+    # pathological shape degrades to a shuffle join, never a driver
+    # OOM
     pf = broadcast_if_bounded(
         part.where((F.col("p_size") < 16) & (F.col("p_type") == "LARGE")).select(
             "p_partkey", "p_name"

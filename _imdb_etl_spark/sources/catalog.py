@@ -11,6 +11,7 @@ nothing here is local-mode-specific.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,6 +123,41 @@ _STAGE_TOMBSTONE = (
     "REAPED-dataframe-outlived-stage_to_parquet-retention-"
     "widen-_STAGE_RETAIN-in-sources-catalog.txt"
 )
+
+
+@_contextlib.contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]):
+    """Session-conf mutate/restore for the conf-scoped eager-staging
+    pattern (runtime_bloom_filter_join, aqe_skew_join_events,
+    recursive_cte_amortization, the dynamic-partition-overwrite
+    writers) — centralized per ADVICE r10/r11 so the single-builder
+    contract lives in ONE place:
+
+    SINGLE-BUILDER CONTRACT. Session confs are process-global, so a
+    face that plans under mutated confs is safe only when query
+    builds on the session are sequential — which the driver, check.py,
+    bench.py, and the probes all are. Concurrent BUILDS on one
+    SparkSession are not a supported mode of this registry; if that
+    ever changes, add a lock around this manager first. (Concurrent
+    EXECUTION of already-built DataFrames is unaffected: the pattern
+    always executes its work eagerly inside the scope.)
+
+    Restore is exception-safe and distinguishes unset-before from
+    set-before: a key the session never set is returned to UNSET
+    (falling back to the cluster/SQLConf default), not pinned to the
+    default's current string value. Pinned by
+    test_scoped_conf_restores_on_exception."""
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 def stage_to_parquet(df: DataFrame, tag: str) -> DataFrame:

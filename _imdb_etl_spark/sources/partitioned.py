@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import dec, dsum
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, scoped_conf
 
 _BACKFILL_DAY = "2024-01-05"  # driver events all land in 2024-01
 
@@ -66,9 +66,7 @@ def sink_dynamic_partition_backfill(
     ev = events.withColumn("event_date", F.to_date("ts"))
 
     mode_key = "spark.sql.sources.partitionOverwriteMode"
-    old_mode = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
+    with scoped_conf(spark, {mode_key: "dynamic"}):
         ev.write.partitionBy("event_date").mode("overwrite").parquet(tbl)
         backfill = ev.where(
             F.col("event_date") == F.lit(_BACKFILL_DAY).cast("date")
@@ -77,8 +75,6 @@ def sink_dynamic_partition_backfill(
         backfill.write.partitionBy("event_date").mode("overwrite").parquet(
             tbl
         )
-    finally:
-        spark.conf.set(mode_key, old_mode)
 
     back = spark.read.parquet(tbl)
     return (

@@ -15,6 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
+from _imdb_etl_spark.sources import scoped_conf
+
 
 def idempotent_parquet_sink(
     stream: DataFrame, out_dir: str, checkpoint_dir: str
@@ -27,9 +29,7 @@ def idempotent_parquet_sink(
         # so replay can only ever overwrite its own batch_id partition.
         spark = batch_df.sparkSession
         conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf_key, None)
-        spark.conf.set(conf_key, "dynamic")
-        try:
+        with scoped_conf(spark, {conf_key: "dynamic"}):
             (
                 batch_df.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
@@ -37,11 +37,6 @@ def idempotent_parquet_sink(
                 .partitionBy("batch_id")
                 .parquet(out_dir)
             )
-        finally:
-            if prev is None:
-                spark.conf.unset(conf_key)
-            else:
-                spark.conf.set(conf_key, prev)
 
     return (
         stream.writeStream.foreachBatch(write_batch)

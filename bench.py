@@ -144,10 +144,10 @@ def main() -> None:
         "queries": times,
         "band": band,
         "failed": failed,
-        "regressions": regressions(times),
-        "canary": cpu_canary(spark),
         "sf": sf,
     }
+    out["canary"] = cpu_canary(spark)
+    out["regressions"] = regressions(times, out["canary"])
     spot = sf1_spot(spark)
     if spot is not None:
         out["sf1_spot"] = spot
@@ -249,14 +249,41 @@ def cpu_canary(spark) -> dict:
 
 _R1_BASELINE = "BENCH_r01.json"
 _REGRESSION_FACTOR = 1.5
+# Nominal canary values, measured on the unloaded box the round-11
+# bench ran on (BENCH_r11.json; r1 itself predates the canary). The
+# tripwire scales its threshold by the CURRENT canary's ratio to these,
+# so a uniformly loaded box (the r10 false-alarm: ~1.35x on unchanged
+# code) stops flagging. The factor is clamped to [1, 3]: it only ever
+# LOOSENS the gate (a faster box keeps the raw 1.5x), and a >3x-loaded
+# box still flags everything rather than hiding a real regression
+# behind an unbounded excuse.
+_CANARY_NOMINAL_JVM = 0.0858
+_CANARY_FACTOR_MAX = 3.0
 
 
-def regressions(times: dict[str, float | None]) -> list[dict]:
+def load_factor(canary: dict | None) -> float:
+    """Threshold multiplier from the fixed-work canary (round-11
+    verdict task 4): current jvm probe over the recorded nominal,
+    clamped to [1, _CANARY_FACTOR_MAX]. The jvm probe (codegen sum on
+    the executor threads) is the one that tracks what the query suite
+    experiences; the gemm probe stays recorded for diagnosis."""
+    try:
+        ratio = float(canary["jvm_sec"]) / _CANARY_NOMINAL_JVM
+    except (TypeError, KeyError, ValueError, ZeroDivisionError):
+        return 1.0
+    return max(1.0, min(_CANARY_FACTOR_MAX, ratio))
+
+
+def regressions(
+    times: dict[str, float | None], canary: dict | None = None
+) -> list[dict]:
     """Per-query tripwire vs the round-1 baseline (round-6 verdict task
     8): flag any query whose best-of-N this run exceeds 1.5x its r1
-    time. Automates the drift check the per-round judge was doing by
-    hand; an empty list is the healthy signal. Never raises — a
-    missing/unparsable baseline file reports nothing."""
+    time, with the threshold scaled by the canary load factor (round-11
+    verdict task 4) so box-noise episodes don't flag. Automates the
+    drift check the per-round judge was doing by hand; an empty list is
+    the healthy signal. Never raises — a missing/unparsable baseline
+    file reports nothing."""
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -265,13 +292,15 @@ def regressions(times: dict[str, float | None]) -> list[dict]:
             base = (json.load(f).get("parsed") or {}).get("queries") or {}
     except (OSError, ValueError):
         return []
+    factor = load_factor(canary)
     flagged = []
     for name, t in times.items():
         b = base.get(name)
-        if t is not None and b and t > _REGRESSION_FACTOR * b:
+        if t is not None and b and t > _REGRESSION_FACTOR * factor * b:
             flagged.append(
                 {"query": name, "r1_sec": b, "now_sec": t,
-                 "ratio": round(t / b, 2)}
+                 "ratio": round(t / b, 2),
+                 "load_factor": round(factor, 2)}
             )
     return flagged
 

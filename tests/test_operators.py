@@ -3891,7 +3891,10 @@ def test_centroid_rank_raw_tiebreak_straddles_boundary():
     # rounded-only ranking would then flip on the cid tie-break, while
     # engine A (no tie) keeps centroid 1 ahead. The raw tie-break
     # resolves B's tie by raw sim, matching A.
-    assert np.round(raw_a, 6)[0, 0] != np.round(raw_b, 6)[0, 0]
+    def r6(x):  # the engines' half-away-from-zero ROUND mechanism
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+    assert r6(raw_a)[0, 0] != r6(raw_b)[0, 0]
     order_a = _rank_centroids_desc(raw_a)
     order_b = _rank_centroids_desc(raw_b)
     assert order_a.tolist() == order_b.tolist() == [[2, 1, 0]]
@@ -3902,7 +3905,7 @@ def test_centroid_rank_raw_tiebreak_straddles_boundary():
     # semantic._ivf_assign_gemm) must stay identical to the helper
     rng = np.random.default_rng(7)
     raw = rng.random((32, 16))
-    inline = np.lexsort((-raw, -np.round(raw, 6)), axis=-1)
+    inline = np.lexsort((-raw, -r6(raw)), axis=-1)
     assert (_rank_centroids_desc(raw) == inline).all()
 
 
@@ -4013,3 +4016,48 @@ def test_crossmodal_lsh_pairs_subset_of_exact(spark, sf_dir):
         assert exact[k] == v
     recall = len(got) / len(exact)
     assert recall >= 0.9, f"LSH pair recall {recall} vs exact route"
+
+
+def test_winnow_cap_formula_parity_and_regimes(spark, sf_dir):
+    """The winnow rarity cap is one formula in two engines —
+    max(FLOOR, min(CEIL, ceil(permille of docs))) — and round 12's
+    re-baseline added the absolute ceiling (see _WIN_DF_CEIL). Pin
+    Python/SQL parity across all three regimes (floor-bound,
+    permille-bound, ceiling-bound) and that the ceiling binds only
+    above 500k docs, which is what keeps every below-1000x evidence
+    row bit-identical."""
+    import duckdb
+
+    from _imdb_etl_spark.operators.text import (
+        _WIN_DF_CEIL,
+        _WIN_DF_FLOOR,
+        _WIN_DF_PERMILLE,
+    )
+
+    def py_cap(n_docs: int) -> int:
+        return max(
+            _WIN_DF_FLOOR,
+            min(_WIN_DF_CEIL, -(-_WIN_DF_PERMILLE * n_docs // 1000)),
+        )
+
+    con = duckdb.connect()
+
+    def sql_cap(n_docs: int) -> int:
+        return int(
+            con.sql(
+                f"SELECT GREATEST({_WIN_DF_FLOOR}, "
+                f"LEAST({_WIN_DF_CEIL}, "
+                f"CEIL({_WIN_DF_PERMILLE} * 0.001 * {n_docs})))"
+            ).fetchone()[0]
+        )
+
+    for n in (1, 500, 5_000, 9_999, 10_001, 50_000, 499_999,
+              500_000, 500_001, 5_000_000, 10**10):
+        assert py_cap(n) == sql_cap(n), n
+    # regimes: floor below 10k docs, permille between, ceiling above
+    assert py_cap(5_000) == _WIN_DF_FLOOR
+    assert py_cap(50_000) == 50
+    assert py_cap(500_000) == _WIN_DF_CEIL  # seamless crossover
+    assert py_cap(5_000_000) == _WIN_DF_CEIL
+    assert py_cap(10**10) == _WIN_DF_CEIL  # bounded at 100 TB scale
+    con.close()

@@ -563,3 +563,60 @@ def test_fuzzy_expansion_matches_duckdb_oracle(spark, sf_dir):
     ]
     assert got == [tuple(w) for w in want]
     assert len(got) > 0
+
+
+def test_broadcast_gate_rows_and_bytes(spark, sf_dir):
+    """broadcast_if_bounded (ADVICE r10 rows + r11 bytes): the hint
+    must apply to a small narrow frame, drop beyond the row ceiling,
+    and — the r11 case — drop for a row-count-small frame whose
+    string payload makes the estimated broadcast heavy."""
+    from pyspark.sql import functions as F
+
+    from _imdb_etl_spark.functions import broadcast_if_bounded
+    from _imdb_etl_spark.sources import load_tables
+
+    (nation,) = load_tables(spark, sf_dir, "nation")
+
+    def is_hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    small = nation.select("n_nationkey", "n_name")
+    assert is_hinted(broadcast_if_bounded(small))
+    assert not is_hinted(broadcast_if_bounded(small, max_rows=1))
+    # 25 rows but ~128KB/row of string payload -> byte gate trips
+    heavy = small.withColumn("pad", F.repeat(F.lit("x"), 1 << 16))
+    assert not is_hinted(broadcast_if_bounded(heavy, max_bytes=1 << 20))
+    # and with a generous byte budget the same frame is hinted again
+    assert is_hinted(broadcast_if_bounded(heavy, max_bytes=1 << 30))
+
+
+def test_regression_tripwire_normalizes_by_canary():
+    """The bench tripwire must scale its 1.5x threshold by the canary
+    load factor (round-11 verdict task 4): a uniformly inflated run
+    on a box whose fixed-work canary shows the same inflation must
+    NOT flag, the same run with a nominal canary MUST, and the factor
+    clamps at 3x so heavy load can't hide a real regression."""
+    import json
+
+    import bench
+
+    base = (
+        json.load(open("/root/repo/BENCH_r01.json")).get("parsed") or {}
+    ).get("queries") or {}
+    assert base, "r1 baseline required by the tripwire"
+    nominal = {"jvm_sec": bench._CANARY_NOMINAL_JVM, "gemm_sec": 0.01}
+    # every query 1.8x its r1 time: raw gate (1.5x) flags all of them
+    inflated = {n: 1.8 * t for n, t in base.items()}
+    assert len(bench.regressions(inflated, nominal)) == len(base)
+    # ... but a canary showing the box itself 1.8x loaded absorbs it
+    loaded = {"jvm_sec": 1.8 * bench._CANARY_NOMINAL_JVM}
+    assert bench.regressions(inflated, loaded) == []
+    # the factor clamps: a 10x-loaded canary must not excuse a 6x run
+    storm = {"jvm_sec": 10 * bench._CANARY_NOMINAL_JVM}
+    blown = {n: 6.0 * t for n, t in base.items()}
+    flagged = bench.regressions(blown, storm)
+    assert len(flagged) == len(base)
+    assert all(f["load_factor"] == 3.0 for f in flagged)
+    # missing/garbled canary falls back to the raw gate, never raises
+    assert bench.load_factor(None) == 1.0
+    assert bench.load_factor({"gemm_sec": 0.5}) == 1.0

@@ -282,3 +282,32 @@ def test_stage_to_parquet_reaps_with_descriptive_tombstone(spark):
         spark.read.parquet(held_path).count()
     # the newest run is untouched
     assert catalog.stage_to_parquet(spark.range(3).toDF("x"), tag).count() == 3
+
+
+def test_scoped_conf_restores_on_exception(spark):
+    """scoped_conf (the centralized conf-scoped eager-staging helper,
+    ADVICE r10/r11) must restore previously-set keys to their old
+    value and previously-unset keys to UNSET, including when the body
+    raises."""
+    import pytest
+
+    from _imdb_etl_spark.sources import scoped_conf
+
+    set_key = "spark.sql.shuffle.partitions"
+    unset_key = "spark.sql.cbo.joinReorder.dp.threshold"
+    old = spark.conf.get(set_key)
+    spark.conf.unset(unset_key)
+    default = spark.conf.get(unset_key)  # SQLConf default, not a session pin
+
+    with scoped_conf(spark, {set_key: "7", unset_key: "5"}):
+        assert spark.conf.get(set_key) == "7"
+        assert spark.conf.get(unset_key) == "5"
+    assert spark.conf.get(set_key) == old
+    assert spark.conf.get(unset_key) == default
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with scoped_conf(spark, {set_key: "9", unset_key: "3"}):
+            assert spark.conf.get(set_key) == "9"
+            raise RuntimeError("boom")
+    assert spark.conf.get(set_key) == old
+    assert spark.conf.get(unset_key) == default
