@@ -1100,11 +1100,13 @@ def winnow_arrays(docs: DataFrame) -> DataFrame:
 def text_winnowing_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from _imdb_etl_spark.sources import stage_to_parquet
+
     (docs,) = load_tables(spark, sf_dir, "documents")
     sel = winnow_arrays(docs).select(
         "doc_id", F.size("hs").alias("nk"), "ps", "hs"
     )
-    return sel.select(
+    out = sel.select(
         "doc_id",
         F.col("nk").cast("long").alias("n_kgrams"),
         F.size("ps").cast("long").alias("n_fingerprints"),
@@ -1117,7 +1119,16 @@ def text_winnowing_fingerprints(
         F.md5(
             F.expr("array_join(transform(ps, p -> element_at(hs, int(p))), ',')")
         ).alias("fp_md5"),
-    ).orderBy("doc_id")
+    )
+    # Stage the NARROW result before the global sort (round 12, verdict
+    # task 5): a global orderBy runs the child twice — once for the
+    # range-partitioner's boundary sampling, once for the sort — and
+    # with a map-only lineage (no shuffle files to reuse) the second
+    # run re-executes the ENTIRE per-char ladder. Measured at 100x:
+    # 65.7 s with the sort sampling the live ladder vs 28.6 s for one
+    # ladder pass; staging 5 narrow columns/doc costs ~2 s and the
+    # sort then samples a parquet scan. 1000x: 578 -> ~290 s.
+    return stage_to_parquet(out, "winnow_fp_report").orderBy("doc_id")
 
 
 # --- winnowing pair matching (the MOSS match step) -----------------------
@@ -1128,13 +1139,20 @@ def text_winnowing_fingerprints(
 # route next to MinHash-LSH (probabilistic banding) and prefix
 # filtering (rarity-ordered exactness) — this one with a guaranteed
 # LOCAL-match floor. Scale safety is MOSS's own rule: boilerplate
-# fingerprints are DROPPED before the join — and the cap must be
-# RELATIVE to the corpus (max(10, 0.1% of docs)): a fixed absolute cap
-# silently drops every duplicate CLUSTER once the corpus outgrows it
-# (measured: at 10x bench scale a cap of 10 found 0 pairs while the
-# relative cap found the 284 real ones; at 200 the boilerplate
-# explosion returned 116k). The relative cap bounds any fingerprint's
-# pair fan-out at C(cap, 2) while tracking legitimate cluster growth.
+# fingerprints are DROPPED before the join. The cap must be RELATIVE
+# to the corpus at the low end (max(10, 0.1% of docs)): a SMALL fixed
+# cap silently drops every duplicate CLUSTER once the corpus outgrows
+# it (measured: at 10x bench scale a cap of 10 found 0 pairs while
+# the relative cap found the 284 real ones; raising it to 200 let in
+# the boilerplate explosion, 116k pairs). But the relative rule must
+# ALSO be ceilinged at the high end (round 12, _WIN_DF_CEIL): the
+# measured true-cluster df never leaves 10-100 at any probed scale
+# (duplicate-cluster SIZE does not grow with the corpus), while an
+# uncapped permille grows without bound and by 1000x was admitting
+# df-2000..5000 boilerplate that carried 80% of the bucket work. The
+# composed bound max(floor, min(ceiling, permille)) tracks cluster
+# growth through the small-corpus regime and stays calibrated to
+# cluster size — not corpus size — beyond 500k docs.
 
 _WIN_DF_FLOOR = 10
 _WIN_DF_PERMILLE = 1
@@ -1286,16 +1304,30 @@ def _winnow_rare_postings(
     (values at or under the corpus-relative boilerplate cap).
 
     The posting table materializes to PARQUET, not a heap cache: it is
-    corpus-sized (tens of millions of (doc_id, md5-hex) rows at the
-    100x probe — a localCheckpoint of it plus the downstream joins
-    overran an 8g heap with GCLocker thrash), columnar-compresses
-    ~5x on the hex strings, and is exactly the 'persisted fingerprint
-    index' the registration docstrings describe at 100 TB. pid-staged
-    dir, reaped by the shared GC; the leaf is additionally namespaced
-    with a per-invocation run counter (the BPE _BPE_RUN_SEQ pattern)
-    so a still-referenced lazy DataFrame from a PRIOR invocation never
-    re-reads files a later invocation rewrote mid-plan, and two sf_dirs
-    sharing a basename cannot collide."""
+    corpus-sized (hundreds of millions of rows at the 1000x probe — a
+    localCheckpoint of it plus the downstream joins overran an 8g
+    heap with GCLocker thrash) and is exactly the 'persisted
+    fingerprint index' the registration docstrings describe at 100 TB.
+    Values are dictionary-encoded to 8-byte ints AT THE SOURCE
+    (round 12; previously the clusters face re-encoded after
+    read-back): every downstream shuffle — the dedup/distinct, the
+    rarity groupBy, both pair-join sides, the contraction sets —
+    carries xxhash64(md5-hex) longs instead of 32-char hex strings,
+    which also makes the pre-write DISTINCT a long-key exchange. The
+    vid MUST be a pure function of the value (xxhash64 here), never
+    monotonically_increasing_id after a distinct: under task retry /
+    speculative execution a shuffled distinct's row order is not
+    stable, so positional ids could assign one value different ids
+    across recomputed partitions — identical rare sets would then
+    fail to contract and intersection counts would undercount. A
+    64-bit collision (p ~ n^2 / 2^65 over md5-hex inputs) would merge
+    two fingerprint values; negligible, and detectable by comparing
+    count(distinct md5) upstream to count(distinct v) on the index.
+    pid-staged dir, reaped by the shared GC; the leaf is additionally
+    namespaced with a per-invocation run counter (the BPE _BPE_RUN_SEQ
+    pattern) so a still-referenced lazy DataFrame from a PRIOR
+    invocation never re-reads files a later invocation rewrote
+    mid-plan, and two sf_dirs sharing a basename cannot collide."""
     import os
 
     from _imdb_etl_spark.sources.catalog import reap_stale_pid_dirs
@@ -1312,7 +1344,9 @@ def _winnow_rare_postings(
         .select(
             "doc_id",
             F.explode(
-                F.expr("transform(ps, p -> element_at(hs, int(p)))")
+                F.expr(
+                    "transform(ps, p -> xxhash64(element_at(hs, int(p))))"
+                )
             ).alias("v"),
         )
         .distinct()
@@ -1415,22 +1449,10 @@ def dedup_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from _imdb_etl_spark.operators.dedup import connected_components
 
     _fp, rp = _winnow_rare_postings(spark, sf_dir)
-    # dictionary-encode fingerprint values (the PPJoin index's
-    # integer-gid pattern): every downstream shuffle — the contraction
-    # sets, the quadratic candidate join, the CC edge rounds — carries
-    # 8-byte ints instead of 32-char md5 hex. The vid MUST be a pure
-    # function of the value (xxhash64 here), not
-    # monotonically_increasing_id after a distinct: under task retry /
-    # speculative execution a shuffled distinct's row order is not
-    # stable, so positional ids can assign the same value different
-    # vids across recomputed partitions — identical rare sets would
-    # then fail to contract and GEMM intersection counts undercount.
-    # A deterministic hash also deletes the vdict distinct+join
-    # (one shuffle and one join fewer). A 64-bit collision (p ~ n^2 /
-    # 2^65 over md5-hex inputs) would merge two fingerprint values;
-    # negligible, and detectable by comparing count(distinct v) to
-    # count(distinct vid) on the postings index.
-    rpi = rp.select("doc_id", F.xxhash64("v").alias("vid"))
+    # values arrive dictionary-encoded from the shared postings index
+    # (xxhash64 at the source — the determinism/collision rationale
+    # lives on _winnow_rare_postings since round 12)
+    rpi = rp.select("doc_id", F.col("v").alias("vid"))
     # contract identical rare sets: one representative (min doc_id)
     # per distinct set; docs whose rare set is too small to ever reach
     # the threshold are pruned up front
