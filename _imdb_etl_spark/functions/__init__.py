@@ -57,9 +57,10 @@ BROADCAST_BYTES_MAX = 256 << 20
 
 # estimated in-memory width per value for fixed-width Spark SQL types
 # (UnsafeRow-ish: 8-byte word per field; decimals/timestamps a word,
-# wide decimals two). Anything unlisted and non-string (array, map,
-# struct, binary) falls back to a deliberately heavy 64B/value so odd
-# payloads fail toward NOT broadcasting.
+# wide decimals two). Strings/binary/arrays are MEASURED in the gate's
+# eager pass (lengths / element counts); anything else unlisted (map,
+# struct) falls back to a deliberately heavy 64B/value so odd payloads
+# fail toward NOT broadcasting.
 _FIXED_WIDTH = {
     "boolean": 8,
     "tinyint": 8,
@@ -93,27 +94,53 @@ def broadcast_if_bounded(
     plan-build time. The pass also warms the scan for the real join.
     NOT for fact tables: measuring one of those would be a full
     extra pass."""
+    from pyspark.sql.types import ArrayType
+
     aggs = [F.count(F.lit(1)).alias("__n")]
     fixed = 0
+    measured = []  # (alias, per-unit bytes)
     for f in df.schema.fields:
         t = f.dataType.simpleString()
         if t == "string":
-            # 20B/str overhead (object header + offsets) + data bytes
+            # 20B/str overhead (object header + offsets) + 2B/char data
             aggs.append(
                 F.coalesce(F.sum(F.length(F.col(f.name))), F.lit(0)).alias(
                     f"__b_{f.name}"
                 )
             )
+            measured.append((f"__b_{f.name}", 2))
+            fixed += 20
+        elif t == "binary":
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.length(F.col(f.name))), F.lit(0)
+                ).alias(f"__b_{f.name}")
+            )
+            measured.append((f"__b_{f.name}", 1))
             fixed += 20
         elif t.startswith("decimal"):
             fixed += 16
         elif t in _FIXED_WIDTH:
             fixed += _FIXED_WIDTH[t]
+        elif isinstance(f.dataType, ArrayType):
+            # measure element counts; weight by element width (16B for
+            # anything non-fixed inside — deliberately heavy so an
+            # embedding-bearing frame fails toward NOT broadcasting)
+            ew = _FIXED_WIDTH.get(
+                f.dataType.elementType.simpleString(), 16
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.size(F.col(f.name))), F.lit(0)).alias(
+                    f"__b_{f.name}"
+                )
+            )
+            measured.append((f"__b_{f.name}", ew))
+            fixed += 20
         else:
             fixed += 64
     m = df.agg(*aggs).first()
     n = m["__n"]
-    est = n * fixed + 2 * sum(v or 0 for k, v in m.asDict().items() if k != "__n")
+    est = n * fixed + sum((m[a] or 0) * w for a, w in measured)
     return F.broadcast(df) if n <= max_rows and est <= max_bytes else df
 
 
