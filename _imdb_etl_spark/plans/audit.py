@@ -143,12 +143,27 @@ _RI_SQL = f"SELECT * FROM (\n{_RI_SQL}\n) ORDER BY edge"
     "outsources to its warehouse's constraint checks.",
 )
 def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from _imdb_etl_spark.functions import broadcast_if_bounded
+
     out = None
     for edge, child_t, fk, parent_t, pk in _FK_EDGES:
         child, parent = load_tables(spark, sf_dir, child_t, parent_t)
         pkeys = parent.select(pk).distinct()
         if parent_t in ("nation", "region"):
             pkeys = F.broadcast(pkeys)
+        elif parent_t in ("part", "supplier"):
+            # bounded-dimension parents: measure-gate a broadcast of
+            # the key set (round 12 — the 1000x sweep showed these
+            # edges flipping broadcast->SMJ between decades, sorting
+            # 600M child rows). The row ceiling is widened for this
+            # call: a SINGLE-bigint-column key set is byte-cheap (20M
+            # longs ≈ 160 MB, inside BROADCAST_BYTES_MAX, which still
+            # gates), and the default 4M-row ceiling is calibrated
+            # for payload-carrying projections. orders/customer
+            # parents stay shuffle joins: their key sets are
+            # fact-sized and the eager distinct+count the gate needs
+            # would be a full extra pass over a fact table.
+            pkeys = broadcast_if_bounded(pkeys, max_rows=24_000_000)
         joined = child.select(fk).join(
             pkeys.withColumn("__present", F.lit(1)),
             F.col(fk) == F.col(pk),
