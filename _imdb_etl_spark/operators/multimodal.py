@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, stage_to_parquet
+from _imdb_etl_spark.sources import load_tables, stage_sorted, stage_to_parquet
 
 try:  # codec libs are absent in this container; decode is stubbed
     from PIL import Image  # noqa: F401
@@ -108,7 +108,11 @@ ORDER BY asset_id
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = make_assets(docs)
-    return assets.mapInPandas(_extract_features, _FEATURE_SCHEMA).orderBy("asset_id")
+    return stage_sorted(
+        assets.mapInPandas(_extract_features, _FEATURE_SCHEMA),
+        "mm_features",
+        "asset_id",
+    )
 
 
 _FRAME_SCHEMA = StructType(
@@ -175,7 +179,9 @@ ORDER BY asset_id, frame_no
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    return sample_frames(make_assets(docs)).orderBy("asset_id", "frame_no")
+    return stage_sorted(
+        sample_frames(make_assets(docs)), "mm_frames", "asset_id", "frame_no"
+    )
 
 
 def decode_image_batch(payloads: pd.Series, use_real_codec: bool = False) -> pd.DataFrame:
@@ -327,8 +333,10 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = docs.select(F.col("doc_id").alias("asset_id"))
     payloads = assets.mapInPandas(_encode_pngs, _PAYLOAD_SCHEMA)
-    return payloads.mapInPandas(_decode_pngs, _PNG_DECODE_SCHEMA).orderBy(
-        "asset_id"
+    return stage_sorted(
+        payloads.mapInPandas(_decode_pngs, _PNG_DECODE_SCHEMA),
+        "mm_png",
+        "asset_id",
     )
 
 
@@ -445,8 +453,10 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = docs.select(F.col("doc_id").alias("asset_id"))
     payloads = assets.mapInPandas(_encode_wavs, _WAV_SCHEMA)
-    return payloads.mapInPandas(_decode_wavs, _WAV_DECODE_SCHEMA).orderBy(
-        "asset_id"
+    return stage_sorted(
+        payloads.mapInPandas(_decode_wavs, _WAV_DECODE_SCHEMA),
+        "mm_wav",
+        "asset_id",
     )
 
 
@@ -515,7 +525,11 @@ ORDER BY asset_id
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = make_assets(docs).where(F.col("modality") == "image")
-    return assets.mapInPandas(_resize_assets, _RESIZE_SCHEMA).orderBy("asset_id")
+    return stage_sorted(
+        assets.mapInPandas(_resize_assets, _RESIZE_SCHEMA),
+        "mm_resize",
+        "asset_id",
+    )
 
 
 # --- perceptual-hash image dedup -------------------------------------
@@ -819,8 +833,10 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = docs.select(F.col("doc_id").alias("asset_id"))
     payloads = assets.mapInPandas(_encode_wavs, _PAYLOAD_SCHEMA)
-    return payloads.mapInPandas(_audio_stats, _AUDIO_STATS_SCHEMA).orderBy(
-        "asset_id"
+    return stage_sorted(
+        payloads.mapInPandas(_audio_stats, _AUDIO_STATS_SCHEMA),
+        "mm_astats",
+        "asset_id",
     )
 
 
@@ -929,10 +945,12 @@ ORDER BY asset_id
 def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = make_assets(docs).where(F.col("modality") == "video")
-    return (
-        assets.select("asset_id", "payload")
-        .mapInPandas(_shot_boundaries, _SHOT_SCHEMA)
-        .orderBy("asset_id")
+    return stage_sorted(
+        assets.select("asset_id", "payload").mapInPandas(
+            _shot_boundaries, _SHOT_SCHEMA
+        ),
+        "mm_shots",
+        "asset_id",
     )
 
 
@@ -1236,6 +1254,8 @@ def multimodal_audio_pitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
     assets = docs.select(F.col("doc_id").alias("asset_id"))
     payloads = assets.mapInPandas(_encode_wavs_chained, _PAYLOAD_SCHEMA)
-    return payloads.mapInPandas(_audio_pitch, _PITCH_SCHEMA).orderBy(
-        "asset_id"
+    return stage_sorted(
+        payloads.mapInPandas(_audio_pitch, _PITCH_SCHEMA),
+        "mm_pitch",
+        "asset_id",
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, stage_to_parquet
+from _imdb_etl_spark.sources import load_tables, stage_sorted, stage_to_parquet
 
 # BM25 constants (the Lucene defaults) and a fixed query: literals so
 # both engines see identical plans. idf uses the non-negative Lucene
@@ -544,16 +544,13 @@ def text_embed_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    return (
-        docs.select("doc_id", embed("text").alias("emb"))
-        .select(
-            "doc_id",
-            F.round(norm, 6).alias("emb_norm"),
-            F.round(e[0], 6).alias("e0"),
-            F.round(e[1], 6).alias("e1"),
-        )
-        .orderBy("doc_id")
+    out = docs.select("doc_id", embed("text").alias("emb")).select(
+        "doc_id",
+        F.round(norm, 6).alias("emb_norm"),
+        F.round(e[0], 6).alias("e0"),
+        F.round(e[1], 6).alias("e1"),
     )
+    return stage_sorted(out, "embed_infer", "doc_id")
 
 
 # --- hybrid retrieval: reciprocal rank fusion -------------------------

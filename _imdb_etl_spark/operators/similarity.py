@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, spread, stage_to_parquet
+from _imdb_etl_spark.sources import load_tables, spread, stage_sorted, stage_to_parquet
 
 _N_QUERIES = 8  # vec_id < 8 are the query vectors
 _TOP_K = 5
@@ -618,7 +618,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequant_err = lambda c: F.abs(  # noqa: E731
         x(c) - quant(c) * F.col("absmax") / 127
     )
-    return q.select(
+    out = q.select(
         "vec_id",
         "dim",
         F.round("absmax", 6).alias("scale_absmax"),
@@ -633,7 +633,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.array_max(F.transform("embedding", dequant_err)), 6
         ).alias("max_abs_err"),
-    ).orderBy("vec_id")
+    )
+    return stage_sorted(out, "quant_i8", "vec_id")
 
 
 _COS_THRESH = 0.45

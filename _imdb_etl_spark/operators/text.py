@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import md5_prefix_int_sql
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, spread
+from _imdb_etl_spark.sources import load_tables, spread, stage_sorted
 
 def _toks():
     return F.split(F.col("text"), " ")
@@ -258,11 +258,12 @@ def text_normalize_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     content = F.filter(
         cleaned, lambda x: (x != "") & ~F.array_contains(sw, x)
     )
-    return docs.select(
+    out = docs.select(
         "doc_id",
         F.size(content).alias("n_content_tokens"),
         F.size(F.array_distinct(content)).alias("n_content_types"),
-    ).orderBy("doc_id")
+    )
+    return stage_sorted(out, "norm_tokens", "doc_id")
 
 
 _CHUNK_SIZE = 32  # tokens per chunk

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from _imdb_etl_spark.functions import dec, dsum
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables, scoped_conf
+from _imdb_etl_spark.sources import load_tables, scoped_conf, stage_sorted
 
 _ASOF_SQL = """
 WITH seq AS (
@@ -637,9 +637,11 @@ def embedding_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.select("vec_id", "embedding").mapInArrow(
         _norm_batches, "vec_id long, dim int, l2_norm double"
     )
-    return out.select(
-        "vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm")
-    ).orderBy("vec_id")
+    return stage_sorted(
+        out.select("vec_id", "dim", F.round("l2_norm", 6).alias("l2_norm")),
+        "emb_norms",
+        "vec_id",
+    )
 
 
 # Amortization-schedule unrolling — the classic WITH RECURSIVE shape:
@@ -1370,12 +1372,15 @@ def udtf_polymorphic_first_tokens(
     spark.udtf.register("poly_first_tokens", udtf(FirstTokens, useArrow=True))
     (docs,) = load_tables(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("poly_docs")
-    return spark.sql(
-        f"""
-        SELECT doc_id, s.*
-        FROM poly_docs, LATERAL poly_first_tokens(text, {_UDTF_N_TOKENS}) s
-        ORDER BY doc_id
-        """
+    return stage_sorted(
+        spark.sql(
+            f"""
+            SELECT doc_id, s.*
+            FROM poly_docs, LATERAL poly_first_tokens(text, {_UDTF_N_TOKENS}) s
+            """
+        ),
+        "udtf_tokens",
+        "doc_id",
     )
 
 
@@ -1431,7 +1436,7 @@ def grouped_arrow_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     (events,) = load_tables(spark, sf_dir, "events")
-    return (
+    out = (
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInArrow(
@@ -1439,8 +1444,8 @@ def grouped_arrow_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id bigint, n_events bigint, "
             "total_cents bigint, max_cents bigint",
         )
-        .orderBy("user_id")
     )
+    return stage_sorted(out, "arrow_stats", "user_id")
 
 
 # --- bag-semantics set operation (EXCEPT ALL) ------------------------

@@ -12,7 +12,7 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from _imdb_etl_spark.functions import broadcast_if_bounded, dec, disc_price, dsum
 from _imdb_etl_spark.plans.registry import register
-from _imdb_etl_spark.sources import load_tables
+from _imdb_etl_spark.sources import load_tables, stage_sorted
 
 _Q15_SQL = """
 WITH revenue AS (
@@ -284,11 +284,12 @@ def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def grouped_map_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = load_tables(spark, sf_dir, "events")
-    return (
+    return stage_sorted(
         events.select(
             "user_id", "ts", "event_id", F.unix_millis("ts").alias("ts_ms")
         )
         .groupBy("user_id")
-        .applyInPandas(_gap_stats, _GAP_SCHEMA)
-        .orderBy("user_id")
+        .applyInPandas(_gap_stats, _GAP_SCHEMA),
+        "gap_stats",
+        "user_id",
     )

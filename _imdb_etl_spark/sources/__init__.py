@@ -2,6 +2,7 @@ from _imdb_etl_spark.sources.catalog import (
     load_tables,
     scoped_conf,
     spread,
+    stage_sorted,
     stage_to_parquet,
     table,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "load_tables",
     "scoped_conf",
     "spread",
+    "stage_sorted",
     "stage_to_parquet",
     "table",
     "read_staging_csv",

@@ -206,6 +206,22 @@ def stage_to_parquet(df: DataFrame, tag: str) -> DataFrame:
     return df.sparkSession.read.parquet(path)
 
 
+def stage_sorted(df: DataFrame, tag: str, *order_cols: str) -> DataFrame:
+    """Stage, then globally sort — for presentation ORDER BYs over
+    expensive map-only (or post-shuffle Python) lineage. A global sort
+    executes its child TWICE: once for the range partitioner's
+    boundary sampling, once for the sort, and only work behind a
+    shuffle boundary is reused between the two jobs — a mapInPandas
+    decode, a UDTF, or a per-char lambda ladder above the last
+    exchange runs again in full. Staging the (narrow) result first
+    means the sampler re-scans parquet instead. Found on
+    text_winnowing_fingerprints (578 -> 315 s at 1000x, round 12) and
+    applied to the heavy Python-boundary faces; cheap scan-lineage
+    faces keep the plain orderBy — for them the extra write costs
+    more than the second scan."""
+    return stage_to_parquet(df, tag).orderBy(*order_cols)
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Widen pathologically under-partitioned input without taxing
     already-parallel input.
