@@ -635,6 +635,13 @@ def vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_BITS = 64
 _HAMMING_MAX = 6
+# token -> md5-top-8-bytes hash, resident in the reused Python worker so
+# repeated vocabulary (the common case for natural text) hashes once per
+# worker, not once per batch; bounded in the kernel before insertion
+_SIMHASH_MEMO: dict = {}
+# per-worker reusable gather buffer for the big-vocab vote path (guide
+# §4.5: heavyweight state once per task/worker, not per batch)
+_SIMHASH_BUF: dict = {}
 
 
 # Bit-level SQL twin of the pandas-UDF SimHash: instead of 64-bit
@@ -679,50 +686,152 @@ FROM ham WHERE hamming <= {_HAMMING_MAX} ORDER BY doc_a, doc_b
 """
 
 
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig): 64-bit SimHash per document, whole-batch
+    vectorized (round 12). Module-level so the kernel is pinned
+    bit-for-bit by test_simhash_kernel_vectorized."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def simhash64(texts: pd.Series) -> pd.Series:
+        # Whole-batch vectorized signature (round 12): the old kernel
+        # looped per token in Python with per-token 64-element numpy
+        # ops (~10 us/token) and dominated the face end to end (698 s
+        # at 1000x). Tokenize + dictionary-encode now run as Arrow C
+        # kernels, md5 runs once per DISTINCT token (memoized across
+        # batches in the reused worker), and the per-doc majority vote
+        # is a (docs x vocab) histogram times a (vocab x 64) bit
+        # matrix — float64 BLAS GEMM, exact because every value is an
+        # integer far below 2^53. Bit-identical to the old kernel by
+        # construction: same (t or "").split(" ") token semantics
+        # (Arrow split_pattern keeps [''] for empty and '' runs), same
+        # per-token md5 top-8-bytes hash, same strict acc > 0 (2c > T)
+        # majority rule. Pinned by test_simhash_kernel_vectorized.
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        n = len(texts)
+        if n == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+        toks = pc.split_pattern(pa.Array.from_pandas(texts.fillna("")), " ")
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        enc = toks.values.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        memo = _SIMHASH_MEMO
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, tok in enumerate(uniq):
+            v = memo.get(tok)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                if len(memo) < 4_000_000:  # bound worker-resident memo
+                    memo[tok] = v
+            uh[i] = v
+        # (vocab, 64) bit matrix; column b holds bit b of each hash
+        ubits = np.unpackbits(
+            uh.byteswap().view(np.uint8).reshape(-1, 8), axis=1, bitorder="big"
+        )[:, ::-1].astype(np.float64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        if n * len(uniq) <= 8_000_000:
+            hist = (
+                np.bincount(doc_idx * len(uniq) + codes, minlength=n * len(uniq))
+                .reshape(n, len(uniq))
+                .astype(np.float64)
+            )
+            counts = hist @ ubits
+        else:
+            # big-vocab fallback: gather each token's bit row and
+            # segment-sum per doc with reduceat (np.add.at measured
+            # 16x slower on the same slab). The gather target is a
+            # preallocated per-worker buffer (np.take(..., out=...)):
+            # a fresh ~270 MB temporary per batch in 32 concurrent
+            # workers collapsed the vote 100x in mmap/page-fault churn
+            # (measured 51 s/batch concurrent vs 0.5 s alone; buffered
+            # stage 59.6 -> 16.2 s at 100x). Slabs align to doc
+            # boundaries so every reduceat segment is complete; lens
+            # >= 1 always (split of '' is ['']), so no empty segment
+            slab_tokens = 1 << 17
+            buf = _SIMHASH_BUF.get("g")
+            if buf is None:
+                buf = np.zeros(
+                    (slab_tokens + 4096, _SIMHASH_BITS), dtype=np.float64
+                )
+                _SIMHASH_BUF["g"] = buf
+            counts = np.empty((n, _SIMHASH_BITS), dtype=np.float64)
+            d0 = 0
+            while d0 < n:
+                d1 = int(
+                    np.searchsorted(offs, offs[d0] + slab_tokens, side="left")
+                )
+                d1 = max(d0 + 1, min(d1, n))
+                k = offs[d1] - offs[d0]
+                if k > buf.shape[0]:
+                    g = ubits[codes[offs[d0] : offs[d1]]]
+                else:
+                    g = buf[:k]
+                    np.take(
+                        ubits, codes[offs[d0] : offs[d1]], axis=0, out=g
+                    )
+                counts[d0:d1] = np.add.reduceat(
+                    g, offs[d0:d1] - offs[d0], axis=0
+                )
+                d0 = d1
+        sigbits = (2.0 * counts) > lens[:, None]
+        sig = (sigbits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+        return pd.Series(sig.view(np.int64).copy())
+
+    # asNondeterministic (guide §4.4): the banding join's inferred
+    # isnotnull(sig) constraint otherwise gets pushed BELOW the
+    # projection and the optimizer re-evaluates the UDF above it —
+    # two ArrowEvalPython nodes in sequence per join side, the whole
+    # signature kernel run 4x per query (seen in the 100x plan). The
+    # function is pure; the marker only forbids Catalyst from
+    # duplicating or reordering it.
+    simhash64 = simhash64.asNondeterministic()
+    return docs.select("doc_id", simhash64("text").alias("sig"))
+
+
 @register(
     "dedup_simhash",
     _SIMHASH_SQL,
     doc="64-bit SimHash near-dup candidates (hamming <= "
-    f"{_HAMMING_MAX}) via Arrow-vectorized pandas UDF + 8x8-bit "
-    "band exact-match blocking. Fully oracle-checked: the DuckDB twin "
+    f"{_HAMMING_MAX}) via Arrow-vectorized pandas UDF + chunk-pair "
+    "(28 x 16-bit) band exact-match blocking. Fully oracle-checked: "
+    "the DuckDB twin "
     "recomputes the signature per (doc, bit) from md5 hex nibbles — "
     "no 64-bit twiddling in SQL — and must agree on every candidate "
     "pair AND its exact hamming distance. Recall vs the exact Jaccard "
     "pairs additionally asserted in tests/test_operators.py.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
     (docs,) = load_tables(spark, sf_dir, "documents")
-
-    @pandas_udf(LongType())
-    def simhash64(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        import numpy as np
-
-        shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
-        out = np.empty(len(texts), dtype=np.int64)
-        for k, t in enumerate(texts):
-            acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
-            for tok in (t or "").split(" "):
-                h = np.uint64(
-                    int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                )
-                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-                acc += 2 * bits - 1
-            sig = int(
-                np.bitwise_or.reduce((acc > 0).astype(np.uint64) << shifts)
-            )
-            out[k] = sig - (1 << 64) if sig >= (1 << 63) else sig
-        return pd.Series(out)
-
-    wide = spread(docs)
-    sigs = wide.select("doc_id", simhash64("text").alias("sig"))
-    # band on 8x8-bit chunks: by pigeonhole, any pair with hamming <= 7
-    # (so certainly <= _HAMMING_MAX=6) shares at least one exact chunk —
-    # guaranteed candidate recall, unlike 4x16 which only covers <= 3
+    # NOT staged: the banding self-join's two sides produce identical
+    # Exchange(chunk_id, chunk) subtrees, so the signature UDF runs
+    # once and the second side is a ReusedExchange (verified in the
+    # plan; an explicit parquet stage measured SLOWER at 100x,
+    # 35.6 -> 47.3 s, round 12)
+    sigs = simhash_signatures(spread(docs))
+    # band on PAIRS of 8-bit chunks (28 bands of 16 bits, round 12): a
+    # pair with hamming <= 6 has its differing bits in at most 6 of the
+    # 8 chunks, so at least TWO chunks are identical — band (i, j) over
+    # every i < j therefore guarantees candidate recall for
+    # _HAMMING_MAX = 6, exactly like the old any-single-chunk banding
+    # (which needed only hamming <= 7). The point is collision mass:
+    # random single-chunk collisions cost sum-over-buckets C(n,2) ~
+    # 8 N^2/2^9 pair emissions (measured 4.7e9 at 100x, ~4.7e11 at
+    # 1000x — the face's real scale wall, NOT the signature UDF), while
+    # 16-bit keys cost 28 N^2/2^17 — 73x fewer. The exploded row count
+    # only grows 8 -> 28 per doc. Output is IDENTICAL: both schemes
+    # have guaranteed recall at the hamming cutoff, and the final
+    # hamming filter + distinct make the result the full hamming <= 6
+    # pair set either way (the oracle's single-chunk SQL twin agrees
+    # for the same reason).
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -730,12 +839,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned("sig", 8 * c)
-                        .bitwiseAND(F.lit(0xFF))
-                        .alias("chunk"),
+                        F.lit(8 * i + j).alias("chunk_id"),
+                        (
+                            F.shiftrightunsigned("sig", 8 * i)
+                            .bitwiseAND(F.lit(0xFF))
+                            * 256
+                            + F.shiftrightunsigned("sig", 8 * j)
+                            .bitwiseAND(F.lit(0xFF))
+                        ).alias("chunk"),
                     )
-                    for c in range(8)
+                    for i in range(8)
+                    for j in range(i + 1, 8)
                 ]
             )
         ).alias("ch"),

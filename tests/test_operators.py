@@ -259,6 +259,81 @@ def test_simhash_blocking_finds_strong_neardups(spark, sf_dir, exact_pairs):
     assert got, "simhash should find candidate pairs on this corpus"
 
 
+def test_simhash_kernel_vectorized(spark, sf_dir):
+    """Pin the round-12 vectorized SimHash kernel bit-for-bit against
+    the definitional row-at-a-time computation (per-token md5 top 8
+    bytes, strict acc > 0 majority vote, (t or '').split(' ') token
+    semantics), including the NULL/empty/multi-space edges."""
+    import hashlib
+
+    def reference_sig(t):
+        acc = [0] * 64
+        for tok in (t or "").split(" "):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if acc[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, " "),
+        (3, "a"),
+        (4, "a a b"),
+        (5, "a  b"),
+        (6, "héllo wörld héllo"),
+        (7, " ".join(f"tok{i % 7}" for i in range(500))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from _imdb_etl_spark.operators import dedup as dedup_mod
+
+    sigs = {
+        r.doc_id: r.sig
+        for r in dedup_mod.simhash_signatures(docs).collect()
+    }
+    for doc_id, text in rows:
+        assert sigs[doc_id] == reference_sig(text), (doc_id, text)
+
+
+def test_simhash_chunk_pair_banding_exact():
+    """Pin the round-12 chunk-pair banding equivalence without Spark:
+    over random-ish 64-bit signatures, {pairs sharing >= 1 of 28
+    (i<j) 16-bit chunk-pair keys} ∩ {hamming <= 6} must equal the full
+    {hamming <= 6} pair set — i.e. banding loses no true pair, which
+    is the pigeonhole guarantee (6 dirty bits leave >= 2 clean
+    chunks) the registered face's plan relies on."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    sigs = [rng.getrandbits(64) for _ in range(40)]
+    # inject strong near-dups: flip k <= 7 random bits of sig 0
+    for k in (0, 1, 3, 6, 7):
+        s = sigs[0]
+        for b in rng.sample(range(64), k):
+            s ^= 1 << b
+        sigs.append(s)
+
+    def chunk(s, c):
+        return (s >> (8 * c)) & 0xFF
+
+    truth, banded = set(), set()
+    for x, y in itertools.combinations(range(len(sigs)), 2):
+        ham = bin(sigs[x] ^ sigs[y]).count("1")
+        if ham <= 6:
+            truth.add((x, y))
+        shared = any(
+            chunk(sigs[x], i) == chunk(sigs[y], i)
+            and chunk(sigs[x], j) == chunk(sigs[y], j)
+            for i in range(8)
+            for j in range(i + 1, 8)
+        )
+        if shared and ham <= 6:
+            banded.add((x, y))
+    assert banded == truth
+
+
 def test_knn_lsh_consistent_with_bruteforce(spark, sf_dir):
     emb = {
         r.vec_id: np.array(r.embedding, dtype=np.float64)
