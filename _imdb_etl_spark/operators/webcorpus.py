@@ -378,24 +378,40 @@ ORDER BY t.lang
 )
 def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = load_tables(spark, sf_dir, "documents")
-    words = spread(docs).select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    # ONE scan+explode of the corpus (round 12): the old shape built
+    # the vocabulary from one pass over the exploded token stream and
+    # probed membership with a second full pass — two scans of the
+    # text column. Both the top-K ranking and the per-language OOV
+    # sums are exact functions of the (word, lang) count table, so
+    # aggregate that once (heavy map-side partial aggregation: vocab x
+    # languages keys per task) and derive vocabulary and OOV rates
+    # from the aggregate. Pure integer arithmetic — identical output
+    # by construction.
+    wl = (
+        spread(docs)
+        .select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+        wl.groupBy("word")
+        .agg(F.sum("c").alias("freq"))
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(_VOCAB_K)
         .select("word")
     )
-    flagged = words.join(
+    flagged = wl.join(
         F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "word", "left"
     )
     return (
         flagged.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
         )
         .select(
             "lang",

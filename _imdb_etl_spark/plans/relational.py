@@ -252,6 +252,14 @@ ORDER BY brand, revenue_rank
 )
 def topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    # Deliberately join-then-aggregate (round-12 negative result): the
+    # "aggregate lineitem by l_partkey before the join" rewrite (guide
+    # §2.3) measured 1.7x SLOWER at 1000x (235.5 s vs 140.6 s, fresh
+    # sessions head-to-head) — with 20M partkey groups over 600M rows
+    # each map task sees ~2.2M distinct keys in ~2.3M rows, so partial
+    # aggregation shrinks nothing and the plan just adds a hash-agg
+    # pass and an extra exchange. Kept as the single join + one grouped
+    # exchange.
     rev = (
         lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_partkey")

@@ -194,6 +194,14 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
+    # Deliberately shuffle joins (round-12 negative result): lifting
+    # the ECONOMY part keys and the supplier projection onto the
+    # measure-gated broadcast (the q17/q19/q9 pattern) measured a wash-
+    # to-loss at 1000x across three same-day head-to-head pairs (new
+    # 220-235 s tight vs old 159/192/268 s, median 192) — unlike q9,
+    # q8's wall is the orders+customer sort-merge chain, which the
+    # part-side broadcast does not move, so the change only added the
+    # gate's measure pass and the broadcast build.
     flat = (
         lineitem.join(
             part.where(F.col("p_type") == "ECONOMY"),
@@ -257,12 +265,22 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, orders, nation = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
     )
+    # measure-gated broadcasts (round 12, the q17/q19 precedent): the
+    # '%gear%' part-key projection (~2.5M longs at 1000x) and the
+    # (s_suppkey, s_nationkey) supplier projection ride
+    # broadcast_if_bounded — lineitem is filtered to matching parts
+    # map-side before the one remaining fact-sized shuffle (orders).
     return (
         lineitem.join(
-            part.where(F.col("p_name").contains("gear")),
+            broadcast_if_bounded(
+                part.where(F.col("p_name").contains("gear")).select("p_partkey")
+            ),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            broadcast_if_bounded(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(

@@ -58,6 +58,11 @@ HEADLINE = [
     "events_daily_pivot",
     "streaming_hourly_rollup",
     "multimodal_features",
+    # ADDED round 12 (additive only — the driver contract forbids
+    # removing/renaming entries): the round's headline optimization
+    # (vectorized SimHash kernel + chunk-pair banding), benched so the
+    # driver tracks it from now on
+    "dedup_simhash",
 ]
 
 
