@@ -91,6 +91,17 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"warmup failed: {e}", file=sys.stderr)
 
+    # Refuse-and-retry on a loaded box (round-12 verdict task 1): the
+    # r12 artifact's canary read 5.1x nominal and poisoned the whole
+    # round-over-round comparison. Probe the fixed-work canary BEFORE
+    # the timed loop; while it reads hot, wait (bounded) for the
+    # noisy-neighbor episode to pass. Raw per-query recording and the
+    # post-loop canary stay unchanged; this only moves WHEN the timed
+    # loop starts. Disable with BENCH_QUIET_WAIT=0.
+    quiet = wait_for_quiet_box(lambda: cpu_canary(spark))
+    if quiet is not None:
+        print(f"quiet-box wait: {quiet}", file=sys.stderr)
+
     names = [n for n in HEADLINE if n in REGISTRY]
     extra = os.environ.get("BENCH_EXTRA")
     if extra:
@@ -250,6 +261,55 @@ def cpu_canary(spark) -> dict:
         "gemm_sec": round(min(once_gemm() for _ in range(3)), 4),
         "jvm_sec": round(min(once_jvm() for _ in range(3)), 4),
     }
+
+
+# Quiet-box gate (round-12 verdict task 1). Proceed when the jvm canary
+# is within _QUIET_FACTOR of nominal; otherwise sleep _QUIET_STEP_S and
+# re-probe, up to _QUIET_MAX_WAIT_S total — then run anyway (the wait is
+# bounded so a persistently loaded box still produces an artifact, with
+# the load visible in the recorded canary).
+_QUIET_FACTOR = 1.3
+_QUIET_STEP_S = 45.0
+_QUIET_MAX_WAIT_S = 600.0
+
+
+def wait_for_quiet_box(
+    probe,
+    sleep=time.sleep,
+    factor: float = _QUIET_FACTOR,
+    step_s: float = _QUIET_STEP_S,
+    max_wait_s: float = _QUIET_MAX_WAIT_S,
+) -> dict | None:
+    """Block (bounded) until the fixed-work canary reads quiet.
+
+    probe() -> {"gemm_sec": .., "jvm_sec": ..}; sleep is injectable for
+    tests. Returns a summary dict when any waiting happened or the box
+    never went quiet ({"waited_sec", "probes", "quiet"}), None when the
+    first probe was already quiet (the common case — zero overhead
+    beyond one canary run). Never raises. Honors BENCH_QUIET_WAIT=0.
+    """
+    if os.environ.get("BENCH_QUIET_WAIT", "1") == "0":
+        return None
+    waited = 0.0
+    probes: list[float] = []
+    while True:
+        try:
+            c = probe()
+            ratio = float(c["jvm_sec"]) / _CANARY_NOMINAL_JVM
+        except Exception as e:  # noqa: BLE001
+            print(f"quiet-box probe failed: {e}", file=sys.stderr)
+            return None
+        probes.append(round(ratio, 2))
+        if ratio <= factor:
+            if waited == 0.0:
+                return None
+            return {"waited_sec": round(waited, 1), "probes": probes,
+                    "quiet": True}
+        if waited >= max_wait_s:
+            return {"waited_sec": round(waited, 1), "probes": probes,
+                    "quiet": False}
+        sleep(step_s)
+        waited += step_s
 
 
 _R1_BASELINE = "BENCH_r01.json"

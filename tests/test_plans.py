@@ -620,3 +620,54 @@ def test_regression_tripwire_normalizes_by_canary():
     # missing/garbled canary falls back to the raw gate, never raises
     assert bench.load_factor(None) == 1.0
     assert bench.load_factor({"gemm_sec": 0.5}) == 1.0
+
+
+def test_quiet_box_wait_bounded_and_threshold():
+    """The pre-bench quiet-box gate (round-12 verdict task 1) must:
+    proceed immediately on a quiet canary (no sleeping), wait while
+    the canary reads hot and resume once it cools, give up after the
+    bounded budget (never an unbounded stall), honor the kill switch,
+    and swallow probe failures rather than zeroing the bench."""
+    import bench
+
+    nominal = bench._CANARY_NOMINAL_JVM
+    slept: list[float] = []
+
+    def sleeper(s):
+        slept.append(s)
+
+    # quiet box: one probe, zero sleeps, None (the common case)
+    out = bench.wait_for_quiet_box(
+        lambda: {"jvm_sec": nominal}, sleep=sleeper
+    )
+    assert out is None and slept == []
+    # hot then cooling: waits exactly until the probe reads quiet
+    readings = iter([3.0 * nominal, 2.0 * nominal, 1.0 * nominal])
+    out = bench.wait_for_quiet_box(
+        lambda: {"jvm_sec": next(readings)}, sleep=sleeper,
+        step_s=10.0, max_wait_s=100.0,
+    )
+    assert out == {"waited_sec": 20.0, "probes": [3.0, 2.0, 1.0],
+                   "quiet": True}
+    # persistently hot: gives up at the bound and says so
+    out = bench.wait_for_quiet_box(
+        lambda: {"jvm_sec": 5.0 * nominal}, sleep=sleeper,
+        step_s=10.0, max_wait_s=30.0,
+    )
+    assert out is not None and out["quiet"] is False
+    assert out["waited_sec"] == 30.0
+    # kill switch
+    import os
+
+    os.environ["BENCH_QUIET_WAIT"] = "0"
+    try:
+        assert bench.wait_for_quiet_box(
+            lambda: {"jvm_sec": 99.0}, sleep=sleeper
+        ) is None
+    finally:
+        del os.environ["BENCH_QUIET_WAIT"]
+    # probe failure: never raises, proceeds to the bench
+    def boom():
+        raise RuntimeError("no spark")
+
+    assert bench.wait_for_quiet_box(boom, sleep=sleeper) is None
