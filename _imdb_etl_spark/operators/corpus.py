@@ -340,10 +340,21 @@ ORDER BY split_lo, split_hi
     "self-join here; LSH candidates at scale).",
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from _imdb_etl_spark.operators.dedup import dedup_ngram_jaccard
+    from _imdb_etl_spark.operators.dedup import (
+        _prefix_doc_sets,
+        _prefix_pairs,
+    )
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     (docs,) = load_tables(spark, sf_dir, "documents")
+    # Pair stage = the PPJoin prefix-filtered exact join (round 13, the
+    # neardup_pagerank swap): provably the SAME pair set as
+    # dedup_ngram_jaccard's quadratic shared-shingle self-join (prefix
+    # filtering is lossless; the dedup_jaccard_prefix face's oracle IS
+    # the unfiltered all-pairs SQL, so its driver hash match is the
+    # standing no-missed-pair proof). The quadratic pair join was this
+    # face's measured 1000x wall (450.5 s, COVERAGE round-10 sweep).
+    # Unordered pair relation: the cell aggregation below sorts last.
+    pairs = _prefix_pairs(_prefix_doc_sets(docs)).select("doc_a", "doc_b")
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     assigned = docs.select(
         "doc_id",

@@ -1222,7 +1222,19 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     run_dir = _iter_stage_dir("pr")
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    # Pair stage = the PPJoin prefix-filtered exact join (round 13):
+    # provably the SAME pair set as dedup_ngram_jaccard's quadratic
+    # shared-shingle self-join (prefix filtering is lossless —
+    # Chaudhuri/Bayardo; the dedup_jaccard_prefix face's oracle IS the
+    # unfiltered all-pairs SQL, so its driver hash match is the
+    # standing no-missed-pair proof), at a fraction of the pair-stage
+    # cost: candidates come only from rarity-ordered prefix collisions
+    # + length/positional bounds, then the exact Jaccard verify. This
+    # was the face's 1000x wall (319 s, dominated by the definitional
+    # pair stage — round-12 verdict task 2). Unordered relation: the
+    # union/degree aggregation below makes a pair sort pure waste.
+    (docs,) = load_tables(spark, sf_dir, "documents")
+    pairs = _prefix_pairs(_prefix_doc_sets(docs)).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -1683,7 +1695,15 @@ def _prefix_join(doc_sets: DataFrame) -> DataFrame:
     Jaccard length bound AND the PPJoin positional bound, then exact
     verify by sorted-set intersection on candidates only. Shared
     verbatim by the lazy-lineage and persisted faces so the two can
-    never drift semantically."""
+    never drift semantically. Ordered face of _prefix_pairs (graph
+    consumers take the unordered relation — their downstream
+    aggregation makes the sort pure waste)."""
+    return _prefix_pairs(doc_sets).orderBy("doc_a", "doc_b")
+
+
+def _prefix_pairs(doc_sets: DataFrame) -> DataFrame:
+    """The UNORDERED exact near-dup pair relation behind _prefix_join —
+    identical rows, no final sort."""
     pre_a = doc_sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n_sh").alias("na"),
@@ -1743,7 +1763,6 @@ def _prefix_join(doc_sets: DataFrame) -> DataFrame:
         .join(db, F.col("doc_b") == F.col("kb"))
         .where(jacc >= _PREFIX_TAU)
         .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -56,6 +56,7 @@ ALLOW = {
     ("dedup_jaccard_prefix", "cartesian"): "triangular prefix-sum over the shingle df-DISTRIBUTION table (one row per distinct document-frequency value, << vocabulary) for the exact gid-dictionary offsets; the rank-statistics family's bounded shape",
     ("dedup_jaccard_prefix_persisted", "cartesian"): "same bounded df-distribution triangular prefix-sum as dedup_jaccard_prefix (shared _prefix_doc_sets builder), executed once at index-build time",
     ("dedup_lsh_recall_audit", "cartesian"): "composes _prefix_doc_sets for its lossless ground truth -> the same bounded df-distribution triangular prefix-sum as dedup_jaccard_prefix",
+    ("split_leakage_audit", "cartesian"): "round 13: pair stage swapped to the lossless PPJoin prefix join -> the same bounded df-distribution triangular prefix-sum as dedup_jaccard_prefix (shared _prefix_doc_sets builder)",
 }
 
 
