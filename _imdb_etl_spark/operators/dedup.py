@@ -639,9 +639,27 @@ _HAMMING_MAX = 6
 # repeated vocabulary (the common case for natural text) hashes once per
 # worker, not once per batch; bounded in the kernel before insertion
 _SIMHASH_MEMO: dict = {}
+# entry-count bound for the memo, plus a per-token length cap (ADVICE
+# r12): long distinct tokens could otherwise pin GBs of str->int
+# entries in a reused worker — an over-cap token is hashed but never
+# memoized (correctness unchanged; md5 recomputes)
+_SIMHASH_MEMO_MAX = 4_000_000
+_SIMHASH_MEMO_TOKLEN_MAX = 64
 # per-worker reusable gather buffer for the big-vocab vote path (guide
 # §4.5: heavyweight state once per task/worker, not per batch)
 _SIMHASH_BUF: dict = {}
+# kernel sizing, module-level so tests can shrink them to force the
+# big-vocab fallback through slab boundaries (ADVICE r12: the fallback
+# was unreachable by any test at production sizes):
+# - GEMM path while n_docs * n_distinct_tokens fits this many cells
+_SIMHASH_GEMM_MAX = 8_000_000
+# - fallback gather slab, in tokens. Round 13 shrank it 2x (1 << 17 ->
+#   1 << 16) and moved the vote to float32 (exact: every histogram
+#   count and partial sum is an integer < 2^23, guarded per batch) —
+#   together the per-worker slab fell 68.7 -> 17.8 MB, cutting the
+#   first-batch page-in constant that dominated the face's bench entry
+#   on a cold worker (round-12 verdict task 6).
+_SIMHASH_SLAB_TOKENS = 1 << 16
 
 
 # Bit-level SQL twin of the pandas-UDF SimHash: instead of 64-bit
@@ -730,19 +748,30 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             v = memo.get(tok)
             if v is None:
                 v = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-                if len(memo) < 4_000_000:  # bound worker-resident memo
+                # bound worker-resident memo by entries AND token size
+                if (
+                    len(memo) < _SIMHASH_MEMO_MAX
+                    and len(tok) <= _SIMHASH_MEMO_TOKLEN_MAX
+                ):
                     memo[tok] = v
             uh[i] = v
+        # float32 vote (round 13): every histogram count and every
+        # partial sum below is an integer bounded by the longest doc's
+        # token count, so float32 is EXACT while 2*count stays under
+        # 2^24 — i.e. lens.max() < 2^23, true for any real document
+        # batch; the guard keeps pathological inputs on float64. Halves
+        # the slab bytes, the gather traffic and the GEMM bandwidth.
+        vote_dt = np.float32 if lens.max() < (1 << 23) else np.float64
         # (vocab, 64) bit matrix; column b holds bit b of each hash
         ubits = np.unpackbits(
             uh.byteswap().view(np.uint8).reshape(-1, 8), axis=1, bitorder="big"
-        )[:, ::-1].astype(np.float64)
+        )[:, ::-1].astype(vote_dt)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-        if n * len(uniq) <= 8_000_000:
+        if n * len(uniq) <= _SIMHASH_GEMM_MAX:
             hist = (
                 np.bincount(doc_idx * len(uniq) + codes, minlength=n * len(uniq))
                 .reshape(n, len(uniq))
-                .astype(np.float64)
+                .astype(vote_dt)
             )
             counts = hist @ ubits
         else:
@@ -756,14 +785,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
             # stage 59.6 -> 16.2 s at 100x). Slabs align to doc
             # boundaries so every reduceat segment is complete; lens
             # >= 1 always (split of '' is ['']), so no empty segment
-            slab_tokens = 1 << 17
-            buf = _SIMHASH_BUF.get("g")
-            if buf is None:
+            slab_tokens = _SIMHASH_SLAB_TOKENS
+            buf = _SIMHASH_BUF.get(vote_dt)
+            if buf is None or buf.shape[0] < slab_tokens + 4096:
                 buf = np.zeros(
-                    (slab_tokens + 4096, _SIMHASH_BITS), dtype=np.float64
+                    (slab_tokens + 4096, _SIMHASH_BITS), dtype=vote_dt
                 )
-                _SIMHASH_BUF["g"] = buf
-            counts = np.empty((n, _SIMHASH_BITS), dtype=np.float64)
+                _SIMHASH_BUF[vote_dt] = buf
+            counts = np.empty((n, _SIMHASH_BITS), dtype=vote_dt)
             d0 = 0
             while d0 < n:
                 d1 = int(
@@ -782,7 +811,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
                     g, offs[d0:d1] - offs[d0], axis=0
                 )
                 d0 = d1
-        sigbits = (2.0 * counts) > lens[:, None]
+        sigbits = (2.0 * counts.astype(np.float64)) > lens[:, None]
         sig = (sigbits.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
         return pd.Series(sig.view(np.int64).copy())
 

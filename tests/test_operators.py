@@ -296,6 +296,53 @@ def test_simhash_kernel_vectorized(spark, sf_dir):
         assert sigs[doc_id] == reference_sig(text), (doc_id, text)
 
 
+def test_simhash_fallback_slab_paths(spark):
+    """Pin the big-vocab reduceat fallback bit-for-bit (ADVICE r12:
+    the slab/gather path was unreachable by any test). The corpus is
+    sized from the module constants so ONE Arrow batch provably takes
+    the fallback (n_docs * n_distinct > _SIMHASH_GEMM_MAX), crosses
+    several slab boundaries (total tokens > slab capacity), and one
+    oversized doc exceeds the preallocated buffer outright (the
+    k > buf branch). Every signature must equal the definitional
+    row-at-a-time kernel, including multi-space/empty-token edges."""
+    import hashlib
+
+    from _imdb_etl_spark.operators import dedup as dedup_mod
+
+    def reference_sig(t):
+        acc = [0] * 64
+        for tok in (t or "").split(" "):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        sig = sum(1 << b for b in range(64) if acc[b] > 0)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    slab_cap = dedup_mod._SIMHASH_SLAB_TOKENS + 4096
+    rows = [
+        # disjoint per-doc vocabularies push batch-wide n * distinct
+        # past the GEMM ceiling; repeated + empty tokens keep the
+        # majority vote non-trivial
+        (i, " ".join(f"t{i}_{j % 1100}" for j in range(1200)) + "  x")
+        for i in range(64)
+    ]
+    # one doc longer than the whole gather buffer: k > buf.shape[0]
+    rows.append((64, " ".join(f"big_{j}" for j in range(slab_cap + 500))))
+    n = len(rows)
+    n_distinct = 64 * 1101 + (slab_cap + 500) + 1
+    assert n * n_distinct > dedup_mod._SIMHASH_GEMM_MAX, "corpus too small"
+    assert 64 * 1202 > dedup_mod._SIMHASH_SLAB_TOKENS, "needs > 1 slab"
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    sigs = {
+        r.doc_id: r.sig
+        for r in dedup_mod.simhash_signatures(docs).collect()
+    }
+    assert len(sigs) == n
+    for doc_id, text in rows:
+        assert sigs[doc_id] == reference_sig(text), doc_id
+
+
 def test_simhash_chunk_pair_banding_exact():
     """Pin the round-12 chunk-pair banding equivalence without Spark:
     over random-ish 64-bit signatures, {pairs sharing >= 1 of 28
