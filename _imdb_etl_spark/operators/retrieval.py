@@ -287,9 +287,15 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "w").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    df = toks.groupBy("w").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
+    # df derived FROM tf, not from a second pass over the token stream
+    # (round 13, the vocab_oov_rate single-scan shape, guide §2.3/§2.4):
+    # tf holds exactly one row per (doc_id, w), so COUNT(*) per w over
+    # tf IS COUNT(DISTINCT doc_id) over toks — algebraically identical,
+    # pure integers. The corpus is scanned + exploded ONCE (tf's
+    # identical exchange subtree is reused at runtime) instead of
+    # twice, and the old distinct-aggregate's second token-stream
+    # exchange disappears.
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("df"))
     n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     scored = (
         tf.join(df, "w")

@@ -1454,15 +1454,26 @@ def corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
     )
-    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c_all"))
+    # ONE (source, w) count aggregate feeds both LM tables (round 13,
+    # the vocab_oov_rate single-scan shape, guide §2.3/§2.4): the old
+    # plan scanned + exploded the corpus separately for the all-corpus
+    # vocabulary and the target-source counts (different filters, so
+    # no exchange reuse). Both derive from sw by exact integer sums;
+    # sw's identical exchange subtree is reused at runtime, so the two
+    # LM builds cost one scan. The SCORING pass below keeps its own
+    # raw token stream on purpose — its per-occurrence float log sums
+    # must stay bit-compatible with the oracle's.
+    sw = tok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = sw.groupBy("w").agg(F.sum("c").cast("long").alias("c_all"))
     vsize = vocab.agg(
         F.count(F.lit(1)).cast("long").alias("v"),
         F.sum("c_all").cast("long").alias("n_all"),
     )
     tcnt = (
-        tok.where(F.col("source") == _DSIR_TARGET)
-        .groupBy(F.col("w").alias("tw"))
-        .agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+        sw.where(F.col("source") == _DSIR_TARGET)
+        .select(F.col("w").alias("tw"), F.col("c").alias("c_t"))
     )
     tsize = tcnt.agg(
         F.coalesce(F.sum("c_t"), F.lit(0)).cast("long").alias("n_t")
