@@ -867,14 +867,27 @@ ORDER BY abc_class
 )
 def parts_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = load_tables(spark, sf_dir, "lineitem")
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,6)"
-    )
+    # BIGINT through the fact-table aggregate (round 13, guide §2.3
+    # narrower types): the 2-dp price and discount make the per-row
+    # revenue exact at 4 decimals, so scale it to an integer BEFORE the
+    # 600M-row groupBy — the partial aggregates then accumulate one
+    # 8-byte long per group instead of a 38-digit decimal. Equivalence
+    # to the oracle's floor(SUM(DECIMAL(18,6)) * 100) is exact:
+    # sum_e4 = SUM(rev * 1e4) is a nonnegative integer (revenue >= 0:
+    # price >= 0, discount <= 1), and floor(sum_e4/100) recovers the
+    # identical cents — done in decimal so no float ever enters.
+    rev_e4 = (
+        (F.col("l_extendedprice").cast("decimal(12,2)")
+         * (1 - F.col("l_discount")).cast("decimal(8,2)"))
+        * 10000
+    ).cast("long")
     base = lineitem.groupBy(F.col("l_partkey").alias("partkey")).agg(
-        # F.floor before the long cast mirrors the oracle's floor():
-        # decimal->long casts round vs truncate differently across
-        # engines; floor removes the fractional cent identically
-        F.floor(F.sum(rev * 100)).cast("long").alias("cents")
+        F.sum(rev_e4).alias("e4")
+    ).select(
+        "partkey",
+        F.floor(F.col("e4").cast("decimal(38,0)") / 100)
+        .cast("long")
+        .alias("cents"),
     )
     bkt = F.floor(F.col("cents") / 10000000).cast("long")
     bt = base.groupBy(bkt.alias("bkt")).agg(
