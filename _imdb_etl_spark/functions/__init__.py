@@ -75,6 +75,59 @@ _FIXED_WIDTH = {
 }
 
 
+# Plan shapes whose every node preserves or reduces row count: for
+# these, the sum of the leaf parquet footers' row counts is an exact
+# UPPER BOUND on the frame's cardinality, so the broadcast gate can
+# prove "small enough" without running its eager measure job.
+# Generate (explode), Join, Union etc. can multiply rows and must
+# fall through to the measured pass.
+_CARD_NONINCREASING = {
+    "Project",
+    "Filter",
+    "LogicalRelation",
+    "Relation",
+    "SubqueryAlias",
+    "Aggregate",
+    "Deduplicate",
+    "GlobalLimit",
+    "LocalLimit",
+}
+
+
+def _footer_rows_upper(df) -> int | None:
+    """Exact row-count upper bound from the leaf parquet footers, or
+    None when the bound cannot be proven cheaply: the plan must be
+    cardinality-nonincreasing node by node (see _CARD_NONINCREASING)
+    and every input must be a locally readable parquet file (footer
+    metadata read on the driver — no Spark job). Any failure returns
+    None and the caller falls back to the measured pass, so remote
+    storage or exotic plans degrade to the old behavior."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _CARD_NONINCREASING:
+                return None
+            for i in range(node.children().size()):
+                stack.append(node.children().apply(i))
+        files = df.inputFiles()
+        if not files or len(files) > 64:
+            return None
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            if not f.startswith("file:"):
+                return None
+            path = f[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+            total += pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def broadcast_if_bounded(
     df,
     max_rows: int = BROADCAST_ROWS_MAX,
@@ -138,6 +191,24 @@ def broadcast_if_bounded(
             fixed += 20
         else:
             fixed += 64
+    # Short-circuit (round 13, guide §3.1/§1): when every output column
+    # is fixed-width and the parquet footers already prove the frame's
+    # row count (hence bytes) under both caps, skip the eager measure
+    # job entirely — at bench scale the measure pass was a visible
+    # per-join constant (tpch_q19 +0.22 s) paid even for trivially tiny
+    # dimensions. The footer count is an exact UPPER bound (only
+    # cardinality-nonincreasing plans qualify), so this only ever
+    # broadcasts frames the measured pass would also have broadcast;
+    # above the caps (every at-scale refusal path) it falls through to
+    # the measured pass unchanged.
+    if not measured:
+        upper = _footer_rows_upper(df)
+        if (
+            upper is not None
+            and upper <= max_rows
+            and upper * fixed <= max_bytes
+        ):
+            return F.broadcast(df)
     m = df.agg(*aggs).first()
     n = m["__n"]
     est = n * fixed + sum((m[a] or 0) * w for a, w in measured)

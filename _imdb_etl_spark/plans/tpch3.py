@@ -181,19 +181,26 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 )
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part = load_tables(spark, sf_dir, "lineitem", "part")
+    # the residual OR tests brand via a TINYINT id derived inside the
+    # filtered projection (round 13, guide §2.3 narrower types): after
+    # part_pre's isin filter p_brand takes exactly the three 'Brand#N'
+    # values, so the trailing digit identifies the brand — the
+    # broadcast sheds its only string column (8 bytes/row instead of
+    # ~34) and the all-fixed-width projection qualifies for the
+    # gate's footer short-circuit (no eager measure job)
     cond = (
         (
-            (F.col("p_brand") == "Brand#1")
+            (F.col("p_bid") == 1)
             & F.col("p_size").between(1, 15)
             & F.col("l_quantity").between(1, 21)
         )
         | (
-            (F.col("p_brand") == "Brand#2")
+            (F.col("p_bid") == 2)
             & F.col("p_size").between(1, 25)
             & F.col("l_quantity").between(10, 30)
         )
         | (
-            (F.col("p_brand") == "Brand#3")
+            (F.col("p_bid") == 3)
             & F.col("p_size").between(1, 35)
             & F.col("l_quantity").between(20, 40)
         )
@@ -208,7 +215,11 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_pre = part.where(
         F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
         & F.col("p_size").between(1, 35)
-    ).select("p_partkey", "p_brand", "p_size")
+    ).select(
+        "p_partkey",
+        F.substring("p_brand", 7, 1).cast("tinyint").alias("p_bid"),
+        "p_size",
+    )
     li_pre = lineitem.where(F.col("l_quantity").between(1, 40))
     return (
         li_pre.join(

@@ -590,6 +590,53 @@ def test_broadcast_gate_rows_and_bytes(spark, sf_dir):
     assert is_hinted(broadcast_if_bounded(heavy, max_bytes=1 << 30))
 
 
+def test_broadcast_gate_footer_short_circuit(spark, sf_dir):
+    """The gate's parquet-footer short-circuit (round 13): a fixed-
+    width scan/filter/project frame whose footers prove it under both
+    caps must be hinted WITHOUT running the eager measure job; row-
+    multiplying plans and string-bearing frames must fall through to
+    the measured pass; and the footer bound must never ADMIT a frame
+    the caps reject (it is an upper bound used only in the positive
+    direction)."""
+    from pyspark.sql import functions as F
+
+    from _imdb_etl_spark.functions import (
+        _footer_rows_upper,
+        broadcast_if_bounded,
+    )
+    from _imdb_etl_spark.sources import load_tables
+
+    (nation,) = load_tables(spark, sf_dir, "nation")
+    keys = nation.where(F.col("n_nationkey") >= 0).select(
+        "n_nationkey", "n_regionkey"
+    )
+    # footer bound: exact file row count for a nonincreasing plan
+    n_file = nation.count()
+    assert _footer_rows_upper(keys) == n_file
+    # row-multiplying (explode) and join shapes: no bound
+    assert _footer_rows_upper(
+        keys.select(F.explode(F.array("n_nationkey", "n_regionkey")))
+    ) is None
+    assert _footer_rows_upper(keys.crossJoin(nation.select("n_name"))) is None
+
+    def is_hinted(df):
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    # short-circuit fires: hinted with ZERO jobs run
+    sc = spark.sparkContext
+    sc.setJobGroup("gate-sc", "short-circuit probe")
+    try:
+        assert is_hinted(broadcast_if_bounded(keys))
+        assert sc.statusTracker().getJobIdsForGroup("gate-sc") == []
+        # under-the-cap footer count but caps below it: falls through
+        # to the measured pass (a job runs) and still refuses
+        assert not is_hinted(broadcast_if_bounded(keys, max_rows=1))
+        assert sc.statusTracker().getJobIdsForGroup("gate-sc") != []
+    finally:
+        sc.setJobGroup(None, None)
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+
 def test_regression_tripwire_normalizes_by_canary():
     """The bench tripwire must scale its 1.5x threshold by the canary
     load factor (round-11 verdict task 4): a uniformly inflated run
