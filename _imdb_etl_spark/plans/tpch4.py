@@ -188,37 +188,60 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, supplier, orders, customer, nation, region = load_tables(
         spark, sf_dir, "lineitem", "part", "supplier", "orders", "customer", "nation", "region"
     )
-    n1 = nation.select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
-    )
     n2 = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    # Deliberately shuffle joins (round-12 negative result): lifting
-    # the ECONOMY part keys and the supplier projection onto the
-    # measure-gated broadcast (the q17/q19/q9 pattern) measured a wash-
-    # to-loss at 1000x across three same-day head-to-head pairs (new
-    # 220-235 s tight vs old 159/192/268 s, median 192) — unlike q9,
-    # q8's wall is the orders+customer sort-merge chain, which the
-    # part-side broadcast does not move, so the change only added the
-    # gate's measure pass and the broadcast build.
+    # Round 13: attack the measured wall — the orders+customer sort-
+    # merge chain (the round-12 negative result showed part/supplier
+    # broadcasts ALONE were a wash because that chain dominated).
+    # The customer/n1/region joins contribute no output column; their
+    # only effect is keeping orders whose customer sits in an AMERICA
+    # nation. So: resolve the AMERICA nation keys at plan build (25x5
+    # dim join collected on the driver — the broadcast gate's eager-
+    # pass precedent), push them into the customer SCAN as an In
+    # filter (c_custkey is unique, so the inner join equals the
+    # filter), and ride the filtered single-bigint key set on the
+    # measure-gated broadcast (~3M longs at 1000x, inside both caps).
+    # Orders is then filtered map-side by date AND customer before the
+    # ONE remaining fact-sized shuffle (the l_orderkey join); the
+    # ECONOMY part keys and the (s_suppkey, s_nationkey) projection
+    # ride the same gate (the q9 pattern — re-earned here per §1.1
+    # now that the chain they could not move is gone).
+    akeys = [
+        r.n_nationkey
+        for r in nation.join(
+            F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("n_nationkey")
+        .collect()
+    ]
+    cust_am = customer.where(
+        F.col("c_nationkey").isin(akeys) if akeys else F.lit(False)
+    ).select("c_custkey")
+    orders_am = (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            broadcast_if_bounded(cust_am),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
     flat = (
         lineitem.join(
-            part.where(F.col("p_type") == "ECONOMY"),
+            broadcast_if_bounded(
+                part.where(F.col("p_type") == "ECONOMY").select("p_partkey")
+            ),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
-            orders.where(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-            ),
-            F.col("o_orderkey") == F.col("l_orderkey"),
+            broadcast_if_bounded(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
         )
-        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
-        .join(F.broadcast(region), F.col("r_regionkey") == F.col("c_rkey"))
-        .where(F.col("r_name") == "AMERICA")
+        .join(orders_am, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n2), F.col("s_nkey") == F.col("s_nationkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
