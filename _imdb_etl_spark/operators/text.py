@@ -1340,17 +1340,21 @@ def _winnow_rare_postings(
         f"{base}/run{next(_WIN_RUN_SEQ)}_"
         f"{os.path.basename(os.path.normpath(sf_dir))}"
     )
-    fp_lazy = (
-        winnow_arrays(docs)
-        .select(
-            "doc_id",
-            F.explode(
+    # per-doc distinct happens MAP-SIDE inside the array (round 13):
+    # (doc_id, v) rows from array_distinct are already globally
+    # distinct because doc_id scopes them, so the old .distinct() was
+    # a full exchange of the posting stream (236M rows at 1000x) that
+    # bought nothing — the index now writes straight off the map pass
+    # (measured 26.6 -> 23.1 s at 100x for the posting stream alone)
+    fp_lazy = winnow_arrays(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(ps, p -> xxhash64(element_at(hs, int(p))))"
                 )
-            ).alias("v"),
-        )
-        .distinct()
+            )
+        ).alias("v"),
     )
     fp_lazy.write.mode("overwrite").parquet(path)
     fp = spark.read.parquet(path)

@@ -53,76 +53,20 @@ GATE_WINDOW_SIZE = 50
 # window to the BACK of _GATE_REST, replay the new window at sf0.01
 # (tools/check.py) before committing.
 #
-# Round 12 window (rotation per the round-11 verdict task 2): the
-# pure prefix take _GATE_REST[:50] of the round-11 queue — the 7
-# remaining r5-era rows plus the oldest r6-era rows
-# (streaming_join_view_purchase through text_bm25_search; the queue
-# was built strictly oldest-driver-row-first in round 9 and each
-# rotation since has been a prefix take + back-append, preserving
-# that invariant). The retired round-11 window (r11-green rows)
-# moved to the BACK of _GATE_REST. One further rotation retires the
-# freshness tail entirely. Replayed green at sf0.01 (tools/check.py)
-# before commit.
+# Round 13 window (rotation per the round-12 verdict task 9): the
+# pure prefix take _GATE_REST[:50] of the round-12 queue — the last
+# of the freshness tail (text_embed_batch_inference through
+# shipping_lag_percentiles; the queue was built strictly
+# oldest-driver-row-first in round 9 and each rotation since has been
+# a prefix take + back-append, preserving that invariant). This
+# rotation retires the freshness tail entirely — every registered
+# face has now had a driver row within the rotation horizon. The
+# window also happens to re-gate several faces this optimization
+# round touched (text_tfidf_keywords, corpus_dsir_importance,
+# parts_abc_classification, audit_referential_integrity). The retired
+# round-12 window moved to the BACK of _GATE_REST. Replayed green at
+# sf0.01 (tools/check.py) before commit.
 GATE_WINDOW = [
-    "streaming_join_view_purchase",
-    "stringagg_top_customers_per_nation",
-    "text_duplicate_spans",
-    "text_lang_id_confusion",
-    "window_range_trailing_30d",
-    "xml_roundtrip_source",
-    "zorder_events_locality",
-    "basket_part_affinity",
-    "corpus_chars_tokens_regression",
-    "corpus_entropy_profile",
-    "corpus_epoch_shuffle",
-    "corpus_ngram_novelty",
-    "corpus_upsample_epochs",
-    "dedup_cdc_chunks",
-    "dedup_containment_lsh",
-    "dedup_embedding_cosine_ivf",
-    "dedup_jaccard_lsh",
-    "dedup_keep_best",
-    "dedup_minhash_lsh",
-    "dedup_semantic_clusters",
-    "dedup_threshold_sweep",
-    "events_anomaly_mad",
-    "events_conversion_latency",
-    "events_cusum_changepoint",
-    "events_funnel_time_bound",
-    "events_rollup_incremental",
-    "events_sliding_distinct_hll",
-    "events_welch_ttest",
-    "grouped_arrow_user_stats",
-    "imdb_reference_parity",
-    "orc_roundtrip_source",
-    "pysource_pushdown_range",
-    "quality_logreg_scorecard",
-    "quality_pr_curve",
-    "quality_score_auc",
-    "retrieval_hybrid_rrf",
-    "scalar_timestamp_suite",
-    "setop_except_all_views",
-    "setop_intersect_all_views",
-    "shuffle_skew_profile",
-    "sim_knn_ivf_persisted",
-    "sim_recall_curve",
-    "sketch_heavy_users_cms",
-    "split_temporal_embargo",
-    "sql_group_by_all_revenue",
-    "sql_parameterized_revenue",
-    "sql_pipe_revenue",
-    "streaming_corpus_ingest",
-    "text_bigram_lm_score",
-    "text_bm25_search",
-]
-# everything below keeps per-round local coverage (tools/check.py +
-# pytest); ordering = rotation priority, strictly oldest driver row
-# first (ties broken by name), rebuilt this round from the raw
-# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
-# window, append the retired window to the BACK (its rows are then the
-# newest), re-sorting is only needed if a demotion/registration
-# changes the set.
-_GATE_REST = [
     "text_embed_batch_inference",
     "text_lm_heldout_perplexity",
     "text_tfidf_keywords",
@@ -173,6 +117,15 @@ _GATE_REST = [
     "quality_calibration_bins",
     "scalar_bitwise_suite",
     "shipping_lag_percentiles",
+]
+# everything below keeps per-round local coverage (tools/check.py +
+# pytest); ordering = rotation priority, strictly oldest driver row
+# first (ties broken by name), rebuilt this round from the raw
+# CORRECTNESS_r1..r8 artifacts. Round 10+: take _GATE_REST[:50] as the
+# window, append the retired window to the BACK (its rows are then the
+# newest), re-sorting is only needed if a demotion/registration
+# changes the set.
+_GATE_REST = [
     "supplier_hhi_by_nation",
     "text_cooccurrence_pmi",
     "text_remove_duplicate_spans",
@@ -377,6 +330,56 @@ _GATE_REST = [
     "split_leakage_audit",
     "sql_tvf_brand_stats",
     "sql_udf_revenue",
+    "streaming_join_view_purchase",
+    "stringagg_top_customers_per_nation",
+    "text_duplicate_spans",
+    "text_lang_id_confusion",
+    "window_range_trailing_30d",
+    "xml_roundtrip_source",
+    "zorder_events_locality",
+    "basket_part_affinity",
+    "corpus_chars_tokens_regression",
+    "corpus_entropy_profile",
+    "corpus_epoch_shuffle",
+    "corpus_ngram_novelty",
+    "corpus_upsample_epochs",
+    "dedup_cdc_chunks",
+    "dedup_containment_lsh",
+    "dedup_embedding_cosine_ivf",
+    "dedup_jaccard_lsh",
+    "dedup_keep_best",
+    "dedup_minhash_lsh",
+    "dedup_semantic_clusters",
+    "dedup_threshold_sweep",
+    "events_anomaly_mad",
+    "events_conversion_latency",
+    "events_cusum_changepoint",
+    "events_funnel_time_bound",
+    "events_rollup_incremental",
+    "events_sliding_distinct_hll",
+    "events_welch_ttest",
+    "grouped_arrow_user_stats",
+    "imdb_reference_parity",
+    "orc_roundtrip_source",
+    "pysource_pushdown_range",
+    "quality_logreg_scorecard",
+    "quality_pr_curve",
+    "quality_score_auc",
+    "retrieval_hybrid_rrf",
+    "scalar_timestamp_suite",
+    "setop_except_all_views",
+    "setop_intersect_all_views",
+    "shuffle_skew_profile",
+    "sim_knn_ivf_persisted",
+    "sim_recall_curve",
+    "sketch_heavy_users_cms",
+    "split_temporal_embargo",
+    "sql_group_by_all_revenue",
+    "sql_parameterized_revenue",
+    "sql_pipe_revenue",
+    "streaming_corpus_ingest",
+    "text_bigram_lm_score",
+    "text_bm25_search",
 ]
 _GATE_ORDER = GATE_WINDOW + _GATE_REST
 
